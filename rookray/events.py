@@ -1,0 +1,182 @@
+"""Stateless change-event normalization — Arrow in, Arrow out.
+
+The columnar restatement of rook's event routing and filtering:
+
+* op routing by vectorized masks instead of a per-event ``switch`` on
+  ``EventType`` (MySQLReplicationStream.java:210-253);
+* ignore-list filtering on table / server id
+  (MySQLReplicationStream.java:90-96, 196-202 — ``filterOutTxEvent``);
+* before-image keying for updates/deletes, after-image for inserts
+  (AbstractCacheSynchronizer.java:63-79 — ``resolveAffectedRows``);
+* PK-changing updates split into delete(before) + insert(after)
+  sharing the gtid, ordered by a ``split`` sub-sequence (rook cannot
+  express this — its serial sinks key on the before image only; the
+  split preserves LWW commutativity when the key itself changes);
+* additive schema conformance: shards written before an evolution
+  boundary lack the new payload columns — batches are conformed to the
+  unified payload schema with nulls (rook: "todo: do something about
+  schema changes", MySQLReplicationStream.java:212).
+
+All functions are pure per-batch transforms intended for
+``Dataset.map_batches(..., batch_format="pyarrow", zero_copy_batch=True)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rookray.schema import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    SEQ_SCHEMA,
+    unify_additive,
+)
+
+
+@dataclass(frozen=True)
+class NormalizeConfig:
+    table: str = "sequences"
+    ignored_tables: frozenset = frozenset()
+    ignored_server_ids: frozenset = frozenset()
+    payload: pa.Schema = SEQ_SCHEMA  # unified (evolved) payload schema
+
+
+def payload_schema_of(events_schema: pa.Schema) -> pa.Schema:
+    """Payload schema embedded in a change-event schema's ``after`` struct."""
+    t = events_schema.field("after").type
+    return pa.schema([pa.field(f.name, f.type) for f in t])
+
+
+def unified_payload(schemas: list[pa.Schema]) -> pa.Schema:
+    return unify_additive([payload_schema_of(s) for s in schemas])
+
+
+def _conform_struct(col: pa.ChunkedArray | pa.StructArray, payload: pa.Schema) -> pa.StructArray:
+    """Conform a before/after struct column to the unified payload schema,
+    adding null children for absent (pre-evolution) columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    present = {f.name for f in col.type}
+    n = len(col)
+    children, names = [], []
+    for f in payload:
+        names.append(f.name)
+        if f.name in present:
+            child = col.field(f.name)
+            if child.type != f.type:
+                child = child.cast(f.type)
+            children.append(child)
+        else:
+            children.append(pa.nulls(n, f.type))
+    return pa.StructArray.from_arrays(children, names=names, mask=col.is_null())
+
+
+def filter_events(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
+    """Ignore-list + target-table predicate (vectorized S8/S9)."""
+    mask = pc.equal(batch.column("table"), pa.scalar(cfg.table))
+    if cfg.ignored_tables:
+        mask = pc.and_(
+            mask,
+            pc.invert(pc.is_in(batch.column("table"), value_set=pa.array(sorted(cfg.ignored_tables)))),
+        )
+    if cfg.ignored_server_ids:
+        mask = pc.and_(
+            mask,
+            pc.invert(pc.is_in(batch.column("server_id"), value_set=pa.array(sorted(cfg.ignored_server_ids), type=pa.int64()))),
+        )
+    return batch.filter(mask)
+
+
+def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
+    """Change events → flat keyed events.
+
+    Output columns: ``gtid, split, tx_id, op, doc_id, <payload cols>``.
+    The key (``doc_id``) comes from the before image for U/D and the
+    after image for I; PK-changing updates are split into two rows.
+    Payload columns come from the after image (null for deletes).
+    """
+    before = _conform_struct(batch.column("before"), cfg.payload)
+    after = _conform_struct(batch.column("after"), cfg.payload)
+    op = batch.column("op").combine_chunks()
+    gtid = batch.column("gtid").combine_chunks()
+    tx_id = batch.column("tx_id").combine_chunks()
+
+    b_key = before.field("doc_id")
+    a_key = after.field("doc_id")
+
+    op_np = op.to_numpy(zero_copy_only=False)
+    is_u = op_np == OP_UPDATE
+    # PK-changing update: before.doc_id != after.doc_id (both non-null)
+    pk_change = np.zeros(len(batch), dtype=bool)
+    if is_u.any():
+        neq = pc.fill_null(pc.not_equal(b_key, a_key), False)
+        pk_change = is_u & neq.to_numpy(zero_copy_only=False).astype(bool)
+
+    n = len(batch)
+    base_idx = np.arange(n, dtype=np.int64)
+
+    def _emit(idx: np.ndarray, use_before_key: np.ndarray, ops: np.ndarray, split: np.ndarray) -> dict:
+        key = pc.if_else(pa.array(use_before_key[idx]), b_key.take(pa.array(idx)), a_key.take(pa.array(idx)))
+        out = {
+            "gtid": gtid.take(pa.array(idx)),
+            "split": pa.array(split, type=pa.int8()),
+            "tx_id": tx_id.take(pa.array(idx)),
+            "op": pa.array(ops, type=pa.int8()),
+            "doc_id": key,
+        }
+        taken_after = after.take(pa.array(idx))
+        del_mask = ops == OP_DELETE
+        for f in cfg.payload:
+            if f.name == "doc_id":
+                continue
+            child = taken_after.field(f.name)
+            if del_mask.any():
+                child = pc.if_else(pa.array(~del_mask), child, pa.nulls(len(idx), f.type))
+            out[f.name] = child
+        return out
+
+    normal = ~pk_change
+    use_before = np.isin(op_np, (OP_UPDATE, OP_DELETE))
+    parts = []
+    # normal events: one row each, split=1
+    idx0 = base_idx[normal]
+    parts.append(
+        _emit(idx0, use_before, op_np[normal], np.ones(len(idx0), dtype=np.int8))
+    )
+    if pk_change.any():
+        idx1 = base_idx[pk_change]
+        # delete of the OLD key (split=0) ...
+        parts.append(
+            _emit(idx1, np.ones(n, dtype=bool), np.full(len(idx1), OP_DELETE, dtype=np.int8), np.zeros(len(idx1), dtype=np.int8))
+        )
+        # ... then insert of the NEW key (split=1)
+        parts.append(
+            _emit(idx1, np.zeros(n, dtype=bool), np.full(len(idx1), OP_INSERT, dtype=np.int8), np.ones(len(idx1), dtype=np.int8))
+        )
+    tables = [pa.table(p) for p in parts if len(next(iter(p.values())))]
+    if not tables:
+        return pa.table(parts[0])
+    out = pa.concat_tables(tables, promote_options="none")
+    return out
+
+
+def normalize_batch(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
+    return flatten(filter_events(batch, cfg), cfg)
+
+
+class Normalizer:
+    """map_batches callable — filter + flatten with a fixed config.
+
+    Stateless, but shipped as a class so the config is serialized once
+    per worker rather than per batch closure."""
+
+    def __init__(self, cfg: NormalizeConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return normalize_batch(batch, self.cfg)

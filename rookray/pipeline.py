@@ -1,8 +1,43 @@
-"""End-to-end CDC pipeline composition (filled in build step 3)."""
+"""End-to-end CDC pipeline: change shards → normalized flat events →
+hash partitions → LWW merge → two-phase exactly-once commit.
+
+The Ray-Data restatement of rook's source→listener loop
+(SURVEY.md §3.4).  Where rook is one thread applying events serially
+(MySQLReplicationStream.java:161-179), this pipeline is::
+
+    read_parquet(shards)                       # parallel shard reads
+      → map_batches(PartitionStage)            # normalize + filter +
+        (stateless, Arrow, zero-copy)          #   partition + combiner
+      → [optional salted pre-merge]            # hot-key handling
+      → groupby("part").map_groups(MergeWrite) # per-partition LWW merge
+                                               #   against prior state,
+                                               #   staged parquet write
+      → driver: commit manifest                # the atomicity point
+
+Correctness contract (tested against the serial oracle): final state is
+byte-identical to single-threaded replay, because per-key LWW argmax is
+order-insensitive once all events of a key meet in one partition
+(SURVEY.md §7.0).
+"""
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from rookray import merge, sink, txn
+from rookray.events import NormalizeConfig, normalize_batch, payload_schema_of, unified_payload
+from rookray.lineage import PartitionLineage, lineage_for
+from rookray.schema import SEQ_SCHEMA, unify_additive
+from rookray.util import partition_of
 
 
 @dataclass(frozen=True)
@@ -12,12 +47,297 @@ class CDCConfig:
     MySQLReplicationStream.java:82-96)."""
 
     table: str = "sequences"
-    ignored_tables: frozenset[str] = frozenset()
-    ignored_server_ids: frozenset[int] = frozenset()
+    ignored_tables: frozenset = frozenset()
+    ignored_server_ids: frozenset = frozenset()
     num_partitions: int = 32
     salt: int = 0  # >0 → hot-key salting with this many sub-buckets
     tx_atomic: bool = True  # hold back incomplete transactions
+    batch_size: int = 16384
 
 
-class LakeTable:  # placeholder — implemented in pipeline step
-    pass
+class PartitionStage:
+    """Stateless map_batches stage: normalize → filter by watermark →
+    assign partition → intra-batch combiner (keep-last per key).
+
+    The combiner is the scale lever: it collapses per-key duplicates
+    BEFORE the shuffle, so a hot key contributes at most one row per
+    batch to the all-to-all exchange (pre-aggregation per
+    SURVEY.md §7.3; rook's IndexingLog dedup analog)."""
+
+    def __init__(self, ncfg: NormalizeConfig, num_partitions: int,
+                 part_watermarks: np.ndarray, closed_wm: int):
+        self.ncfg = ncfg
+        self.P = num_partitions
+        self.wms = part_watermarks  # int64[P], -1 when partition unseen
+        self.closed_wm = closed_wm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = normalize_batch(batch, self.ncfg)
+        if len(flat) == 0:
+            return self._empty(flat)
+        part = partition_of(flat.column("doc_id"), self.P)
+        gtid = flat.column("gtid").to_numpy(zero_copy_only=False)
+        keep = (gtid <= self.closed_wm) & (gtid > self.wms[part])
+        flat = flat.append_column("part", pa.array(part, type=pa.int32()))
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+        if len(flat) == 0:
+            return self._empty(flat)
+        return merge.keep_last(flat)
+
+    @staticmethod
+    def _empty(flat: pa.Table) -> pa.Table:
+        if "part" not in flat.column_names:
+            flat = flat.append_column("part", pa.array([], type=pa.int32()))
+        return flat
+
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("file", pa.string()),
+        ("gtid_watermark", pa.int64()),
+        ("rows", pa.int64()),
+        ("content_hash", pa.string()),
+        ("events_applied", pa.int64()),
+    ]
+)
+
+
+class MergeWrite:
+    """Per-partition merge + staged write (map_groups over ``part``).
+
+    Holds the prior-state file map and epoch — constructed once per
+    worker (actor-pool semantics), called once per partition group.
+    Returns a one-row lineage table; the actual data goes straight to
+    the lake as a staged parquet file, so only tiny lineage records
+    flow back to the driver."""
+
+    def __init__(self, root: str, epoch: int, prior_files: dict[int, str],
+                 prior_wms: dict[int, int]):
+        self.root = root
+        self.epoch = epoch
+        self.prior_files = prior_files
+        self.prior_wms = prior_wms
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        events = group.drop_columns(["part"])
+        events = merge.keep_last(events)  # collapse across batches of the group
+        prior = None
+        pf = self.prior_files.get(part)
+        if pf is not None:
+            prior = pq.read_table(os.path.join(self.root, pf))
+        state = merge.merge_state(prior, events)
+        path = sink.state_file(self.root, part, self.epoch)
+        sink.atomic_write_parquet(state, path)
+        rel = os.path.relpath(path, self.root)
+        max_applied = int(pc.max(events.column("gtid")).as_py()) if len(events) else -1
+        lin = lineage_for(
+            part, rel, state,
+            prev_watermark=self.prior_wms.get(part, -1),
+            events_applied=len(events),
+            max_applied_gtid=max_applied,
+        )
+        return pa.Table.from_pylist([lin.to_dict()], schema=LINEAGE_SCHEMA)
+
+
+class LakeTable:
+    """A lake-resident upsert table: Parquet partitions + manifest.
+
+    ``apply()`` is the exactly-once ingest step; ``read()`` exposes the
+    committed state as a ``ray.data.Dataset``."""
+
+    def __init__(self, root: str, config: CDCConfig | None = None):
+        self.root = root
+        self.config = config or CDCConfig()
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def manifest(self) -> dict | None:
+        return sink.read_manifest(self.root)
+
+    def committed_files(self) -> list[str]:
+        m = self.manifest()
+        if not m:
+            return []
+        return [os.path.join(self.root, p["file"]) for p in m["partitions"].values()
+                if p["rows"] > 0]
+
+    def read(self, include_meta: bool = False) -> "ray.data.Dataset":
+        files = self.committed_files()
+        if not files:
+            return ray.data.from_arrow(self._empty_state())
+        ds = ray.data.read_parquet(files)
+        if not include_meta:
+            ds = ds.drop_columns(["_gtid", "_split"])
+        return ds
+
+    def state_table(self, include_meta: bool = False) -> pa.Table:
+        """Full committed state as one in-memory table (tests/small only)."""
+        files = self.committed_files()
+        if not files:
+            return self._empty_state()
+        tables = [pq.read_table(f) for f in files]
+        schema = unify_additive([t.schema for t in tables])
+        from rookray.schema import conform
+        tbl = pa.concat_tables([conform(t, schema) for t in tables], promote_options="none")
+        if not include_meta:
+            tbl = tbl.drop_columns(["_gtid", "_split"])
+        return tbl.sort_by("doc_id")
+
+    def _empty_state(self) -> pa.Table:
+        fields = list(SEQ_SCHEMA)
+        return pa.table({f.name: pa.array([], f.type) for f in fields})
+
+    def watermarks(self) -> np.ndarray:
+        wms = np.full(self.config.num_partitions, -1, dtype=np.int64)
+        m = self.manifest()
+        if m:
+            for pid, p in m["partitions"].items():
+                wms[int(pid)] = p["gtid_watermark"]
+        return wms
+
+    # ------------------------------------------------------------ apply
+
+    def apply(self, events: "Sequence[str] | ray.data.Dataset",
+              epoch: int | None = None) -> dict:
+        """Apply one epoch of change events exactly-once.
+
+        ``events``: parquet shard paths (preferred — enables pruned
+        column reads for the tx-watermark pass) or a Dataset of raw
+        change events.  Replaying shards that overlap previously
+        committed gtids is safe (watermark skip); events in
+        transactions that are incomplete within this epoch are held
+        back and must be re-presented in a later epoch.
+        """
+        cfg = self.config
+        m = self.manifest()
+        if epoch is None:
+            epoch = (m["epoch"] + 1) if m else 0
+
+        # the prior closed watermark is the tx-completeness floor:
+        # members of a tx at or below it were already applied
+        floor = -1
+        if m and m.get("closed_watermark") is not None:
+            floor = m["closed_watermark"]
+        tx_cols = ["gtid", "tx_id", "seq_in_tx", "tx_events"]
+        shard_schemas: list[pa.Schema] | None = None
+        if isinstance(events, (list, tuple)):
+            # footer-only schema reads: additive evolution means shards
+            # disagree; the unified payload must see every variant
+            shard_schemas = [pq.read_schema(p) for p in events]
+            raw = ray.data.read_parquet(list(events))
+            if cfg.tx_atomic:
+                tx_ds = ray.data.read_parquet(list(events), columns=tx_cols)
+                closed_wm, max_gtid = txn.closed_watermark(tx_ds, floor)
+            else:
+                closed_wm, max_gtid = 2**62, -1
+        else:
+            raw = events
+            if cfg.tx_atomic:
+                closed_wm, max_gtid = txn.closed_watermark(
+                    raw.select_columns(tx_cols), floor
+                )
+            else:
+                closed_wm, max_gtid = 2**62, -1
+
+        payload = self._unified_payload(raw, shard_schemas)
+        ncfg = NormalizeConfig(
+            table=cfg.table,
+            ignored_tables=cfg.ignored_tables,
+            ignored_server_ids=cfg.ignored_server_ids,
+            payload=payload,
+        )
+        wms = self.watermarks()
+        stage = PartitionStage(ncfg, cfg.num_partitions, wms, closed_wm)
+        flat = raw.map_batches(
+            stage, batch_format="pyarrow", batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+        if cfg.salt > 0:
+            from rookray.skew import salted_premerge
+            flat = salted_premerge(flat, cfg.salt)
+
+        prior_files, prior_wms = {}, {}
+        if m:
+            for pid, p in m["partitions"].items():
+                prior_files[int(pid)] = p["file"]
+                prior_wms[int(pid)] = p["gtid_watermark"]
+
+        mw = MergeWrite(self.root, epoch, prior_files, prior_wms)
+        mw.__name__ = "MergeWrite"  # ray's map_groups wrapper wants one
+        lineage_ds = flat.groupby("part").map_groups(mw, batch_format="pyarrow")
+        lineage_rows = lineage_ds.take_all()
+
+        partitions = dict(m["partitions"]) if m else {}
+        applied = 0
+        for row in lineage_rows:
+            applied += int(row["events_applied"])
+            partitions[str(int(row["partition"]))] = {
+                "file": row["file"],
+                "gtid_watermark": int(row["gtid_watermark"]),
+                "rows": int(row["rows"]),
+                "content_hash": row["content_hash"],
+                "events_applied": int(row["events_applied"]),
+            }
+        manifest = {
+            "epoch": epoch,
+            "table": cfg.table,
+            "num_partitions": cfg.num_partitions,
+            "closed_watermark": int(closed_wm) if closed_wm < 2**62 else None,
+            "max_gtid_seen": int(max_gtid),
+            "partitions": partitions,
+            "payload_schema": [[f.name, str(f.type)] for f in payload],
+        }
+        sink.commit_manifest(self.root, manifest)
+        return {
+            "epoch": epoch,
+            "closed_watermark": manifest["closed_watermark"],
+            "max_gtid_seen": max_gtid,
+            "events_applied": applied,
+            "partitions_touched": len(lineage_rows),
+        }
+
+    def _unified_payload(self, raw: "ray.data.Dataset",
+                         shard_schemas: list[pa.Schema] | None = None) -> pa.Schema:
+        if shard_schemas:
+            schemas = [unified_payload(shard_schemas)]
+        else:
+            schemas = [payload_schema_of(raw.schema().base_schema)]
+        m = self.manifest()
+        if m:
+            # prior payload schema participates in additive unification
+            import pyarrow as _pa
+            prior = pa.schema(
+                [pa.field(n, _parse_type(t)) for n, t in m["payload_schema"]]
+            )
+            schemas.insert(0, prior)
+        return unify_additive(schemas)
+
+
+_TYPES = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "list<element: int32>": pa.list_(pa.int32()),
+    "list<item: int32>": pa.list_(pa.int32()),
+    "list<element: int64>": pa.list_(pa.int64()),
+    "list<element: float>": pa.list_(pa.float32()),
+    "list<element: double>": pa.list_(pa.float64()),
+    "timestamp[us]": pa.timestamp("us"),
+}
+
+
+def _parse_type(s: str) -> pa.DataType:
+    try:
+        return _TYPES[s]
+    except KeyError:
+        raise ValueError(f"unsupported persisted type {s!r}") from None

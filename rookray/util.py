@@ -1,0 +1,93 @@
+"""Vectorized hashing / canonicalization utilities.
+
+Everything here must be deterministic across processes and machines
+(no Python builtin ``hash`` — PYTHONHASHSEED randomizes str hashing),
+and vectorized (no per-row Python in hot paths).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_BASE = np.uint64(1099511628211)  # FNV prime, used as polynomial base
+_MAX_LEN = 4096
+_POWS = np.empty(_MAX_LEN, dtype=np.uint64)
+_p = 1
+for _i in range(_MAX_LEN):  # python-int modular pow avoids overflow warnings
+    _POWS[_i] = _p
+    _p = (_p * int(_BASE)) % (1 << 64)
+
+
+def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit polynomial hash of each UTF-8 string,
+    fully vectorized over the flat value buffer (no per-row loop).
+
+    h(s) = sum_i byte[i] * BASE^(len-1-i)  (mod 2^64), finalized with a
+    splitmix-style mix so low bits distribute well for ``% P``.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type == pa.large_string():
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = pa.compute.fill_null(arr, "")
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=n + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    starts, ends = offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
+    lens = ends - starts
+    if lens.max(initial=0) >= _MAX_LEN:
+        raise ValueError("string too long for vectorized hash")
+    total = int(lens.sum())
+    if total == 0:
+        sums = np.zeros(n, dtype=np.uint64)
+    else:
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens[:-1])]), lens
+        )
+        weights = _POWS[(np.repeat(lens, lens) - 1 - pos)]
+        seg = data[
+            np.repeat(starts, lens)
+            + pos
+        ].astype(np.uint64) * weights
+        cum = np.concatenate([[np.uint64(0)], np.cumsum(seg, dtype=np.uint64)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = cum[bounds[1:]] - cum[bounds[:-1]]
+    # finalize (splitmix64) + mix in length
+    z = sums + lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def partition_of(doc_id: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Stable partition assignment hash(doc_id) % P → int32."""
+    return (hash_strings(doc_id) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def stable_table_hash(tbl: pa.Table, sort_key: str = "doc_id") -> str:
+    """Deterministic content hash of a table's logical values.
+
+    Canonicalizes (sort by key, combine chunks, rebuild without slice
+    offsets via a serialize round-trip) then md5's the IPC stream.
+    Used for per-partition lineage records — self-consistency across
+    runs/processes is what matters.
+    """
+    if sort_key in tbl.column_names and len(tbl) > 1:
+        tbl = tbl.sort_by(sort_key)
+    tbl = tbl.combine_chunks()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    # round-trip once to normalize buffer offsets/padding
+    buf = sink.getvalue()
+    rt = pa.ipc.open_stream(buf).read_all().combine_chunks()
+    sink2 = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink2, rt.schema) as w:
+        w.write_table(rt)
+    return hashlib.md5(sink2.getvalue().to_pybytes()).hexdigest()

@@ -1,0 +1,206 @@
+"""End-to-end pipeline correctness vs the serial replay oracle:
+token-array equality of final lake state (the north-rule invariant)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rookray.gen import GenConfig, generate_events, final_state, write_shards
+from rookray.oracle import replay
+from rookray.pipeline import CDCConfig, LakeTable
+
+from tests.test_gen_oracle import assert_tables_equal
+
+
+def make_lake(tmp_lake, **kw):
+    kw.setdefault("num_partitions", 8)
+    return LakeTable(tmp_lake, CDCConfig(**kw))
+
+
+def test_e2e_single_epoch(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=60, n_events=900)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=5)
+    lake = make_lake(tmp_lake)
+    res = lake.apply(meta["files"])
+    assert res["epoch"] == 0
+    got = lake.state_table()
+    assert_tables_equal(got, final_state(cfg))
+    m = lake.manifest()
+    assert m["closed_watermark"] == meta["gtid_max"]
+
+
+def test_e2e_with_noise_filters(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=50, n_events=800, noise_pct=15)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    lake = make_lake(
+        tmp_lake, ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999}),
+    )
+    lake.apply(meta["files"])
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_incremental_epochs_match_single_shot(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=40, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=6)
+    lake = make_lake(tmp_lake)
+    res1 = lake.apply(meta["files"][:3])
+    # an epoch cut mid-transaction holds the open tx back; the next
+    # epoch must re-present the shard containing it (watermark skip
+    # makes the overlap free)
+    lake.apply(meta["files"][2:])
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+    assert lake.manifest()["epoch"] == 1
+    assert res1["closed_watermark"] <= 300
+
+
+def test_duplicate_replay_idempotent(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=30, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    lake = make_lake(tmp_lake)
+    lake.apply(meta["files"])
+    h1 = {p: v["content_hash"] for p, v in lake.manifest()["partitions"].items()}
+    res = lake.apply(meta["files"])  # full duplicate replay
+    assert res["events_applied"] == 0
+    h2 = {p: v["content_hash"] for p, v in lake.manifest()["partitions"].items()}
+    assert h1 == h2
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_overlapping_shard_replay(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=30, n_events=500)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=5)
+    lake = make_lake(tmp_lake)
+    lake.apply(meta["files"][:3])
+    lake.apply(meta["files"][1:])  # overlap shards 1-2
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_tx_holdback_mid_transaction_cut(tmp_lake, tmp_path):
+    """An epoch cut mid-transaction must hold the open tx back
+    (rook: a TX is delivered only on XID — MySQLReplicationStream.java:243-249)."""
+    cfg = GenConfig(n_docs=20, n_events=300)
+    tbl = generate_events(cfg)
+    # find a cut point strictly inside a transaction
+    cut = None
+    for i in range(200, 300):
+        if tbl.column("seq_in_tx")[i].as_py() > 0:
+            cut = i
+            break
+    assert cut is not None
+    d = tmp_path / "shards"
+    d.mkdir()
+    p1, p2 = str(d / "a.parquet"), str(d / "b.parquet")
+    pq.write_table(tbl.slice(0, cut), p1)
+    pq.write_table(tbl.slice(cut), p2)
+    lake = make_lake(tmp_lake)
+    res1 = lake.apply([p1])
+    open_tx_first_gtid = tbl.column("gtid")[cut].as_py() - tbl.column("seq_in_tx")[cut].as_py()
+    assert res1["closed_watermark"] == open_tx_first_gtid - 1
+    # partial tx must not be visible: state == oracle over closed prefix only
+    prefix = tbl.filter(
+        pa.compute.less_equal(tbl.column("gtid"), pa.scalar(res1["closed_watermark"]))
+    )
+    assert_tables_equal(lake.state_table(), replay(prefix))
+    # second epoch re-presents the open tx's shard plus the rest
+    lake.apply([p1, p2])
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_schema_evolution_across_epochs(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=30, n_events=400, evolve_at=201)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    lake = make_lake(tmp_lake)
+    lake.apply(meta["files"][:2])   # pre-evolution only
+    assert "lang" not in lake.state_table().column_names
+    # resume from the closed watermark: re-present the shard holding the
+    # tx left open at the epoch-0 boundary, plus the evolved shards
+    lake.apply(meta["files"][1:])
+    got = lake.state_table()
+    assert "lang" in got.column_names
+    assert_tables_equal(got, final_state(cfg))
+
+
+def test_salted_equivalence(tmp_lake, tmp_path):
+    cfg = GenConfig(n_docs=500, n_events=3000, zipf_a=1.4)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    plain = make_lake(str(tmp_path / "lake1"))
+    salted = make_lake(str(tmp_path / "lake2"), salt=4)
+    plain.apply(meta["files"])
+    salted.apply(meta["files"])
+    assert_tables_equal(salted.state_table(), plain.state_table())
+    assert_tables_equal(salted.state_table(), final_state(cfg))
+
+
+def test_pk_changing_update_split(tmp_lake, tmp_path):
+    """Update that changes the key ⇒ delete(before)+insert(after)
+    (forced by rook's before-image keying, AbstractCacheSynchronizer.java:63-79)."""
+    from rookray.schema import change_event_schema, OP_INSERT, OP_UPDATE
+
+    def payload(doc, toks):
+        return {"doc_id": doc, "tokens": toks, "n_tok": len(toks), "source": "s"}
+
+    rows = [
+        dict(gtid=1, tx_id=0, seq_in_tx=0, tx_events=1, server_id=1, db="rook",
+             table="sequences", op=OP_INSERT, before=None, after=payload("a", [1, 2])),
+        dict(gtid=2, tx_id=1, seq_in_tx=0, tx_events=1, server_id=1, db="rook",
+             table="sequences", op=OP_UPDATE, before=payload("a", [1, 2]),
+             after=payload("b", [3, 4])),  # PK change a → b
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=change_event_schema())
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(tbl, p)
+    lake = make_lake(tmp_lake)
+    lake.apply([p])
+    got = lake.state_table()
+    assert got.column("doc_id").to_pylist() == ["b"]
+    assert got.column("tokens").to_pylist() == [[3, 4]]
+    assert_tables_equal(got, replay(tbl))
+
+
+def test_delete_of_missing_key_is_noop(tmp_lake, tmp_path):
+    from rookray.schema import change_event_schema, OP_INSERT, OP_DELETE
+
+    def payload(doc, toks):
+        return {"doc_id": doc, "tokens": toks, "n_tok": len(toks), "source": "s"}
+
+    rows = [
+        dict(gtid=1, tx_id=0, seq_in_tx=0, tx_events=2, server_id=1, db="rook",
+             table="sequences", op=OP_DELETE, before=payload("ghost", []), after=None),
+        dict(gtid=2, tx_id=0, seq_in_tx=1, tx_events=2, server_id=1, db="rook",
+             table="sequences", op=OP_INSERT, before=None, after=payload("x", [7])),
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=change_event_schema())
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(tbl, p)
+    lake = make_lake(tmp_lake)
+    lake.apply([p])
+    got = lake.state_table()
+    assert got.column("doc_id").to_pylist() == ["x"]
+    assert_tables_equal(got, replay(tbl))
+
+
+def test_resume_after_partial_failure(tmp_lake, tmp_path):
+    """Crash between staging and commit: rerun of the epoch must land
+    byte-identical (two-phase idempotence, SURVEY.md §7.5)."""
+    cfg = GenConfig(n_docs=30, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    lake = make_lake(tmp_lake)
+    lake.apply(meta["files"][:2])
+    manifest_before = lake.manifest()
+
+    # simulate: epoch 1 staged some partition files but crashed pre-commit
+    import rookray.sink as sink_mod
+    real_commit = sink_mod.commit_manifest
+    try:
+        sink_mod.commit_manifest = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
+        with pytest.raises(RuntimeError):
+            lake.apply(meta["files"][1:])
+    finally:
+        sink_mod.commit_manifest = real_commit
+    # manifest unchanged → epoch 1 never committed
+    assert lake.manifest() == manifest_before
+    # rerun the epoch (resume from the committed closed watermark)
+    lake.apply(meta["files"][1:])
+    assert_tables_equal(lake.state_table(), final_state(cfg))
