@@ -65,14 +65,18 @@ class PartitionStage:
     SURVEY.md §7.3; rook's IndexingLog dedup analog)."""
 
     def __init__(self, ncfg: NormalizeConfig, num_partitions: int,
-                 part_watermarks: np.ndarray, closed_wm: int):
+                 part_watermarks: np.ndarray, closed_wm: int,
+                 transform=None):
         self.ncfg = ncfg
         self.P = num_partitions
         self.wms = part_watermarks  # int64[P], -1 when partition unseen
         self.closed_wm = closed_wm
+        self.transform = transform  # derived-target row transform (F7 hook)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat = normalize_batch(batch, self.ncfg)
+        if self.transform is not None:
+            flat = self.transform(flat)
         if len(flat) == 0:
             return self._empty(flat)
         part = partition_of(flat.column("doc_id"), self.P)
@@ -201,8 +205,14 @@ class LakeTable:
 
     # ------------------------------------------------------------ apply
 
+    def apply_derived(self, events: "Sequence[str] | ray.data.Dataset",
+                      transform, epoch: int | None = None) -> dict:
+        """Apply with a derived-row transform in front of the merge —
+        the derived-index maintenance path (targets/derived.py)."""
+        return self.apply(events, epoch=epoch, transform=transform)
+
     def apply(self, events: "Sequence[str] | ray.data.Dataset",
-              epoch: int | None = None) -> dict:
+              epoch: int | None = None, transform=None) -> dict:
         """Apply one epoch of change events exactly-once.
 
         ``events``: parquet shard paths (preferred — enables pruned
@@ -243,15 +253,33 @@ class LakeTable:
             else:
                 closed_wm, max_gtid = 2**62, -1
 
-        payload = self._unified_payload(raw, shard_schemas)
+        payload = self._unified_payload(raw, shard_schemas,
+                                        include_prior=transform is None)
         ncfg = NormalizeConfig(
             table=cfg.table,
             ignored_tables=cfg.ignored_tables,
             ignored_server_ids=cfg.ignored_server_ids,
             payload=payload,
         )
+        if transform is None:
+            manifest_payload = payload
+        else:
+            # the lake's schema is the DERIVED schema: probe the
+            # transform with an empty flat batch, unify with prior
+            from rookray.schema import flat_event_fields
+            empty = pa.table(
+                {n: pa.array([], t) for n, t in flat_event_fields(payload)}
+            )
+            out_schema = transform(empty).schema
+            head = {"gtid", "split", "tx_id", "op", "part"}
+            derived = pa.schema([f for f in out_schema if f.name not in head])
+            schemas = [derived]
+            if m:
+                schemas.insert(0, self._manifest_payload(m))
+            manifest_payload = unify_additive(schemas)
         wms = self.watermarks()
-        stage = PartitionStage(ncfg, cfg.num_partitions, wms, closed_wm)
+        stage = PartitionStage(ncfg, cfg.num_partitions, wms, closed_wm,
+                               transform=transform)
         flat = raw.map_batches(
             stage, batch_format="pyarrow", batch_size=cfg.batch_size,
             zero_copy_batch=True,
@@ -289,7 +317,7 @@ class LakeTable:
             "closed_watermark": int(closed_wm) if closed_wm < 2**62 else None,
             "max_gtid_seen": int(max_gtid),
             "partitions": partitions,
-            "payload_schema": [[f.name, str(f.type)] for f in payload],
+            "payload_schema": [[f.name, str(f.type)] for f in manifest_payload],
         }
         sink.commit_manifest(self.root, manifest)
         return {
@@ -301,20 +329,21 @@ class LakeTable:
         }
 
     def _unified_payload(self, raw: "ray.data.Dataset",
-                         shard_schemas: list[pa.Schema] | None = None) -> pa.Schema:
+                         shard_schemas: list[pa.Schema] | None = None,
+                         include_prior: bool = True) -> pa.Schema:
         if shard_schemas:
             schemas = [unified_payload(shard_schemas)]
         else:
             schemas = [payload_schema_of(raw.schema().base_schema)]
         m = self.manifest()
-        if m:
+        if m and include_prior:
             # prior payload schema participates in additive unification
-            import pyarrow as _pa
-            prior = pa.schema(
-                [pa.field(n, _parse_type(t)) for n, t in m["payload_schema"]]
-            )
-            schemas.insert(0, prior)
+            schemas.insert(0, self._manifest_payload(m))
         return unify_additive(schemas)
+
+    @staticmethod
+    def _manifest_payload(m: dict) -> pa.Schema:
+        return pa.schema([pa.field(n, _parse_type(t)) for n, t in m["payload_schema"]])
 
 
 _TYPES = {

@@ -1,0 +1,196 @@
+"""Target (sink) semantics vs the reference's test scenarios:
+cache eviction (SecondLevelCacheSynchronizerTest / QueryCacheSynchronizer)
+and derived-index maintenance (DefaultRowsMutationIndexer ITs)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from rookray.gen import GenConfig, generate_events, final_state, write_shards
+from rookray.schema import change_event_schema, OP_INSERT, OP_UPDATE, OP_DELETE
+from rookray.targets import (
+    CacheInvalidationTarget,
+    DerivedIndexTarget,
+    EvictionTarget,
+    Fanout,
+)
+from rookray.targets.invalidation import NullEntityKeyError
+from rookray.pipeline import CDCConfig, LakeTable
+
+from tests.test_gen_oracle import assert_tables_equal
+
+
+def payload(doc, toks, source="s"):
+    return {"doc_id": doc, "tokens": toks, "n_tok": len(toks), "source": source}
+
+
+def ev(gtid, op, before=None, after=None, tx=0, table="sequences", db="rook"):
+    return dict(gtid=gtid, tx_id=tx, seq_in_tx=0, tx_events=1, server_id=1,
+                db=db, table=table, op=op, before=before, after=after)
+
+
+REGISTRY = {
+    "rook.sequences": [
+        EvictionTarget("SeqEntity", ("doc_id",), is_collection=False,
+                       query_spaces=("seq_space",)),
+        EvictionTarget("SeqCollection", ("source",), is_collection=True),
+    ],
+    "rook.pairs": [
+        EvictionTarget("PairEntity", ("doc_id", "source"), is_collection=False),
+    ],
+}
+
+
+def test_update_evicts_under_before_image_key():
+    """rook evicts updates under the BEFORE image
+    (AbstractCacheSynchronizer.java:63-79)."""
+    t = CacheInvalidationTarget(REGISTRY)
+    tbl = pa.Table.from_pylist(
+        [ev(1, OP_UPDATE, before=payload("old", [1]), after=payload("new", [2]))],
+        schema=change_event_schema(),
+    )
+    out = t.evictions_batch(tbl)
+    ent = out.filter(pa.compute.equal(out.column("name"), pa.scalar("SeqEntity")))
+    assert ent.column("key").to_pylist() == ["old"]
+
+
+def test_composite_key_canonical_order():
+    """Composite keys assemble in registry field order — the semantic
+    analog of binlog-position-order key assembly
+    (SynchronizationContextTest.java:63-69)."""
+    t = CacheInvalidationTarget(REGISTRY)
+    tbl = pa.Table.from_pylist(
+        [ev(1, OP_DELETE, before=payload("d1", [1], source="sA"), table="pairs")],
+        schema=change_event_schema(),
+    )
+    out = t.evictions_batch(tbl)
+    assert out.column("key").to_pylist() == ["d1\x1fsA"]
+
+
+def test_collection_null_key_skipped_entity_null_key_raises():
+    """SecondLevelCacheSynchronizer.java:52-60: collection+null → skip
+    row; entity+null → error."""
+    t = CacheInvalidationTarget(
+        {"rook.sequences": [EvictionTarget("Coll", ("source",), is_collection=True)]}
+    )
+    # delete carrying only the key column — nulls elsewhere
+    # (SecondLevelCacheSynchronizerTest.java:117-118 analog)
+    row = ev(1, OP_DELETE, before={"doc_id": "x", "tokens": [], "n_tok": None,
+                                   "source": None})
+    tbl = pa.Table.from_pylist([row], schema=change_event_schema())
+    out = t.evictions_batch(tbl)
+    assert len(out) == 0  # null collection key skipped
+
+    t2 = CacheInvalidationTarget(
+        {"rook.sequences": [EvictionTarget("Ent", ("source",), is_collection=False)]}
+    )
+    with pytest.raises(NullEntityKeyError):
+        t2.evictions_batch(tbl)
+
+
+def test_unregistered_table_ignored():
+    """Only wired tables are affected (database-isolation IT,
+    IntegrationTest.java:301-353)."""
+    t = CacheInvalidationTarget(REGISTRY)
+    tbl = pa.Table.from_pylist(
+        [ev(1, OP_INSERT, after=payload("a", [1]), table="other"),
+         ev(2, OP_INSERT, after=payload("b", [2]), db="otherdb")],
+        schema=change_event_schema(),
+    )
+    assert len(t.evictions_batch(tbl)) == 0
+
+
+def test_query_space_distinct_union_per_tx():
+    """One bulk invalidation of the distinct space union per tx
+    (QueryCacheSynchronizer.java:47-64)."""
+    t = CacheInvalidationTarget(REGISTRY)
+    rows = [
+        ev(1, OP_INSERT, after=payload("a", [1]), tx=7),
+        ev(2, OP_INSERT, after=payload("b", [2]), tx=7),   # same tx, same space
+        ev(3, OP_INSERT, after=payload("c", [3]), tx=8),
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=change_event_schema())
+    ds = ray.data.from_arrow(tbl)
+    out = t.query_invalidations(ds).to_pandas().sort_values(["tx_id", "space"])
+    assert list(map(tuple, out.values)) == [(7, "seq_space"), (8, "seq_space")]
+
+
+def test_evictions_pipeline_counts():
+    cfg = GenConfig(n_docs=20, n_events=200)
+    tbl = generate_events(cfg)
+    t = CacheInvalidationTarget(REGISTRY)
+    ds = ray.data.from_arrow(tbl)
+    out = t.evictions(ds).to_pandas()
+    # entity eviction for every event; collection eviction for every
+    # event whose merged image has non-null source (all of them here)
+    assert (out["name"] == "SeqEntity").sum() == 200
+    assert (out["name"] == "SeqCollection").sum() == 200
+
+
+# --------------------------------------------------------------- derived
+
+
+def test_derived_index_maintenance(tmp_path):
+    cfg = GenConfig(n_docs=40, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    primary = LakeTable(str(tmp_path / "primary"), CDCConfig(num_partitions=8))
+    primary.apply(meta["files"])
+    target = DerivedIndexTarget(str(tmp_path / "derived"),
+                                config=CDCConfig(num_partitions=8))
+    res = target.apply(meta["files"], primary=primary)
+    state = target.state_table()
+    exp = final_state(cfg)
+    # derived rows track exactly the live keys
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert state.column("n_tok").to_pylist() == exp.column("n_tok").to_pylist()
+    assert "tok_hash" in state.column_names
+    # cascade rollup equals a groupby over the authoritative final state
+    cont = target.containers_table().to_pandas().set_index("source")
+    import pandas as pd
+    exp_roll = (
+        exp.to_pandas().groupby("source").agg(docs=("n_tok", "size"),
+                                              total_tokens=("n_tok", "sum"))
+    )
+    assert cont["docs"].to_dict() == exp_roll["docs"].to_dict()
+    assert cont["total_tokens"].to_dict() == {k: int(v) for k, v in exp_roll["total_tokens"].items()}
+
+
+def test_derived_incremental_and_idempotent(tmp_path):
+    cfg = GenConfig(n_docs=30, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    target = DerivedIndexTarget(str(tmp_path / "derived"),
+                                config=CDCConfig(num_partitions=4))
+    target.apply(meta["files"][:2])
+    target.apply(meta["files"][1:])
+    target.apply(meta["files"])  # full duplicate replay
+    exp = final_state(cfg)
+    state = target.state_table()
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert state.column("n_tok").to_pylist() == exp.column("n_tok").to_pylist()
+
+
+# ---------------------------------------------------------------- fanout
+
+
+class _Boom:
+    def apply(self, paths, **kw):
+        raise RuntimeError("sink down")
+
+
+def test_fanout_isolates_failures(tmp_path):
+    cfg = GenConfig(n_docs=20, n_events=200)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    fan = Fanout({"lake": lake, "boom": _Boom()},
+                 dead_letter_dir=str(tmp_path / "dlq"))
+    results = fan.apply(meta["files"])
+    assert results["lake"]["ok"] and not results["boom"]["ok"]
+    # healthy target committed in full
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+    # dead letter recorded
+    recs = [json.loads(l) for l in open(tmp_path / "dlq" / "boom.jsonl")]
+    assert recs[0]["target"] == "boom" and "sink down" in recs[0]["error"]
