@@ -1,0 +1,175 @@
+"""Text-analysis operators over a documents table.
+
+All per-batch kernels are vectorized (pyarrow.compute regex/string
+kernels or pandas C string ops); the language-ID stage is a stateful
+actor-pool class (profiles built once, broadcast via constructor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+TOKEN_RE = r"\S+"
+WORD_RE = r"[A-Za-z]+"
+PUNCT_RE = r"[.,;:!?]"
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with as for on at by from"
+).split()
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    ``n_tokens``: count of ``\\S+`` runs.  ``n_subwords``: count of
+    BPE-style pieces — alpha runs contribute ceil(len/4) pieces (the
+    classic ~4-chars-per-token heuristic), every non-alpha non-space
+    char is its own piece.  Both are single-pass pyarrow regex kernels.
+    """
+    text = batch.column(col)
+    n_tok = pc.count_substring_regex(text, pattern=TOKEN_RE)
+    alpha_chars = pc.count_substring_regex(text, pattern="[A-Za-z]")
+    other = pc.count_substring_regex(text, pattern=r"[^A-Za-z\s]")
+    n_sub = pc.add(
+        pc.cast(pc.ceil(pc.divide(pc.cast(alpha_chars, pa.float64()), 4.0)), pa.int64()),
+        pc.cast(other, pa.int64()),
+    )
+    return batch.select(["doc_id"]).append_column(
+        "n_tokens", pc.cast(n_tok, pa.int64())
+    ).append_column("n_subwords", n_sub)
+
+
+def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality signals + a deterministic 0-1 score.
+
+    Signals: char length, word count, mean word length, punctuation
+    ratio, stopword ratio.  The score formula is fixed so the DuckDB
+    oracle can reproduce it exactly (see __ray_entry__.oracle_sql)."""
+    text = batch.column(col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(text, pattern=WORD_RE), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=PUNCT_RE), pa.float64())
+    alpha_chars = pc.cast(pc.count_substring_regex(text, pattern="[A-Za-z]"), pa.float64())
+    stop_pat = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = pc.cast(pc.count_substring_regex(text, pattern=stop_pat), pa.float64())
+
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    mean_word_len = pc.divide(alpha_chars, safe_words)
+    punct_ratio = pc.divide(n_punct, pc.max_element_wise(n_chars, 1.0))
+    stop_ratio = pc.divide(n_stop, safe_words)
+    # fixed formula: reward 3-8 char words, some stopwords, low punct
+    score = pc.subtract(
+        pc.add(
+            pc.multiply(pc.min_element_wise(stop_ratio, 0.5), 1.0),
+            pc.min_element_wise(pc.divide(mean_word_len, 8.0), 1.0),
+        ),
+        pc.multiply(punct_ratio, 2.0),
+    )
+    out = batch.select(["doc_id"])
+    out = out.append_column("n_words", pc.cast(n_words, pa.int64()))
+    out = out.append_column("mean_word_len", mean_word_len)
+    out = out.append_column("punct_ratio", punct_ratio)
+    out = out.append_column("stop_ratio", stop_ratio)
+    out = out.append_column("quality_score", score)
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Document fingerprints: md5 of the raw text (cross-checkable with
+    SQL ``md5()``) + a vectorized 64-bit rolling hash (engine-internal,
+    used for cheap equality bucketing)."""
+    from rookray.util import hash_strings
+
+    text_np = batch.column(col).to_pandas()
+    md5 = text_np.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    roll = hash_strings(batch.column(col)).astype(np.int64)
+    return (
+        batch.select(["doc_id"])
+        .append_column("fingerprint_md5", pa.array(md5, pa.string()))
+        .append_column("fingerprint_64", pa.array(roll, pa.int64()))
+    )
+
+
+class LangId:
+    """Character-trigram language identifier — actor-pool stage.
+
+    Profiles (lang → top-trigram set) are built ONCE on the driver from
+    a labeled sample and shipped via constructor (broadcast once per
+    actor, never per batch); ``__call__`` scores batches vectorized
+    with pandas C string ops.  Use as::
+
+        profiles = LangId.build_profiles(sample_df)
+        ds.map_batches(LangId, fn_constructor_args=(profiles,),
+                       concurrency=N, batch_format="pandas")
+    """
+
+    def __init__(self, profiles: dict[str, set[str]]):
+        self.langs = sorted(profiles)
+        self.tri_to_langs: dict[str, np.ndarray] = {}
+        for li, lang in enumerate(self.langs):
+            for t in profiles[lang]:
+                self.tri_to_langs.setdefault(t, np.zeros(len(self.langs)))[li] += 1.0
+
+    @staticmethod
+    def build_profiles(sample: pd.DataFrame, text_col: str = "text",
+                       lang_col: str = "lang", top: int = 300) -> dict[str, set[str]]:
+        profiles = {}
+        for lang, g in sample.groupby(lang_col):
+            counts: dict[str, int] = {}
+            for s in g[text_col].head(200):
+                s = f" {s.lower()} "
+                for i in range(len(s) - 2):
+                    t = s[i:i + 3]
+                    counts[t] = counts.get(t, 0) + 1
+            profiles[lang] = set(sorted(counts, key=counts.get, reverse=True)[:top])
+        return profiles
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = (" " + batch["text"].str.lower() + " ").tolist()
+        scores = np.zeros((len(texts), len(self.langs)))
+        for ri, s in enumerate(texts):
+            seen = {s[i:i + 3] for i in range(len(s) - 2)}
+            for t in seen:
+                v = self.tri_to_langs.get(t)
+                if v is not None:
+                    scores[ri] += v
+        best = np.argmax(scores, axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "pred_lang": np.asarray(self.langs, dtype=object)[best],
+                "lang_score": scores[np.arange(len(texts)), best],
+            }
+        )
+
+
+# ---------------------------------------------------------------- datasets
+
+
+def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id(ds: "ray.data.Dataset", profiles: dict[str, set[str]],
+            concurrency: int = 4) -> "ray.data.Dataset":
+    return ds.map_batches(
+        LangId, fn_constructor_args=(profiles,), batch_format="pandas",
+        batch_size=2048, concurrency=(1, concurrency),
+    )

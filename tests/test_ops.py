@@ -1,0 +1,195 @@
+"""Training-data operators over the driver-generated testdata tables."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_counts(docs):
+    from rookray.ops import text as T
+
+    out = T.token_counts(docs).to_pandas().set_index("doc_id")
+    raw = docs.to_pandas().set_index("doc_id")
+    for d in list(raw.index)[:20]:
+        assert out.loc[d, "n_tokens"] == len(raw.loc[d, "text"].split())
+    assert (out["n_subwords"] > 0).all()
+
+
+def test_quality(docs):
+    from rookray.ops import text as T
+
+    out = T.quality(docs).to_pandas()
+    assert len(out) == docs.count()
+    assert out["quality_score"].between(-2, 2).all()
+    # deterministic
+    out2 = T.quality(docs).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_fingerprints(docs):
+    from rookray.ops import text as T
+
+    out = T.fingerprints(docs).to_pandas().set_index("doc_id")
+    raw = docs.to_pandas().set_index("doc_id")
+    d = raw.index[0]
+    assert out.loc[d, "fingerprint_md5"] == hashlib.md5(raw.loc[d, "text"].encode()).hexdigest()
+
+
+def test_lang_id(docs):
+    from rookray.ops.text import LangId, lang_id
+
+    pdf = docs.to_pandas()
+    profiles = LangId.build_profiles(pdf)
+    out = lang_id(docs, profiles, concurrency=2).to_pandas()
+    assert set(out.columns) == {"doc_id", "pred_lang", "lang_score"}
+    assert len(out) == len(pdf)
+    # synthetic text is shared-vocab, so don't demand accuracy — only
+    # determinism and that every prediction is a known lang
+    assert out["pred_lang"].isin(pdf["lang"].unique()).all()
+
+
+def test_exact_dedup(docs):
+    from rookray.ops import dedup as D
+
+    out = D.exact_groups(docs).to_pandas()
+    pdf = docs.to_pandas()
+    exp = (
+        pdf.assign(h=pdf["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()))
+        .groupby("h")
+        .agg(doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "group_size"]], exp)
+
+
+def _with_planted_dups(docs):
+    """Append near-duplicate copies of a few docs (one word changed)."""
+    pdf = docs.to_pandas()
+    dups = pdf.head(5).copy()
+    dups["doc_id"] = dups["doc_id"] + 100000
+    dups["text"] = dups["text"].str.replace(r"^\S+", "zzz", n=1, regex=True)
+    return ray.data.from_pandas(pd.concat([pdf, dups], ignore_index=True))
+
+
+def test_minhash_lsh_finds_planted_neardups(docs):
+    from rookray.ops import dedup as D
+
+    ds = _with_planted_dups(docs)
+    clusters = D.minhash_lsh_clusters(ds, threshold=0.7, concurrency=2).to_pandas()
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].apply(set)
+    planted = {frozenset({d, d + 100000}) for d in range(5)}
+    found = {frozenset(v) for v in by_cluster if len(v) >= 2}
+    assert planted <= {frozenset(s & p) | frozenset(s & p) for s in found for p in planted} | found, \
+        f"planted near-dups not clustered: {found}"
+
+
+def test_simhash_finds_planted_neardups(docs):
+    from rookray.ops import dedup as D
+
+    ds = _with_planted_dups(docs)
+    pairs = D.simhash_pairs(ds, concurrency=2).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    planted = {(d, d + 100000) for d in range(5)}
+    assert planted & got, f"no planted pair found via simhash: {sorted(got)[:10]}"
+
+
+def test_ngram_jaccard_pairs(docs):
+    from rookray.ops import dedup as D
+
+    ds = _with_planted_dups(docs)
+    pairs = D.ngram_jaccard_pairs(ds, threshold=0.8, block_col="source").to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    planted = {(d, d + 100000) for d in range(5)}
+    assert planted <= got
+
+
+def test_embedding_neardup(embs):
+    from rookray.ops import dedup as D
+
+    pdf = embs.to_pandas()
+    dup = pdf.head(3).copy()
+    dup["vec_id"] = dup["vec_id"] + 100000
+    ds = ray.data.from_pandas(pd.concat([pdf, dup], ignore_index=True))
+    pairs = D.embedding_neardup_pairs(ds, threshold=0.999).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert {(d, d + 100000) for d in pdf.head(3)["vec_id"]} <= got
+
+
+def test_ann_bruteforce_matches_numpy(embs):
+    from rookray.ops import ann as A
+
+    qids, qmat = A.make_queries(embs, 5)
+    out = A.bruteforce_topk(embs, qids, qmat, k=5).to_pandas()
+    # oracle: full numpy
+    pdf = embs.to_pandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sim = qn @ mn.T
+    for qi, qid in enumerate(qids):
+        s = sim[qi].copy()
+        s[ids == qid] = -np.inf
+        exp = set(ids[np.argsort(-s)[:5]])
+        got = set(out[out["query_id"] == qid]["neighbor_id"])
+        assert got == exp, f"query {qid}: {got} != {exp}"
+
+
+def test_ann_lsh_recall(embs):
+    from rookray.ops import ann as A
+
+    qids, qmat = A.make_queries(embs, 5)
+    exact = A.bruteforce_topk(embs, qids, qmat, k=5).to_arrow_refs()
+    import ray as _ray
+    exact_tbl = pa.concat_tables([_ray.get(r) for r in exact])
+    approx_tbl = pa.Table.from_pandas(
+        A.lsh_topk(embs, qids, qmat, k=5, n_planes=2).to_pandas()
+    )
+    r = A.recall_at_k(approx_tbl, exact_tbl, k=5)
+    assert r > 0.3, f"LSH recall suspiciously low: {r}"
+
+
+def test_multimodal_plumbing(docs):
+    from rookray.ops import multimodal as M
+
+    media = M.media_from_documents(docs)
+    feats = M.decode_features(media, concurrency=2).to_pandas()
+    assert len(feats) == docs.count()
+    assert all(len(f) == M.DecodeFeatures.FEATURE_DIM for f in feats["features"])
+    # determinism of the fake decoder
+    feats2 = M.decode_features(M.media_from_documents(docs), concurrency=2).to_pandas()
+    a = feats.sort_values("media_id")["features"].map(tuple).tolist()
+    b = feats2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+
+    # strict mode is the marked integration point
+    dec = M.DecodeFeatures(strict=True)
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"xx")
+
+    frames = media.map_batches(
+        M.FrameSampleStub, fn_constructor_kwargs=dict(every_ms=1000),
+        batch_format="pyarrow", batch_size=256, concurrency=2,
+    ).to_pandas()
+    assert (frames.groupby("media_id").size() >= 1).all()
