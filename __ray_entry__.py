@@ -4,13 +4,12 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` happens here or anywhere in the
+``rookray`` library (only bench.py, CLI entry points and the pytest
+fixture own a Ray session).
 """
 
 from __future__ import annotations
@@ -20,25 +19,28 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full exactly-once
+    CDC replay of a generated GTID-ordered change stream into a lake
+    table (rookray.pipeline.LakeTable) — returns the final state digest
+    as a pandas DataFrame (≥0 rows, stable schema)."""
+    from rookray.queries import cdc_replay_sequences
+
+    return cdc_replay_sequences("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    plus the training-data operator suite (rookray/queries.py)."""
+    from rookray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; the
+    full-engine CDC replays, LSH/SimHash approximations, language-ID
+    and multimodal stubs are rows-only by design (documented in
+    rookray/queries.py)."""
+    from rookray.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,171 @@
+"""rookray benchmark harness.
+
+Headline metric (north rule): sustained change-events/sec replaying a
+GTID-ordered CDC stream into the lake table with the full exactly-once
+pipeline (normalize → hash-partition → LWW merge → two-phase commit).
+Also times a representative query suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "cdc": {"events": N, "events_per_sec": ..., "apply_sec": ...}}
+
+--scaling: runs the identical job in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus
+efficiency = t8 / (4 * t32)  (≡ throughput32 / (4 × throughput8)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("ROOKRAY_BENCH_EVENTS", "1000000"))
+
+BENCH_QUERIES = [
+    "cdc_lww_state",
+    "cdc_partition_watermarks",
+    "cdc_session_windows",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce",
+    "text_token_counts",
+    "text_quality",
+]
+
+
+def ensure_stream(n_events: int) -> dict:
+    """Deterministic cached bench stream (generation is untimed)."""
+    from rookray.gen import GenConfig, write_shards
+
+    out = os.path.join("/tmp/rookray_bench", f"stream-{n_events}")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        cfg = GenConfig(
+            n_docs=max(1000, n_events // 20),
+            n_events=n_events,
+            noise_pct=5,
+            zipf_a=1.1,
+            min_tokens=16,
+            max_tokens=128,
+        )
+        write_shards(cfg, out, n_shards=max(64, NUM_CPUS * 2))
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def warm_cache(files: list[str]) -> None:
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    meta = ensure_stream(N_EVENTS)
+    warm_cache(meta["files"])
+
+    # ---------------- headline: exactly-once CDC replay ----------------
+    root = tempfile.mkdtemp(prefix="rookray_bench_lake_")
+    lake = LakeTable(
+        root,
+        CDCConfig(
+            num_partitions=max(64, NUM_CPUS * 2),
+            ignored_tables=frozenset({"ignored_entity"}),
+            ignored_server_ids=frozenset({999}),
+            batch_size=32768,
+        ),
+    )
+    t0 = time.perf_counter()
+    lake.apply(meta["files"])
+    apply_sec = time.perf_counter() - t0
+    n_events = meta["n_events"]
+    shutil.rmtree(root, ignore_errors=True)
+
+    # ---------------- query suite over the sf dir ----------------------
+    from rookray import queries as Q
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        Q.QUERIES[name](SF_DIR)
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(apply_sec + sum(qtimes.values()), 3)
+    result = {
+        "metric": "cdc replay + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "cdc": {
+            "events": n_events,
+            "apply_sec": round(apply_sec, 3),
+            "events_per_sec": round(n_events / apply_sec, 1),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    t_lo = r_lo["cdc"]["apply_sec"]
+    t_hi = r_hi["cdc"]["apply_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "cdc replay scaling",
+        "unit": "efficiency",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "apply_sec_lo": t_lo,
+        "apply_sec_hi": t_hi,
+        "events_per_sec_lo": r_lo["cdc"]["events_per_sec"],
+        "events_per_sec_hi": r_hi["cdc"]["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "value": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

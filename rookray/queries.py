@@ -1,0 +1,736 @@
+"""Driver-contract query catalog.
+
+Each entry pairs a Ray-Data pipeline (callable taking ``sf_dir``) with
+an equivalent DuckDB oracle SQL string over the same parquet tables.
+Column NAMES and value quantization match exactly on both sides — the
+driver sorts columns by name and hashes values, so floats are
+quantized identically (``floor(x*10^d + 0.5)`` on both sides) and
+aggregates carry explicit aliases.
+
+CDC semantics are exercised two ways:
+* SQL-checkable: the ``events`` table is read AS a change log
+  (``event_id`` = gtid, ``user_id`` = key, ``event_type`` mapped to
+  insert/update/delete) so LWW state, watermarks, op routing, ignore
+  filters, windows and replay-dedup all get DuckDB oracles;
+* full-engine (rows-only): the real change-shard generator + LakeTable
+  pipeline replayed under /tmp, checked in tests against the serial
+  oracle (no SQL view exists over generated shards).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# event_type → CDC op mapping (signup opens a key, error closes it)
+OP_MAP = {"signup": "insert", "click": "update", "view": "update",
+          "purchase": "update", "error": "delete"}
+OP_MAP_SQL = ("case event_type when 'signup' then 'insert' "
+              "when 'error' then 'delete' else 'update' end")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _q(x, d: int):
+    """Quantize floats identically to SQL floor(x*10^d + 0.5)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * (10 ** d) + 0.5).astype(np.int64)
+
+
+# =====================================================================
+# CDC queries over the events change log
+# =====================================================================
+
+
+def cdc_lww_state(sf_dir: str) -> pd.DataFrame:
+    """Last-writer-wins final state per key: the LWW merge kernel over
+    the events log.  Keys whose last event is a delete are absent."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        # per-batch keep-last (the shuffle-shrinking combiner)
+        t = batch.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        u = t.column("user_id")
+        if len(t) <= 1:
+            return t
+        eq = pc.equal(u.slice(1), u.slice(0, len(u) - 1)).to_numpy(zero_copy_only=False)
+        last = np.concatenate([~eq, [True]])
+        return t.filter(pa.array(last))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        last = g.iloc[-1]
+        if OP_MAP[last["event_type"]] == "delete":
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "event_id": pd.Series([], dtype="int64"),
+                                 "event_type": pd.Series([], dtype="object"),
+                                 "value": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"user_id": [last["user_id"]],
+                             "event_id": [last["event_id"]],
+                             "event_type": [last["event_type"]],
+                             "value": [last["value"]]})
+
+    return (ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("user_id").map_groups(final, batch_format="pandas")
+            .to_pandas())
+
+
+CDC_LWW_STATE_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+   AND event_type <> 'error'
+"""
+
+
+def cdc_partition_watermarks(sf_dir: str) -> pd.DataFrame:
+    """Per-partition GTID watermark + applied-event count (the lineage
+    record analog), partitions by key hash (user_id % 8)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(u % 8, pa.int64()))
+
+    out = (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("part")
+           .aggregate(Max("event_id", alias_name="gtid_watermark"),
+                      Count(alias_name="events_applied")))
+    return out.to_pandas()
+
+
+CDC_PARTITION_WATERMARKS_SQL = """
+SELECT user_id % 8 AS part,
+       max(event_id) AS gtid_watermark,
+       count(*) AS events_applied
+FROM events GROUP BY 1
+"""
+
+
+def cdc_op_routing(sf_dir: str) -> pd.DataFrame:
+    """Vectorized op routing (S2): event counts per insert/update/delete."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def route(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas()
+        op = et.map(OP_MAP)
+        g = op.value_counts()
+        return pa.table({"op": pa.array(g.index.astype(object), pa.string()),
+                         "n": pa.array(g.to_numpy(), pa.int64())})
+
+    return (ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("op").aggregate(Sum("n", alias_name="n")).to_pandas())
+
+
+CDC_OP_ROUTING_SQL = f"""
+SELECT {OP_MAP_SQL} AS op, count(*) AS n FROM events GROUP BY 1
+"""
+
+
+def cdc_ignored_filter(sf_dir: str) -> pd.DataFrame:
+    """Ignore-list filtering (S9 analog): drop 'view' events and the
+    ignored server (user_id 13), count remaining per key."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.is_in(batch.column("event_type"),
+                               value_set=pa.array(["view"]))),
+            pc.invert(pc.is_in(batch.column("user_id"),
+                               value_set=pa.array([13], pa.int64()))),
+        )
+        return batch.filter(keep)
+
+    return (ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("user_id").aggregate(Count(alias_name="n_events"))
+            .to_pandas())
+
+
+CDC_IGNORED_FILTER_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events WHERE event_type <> 'view' AND user_id <> 13
+GROUP BY user_id
+"""
+
+
+def cdc_tumbling_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per key: count + quantized value sum."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket_ts"] = df["ts"].dt.floor("h")
+        g = (df.groupby(["user_id", "bucket_ts"], sort=False)
+             .agg(n=("value", "size"), sum_value=("value", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["user_id", "bucket_ts"])
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sv"))
+           .to_pandas())
+    out["sum_value_q"] = _q(out.pop("sv"), 2)
+    return out
+
+
+CDC_TUMBLING_WINDOW_SQL = """
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       count(*) AS n,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
+FROM events GROUP BY 1, 2
+"""
+
+
+def cdc_session_windows(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per key — the tx-window analog for
+    event-time streams; state confined to per-key sorted groups."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+
+
+CDC_SESSION_WINDOWS_SQL = """
+SELECT user_id,
+       sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END) AS n_sessions
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events)
+GROUP BY user_id
+"""
+
+
+def cdc_dedup_replay(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-shard replay idempotence: the stream unioned with
+    itself dedups back to the original event count (exact dedup on
+    gtid, F6/IndexingLog analog)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    doubled = ds.union(_read(sf_dir, "events", ["event_id"]))
+    n = doubled.groupby("event_id").aggregate(Count(alias_name="c")).count()
+    return pd.DataFrame({"n_events": [n]})
+
+
+CDC_DEDUP_REPLAY_SQL = """
+SELECT count(DISTINCT event_id) AS n_events
+FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+"""
+
+
+def cdc_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate over the log: per-type count/min/max/quantized mean."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value"),
+                      Mean("value", alias_name="mv"))
+           .to_pandas())
+    out["mean_value_q"] = _q(out.pop("mv"), 4)
+    return out
+
+
+CDC_EVENT_TYPE_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS mean_value_q
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# Relational operator coverage (TPC-H-ish)
+# =====================================================================
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch.column("l_shipdate"),
+                             pa.scalar(pd.Timestamp("1998-09-02")))
+        t = batch.filter(keep)
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc)
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sq"),
+                      Sum("l_extendedprice", alias_name="sbp"),
+                      Sum("disc_price", alias_name="sdp"),
+                      Count(alias_name="count_order"))
+           .to_pandas())
+    out["sum_qty_q"] = _q(out.pop("sq"), 2)
+    out["sum_base_price_q"] = _q(out.pop("sbp"), 2)
+    out["sum_disc_price_q"] = _q(out.pop("sdp"), 2)
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_q,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price_q,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+           AS sum_disc_price_q
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-semi-join + hash-aggregate + top-k: revenue of BUILDING
+    customers' orders (the shuffle-join-avoidance pattern: customer and
+    orders are broadcast as key sets / lookup dicts, lineitem streams)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    sel = orders[orders["o_custkey"].isin(building)]
+    okeys = ray.put(dict(zip(sel["o_orderkey"], sel["o_orderdate"])))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class Revenue:
+        def __init__(self):
+            self.orders = ray.get(okeys)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_orderkey"].isin(self.orders)]
+            df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(Revenue, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+           .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
+           .to_pandas())
+    out = out.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out["revenue_q"] = _q(out.pop("rev"), 2)
+    return out.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+           AS revenue_q
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def join_customer_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension join: customers per nation with quantized
+    account-balance stats (nation is tiny → ray.put lookup, no shuffle)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lookup = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    class AddNation:
+        def __init__(self):
+            self.m = ray.get(lookup)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["n_name"] = df["c_nationkey"].map(self.m)
+            g = (df.groupby("n_name", sort=False)
+                 .agg(n_customers=("c_acctbal", "size"),
+                      sum_acctbal=("c_acctbal", "sum")).reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(AddNation, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+           .groupby("n_name")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("sum_acctbal", alias_name="sab"))
+           .to_pandas())
+    out["sum_acctbal_q"] = _q(out.pop("sab"), 2)
+    return out
+
+
+JOIN_CUSTOMER_NATION_SQL = """
+SELECT n_name, count(*) AS n_customers,
+       CAST(floor(sum(c_acctbal) * 100 + 0.5) AS BIGINT) AS sum_acctbal_q
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def topk_customers(sf_dir: str) -> pd.DataFrame:
+    """Top 10 customers by total order value (aggregate + sort/limit)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (ds.groupby("o_custkey")
+           .aggregate(Sum("o_totalprice", alias_name="total"),
+                      Count(alias_name="n_orders"))
+           .to_pandas())
+    out = out.sort_values(["total", "o_custkey"], ascending=[False, True]).head(10)
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    out["total_q"] = _q(out.pop("total"), 2)
+    return out.reset_index(drop=True)
+
+
+TOPK_CUSTOMERS_SQL = """
+SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_q
+FROM orders GROUP BY o_custkey
+ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+"""
+
+
+def distinct_order_status(sf_dir: str) -> pd.DataFrame:
+    """Distinct/unique operator: distinct (status, priority) pairs."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    out = (ds.groupby(["o_orderstatus", "o_orderpriority"])
+           .map_groups(lambda g: g.head(1), batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+DISTINCT_ORDER_STATUS_SQL = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+# =====================================================================
+# Text / dedup / ANN / multimodal (rookray.ops)
+# =====================================================================
+
+
+def text_token_counts(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import text as T
+    return T.token_counts(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
+TEXT_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       CAST(ceil(len(regexp_extract_all(text, '[A-Za-z]')) / 4.0) AS BIGINT)
+         + len(regexp_extract_all(text, '[^A-Za-z \t\n\r]')) AS n_subwords
+FROM documents
+"""
+
+
+def text_quality(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import text as T
+    out = T.quality(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out["quality_q"] = _q(out["quality_score"], 6)
+    return out[["doc_id", "n_words", "quality_q"]]
+
+
+TEXT_QUALITY_SQL = r"""
+WITH sig AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
+         len(regexp_extract_all(text,
+             '\b(the|a|an|and|or|of|to|in|is|are|was|were|be|been|it|this|that|with|as|for|on|at|by|from)\b'))
+             AS n_stop,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_words,
+       CAST(floor((least(n_stop / greatest(n_words, 1)::DOUBLE, 0.5)
+                   + least(alpha_chars / greatest(n_words, 1)::DOUBLE / 8.0, 1.0)
+                   - 2.0 * (n_punct / greatest(n_chars, 1)::DOUBLE)) * 1000000 + 0.5)
+            AS BIGINT) AS quality_q
+FROM sig
+"""
+
+
+def text_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import text as T
+    out = T.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "fingerprint_md5"]]
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+"""
+
+
+def text_langid(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops.text import LangId, lang_id
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    profiles = LangId.build_profiles(ds.to_pandas())
+    out = lang_id(ds, profiles).to_pandas()
+    return out[["doc_id", "pred_lang"]]
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import dedup as D
+    return D.exact_groups(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import dedup as D
+    pairs = D.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        threshold=0.5, block_col="source").to_pandas()
+    pairs["jaccard_q"] = _q(pairs.pop("jaccard"), 6)
+    return pairs
+
+
+DEDUP_NGRAM_JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')) AS words
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(floor(len(list_intersect(a.words, b.words))
+                  / len(list_distinct(list_concat(a.words, b.words)))::DOUBLE
+                  * 1000000 + 0.5) AS BIGINT) AS jaccard_q
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.words, b.words))
+      / len(list_distinct(list_concat(a.words, b.words)))::DOUBLE >= 0.5
+"""
+
+
+def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import dedup as D
+    tbl = D.minhash_lsh_clusters(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
+    return tbl.to_pandas()
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import dedup as D
+    return D.simhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6).to_pandas()
+
+
+def dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import dedup as D
+    pairs = D.embedding_neardup_pairs(
+        _read(sf_dir, "embeddings"), threshold=0.5).to_pandas()
+    pairs["cosine_q"] = _q(pairs.pop("cosine"), 6)
+    return pairs
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000000 + 0.5)
+            AS BIGINT) AS cosine_q
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+"""
+
+
+def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.bruteforce_topk(ds, qids, qmat, k=10).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+ANN_BRUTEFORCE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 8)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id)
+            AS BIGINT) AS rank
+FROM q CROSS JOIN embeddings
+WHERE vec_id <> query_id
+QUALIFY rank <= 10
+"""
+
+
+def ann_lsh(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.lsh_topk(ds, qids, qmat, k=10, n_planes=3).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def multimodal_features(sf_dir: str) -> pd.DataFrame:
+    from rookray.ops import multimodal as M
+    media = M.media_from_documents(_read(sf_dir, "documents"))
+    out = M.decode_features(media).to_pandas()
+    out["feature_norm_q"] = _q(
+        out.pop("features").map(lambda f: float(np.linalg.norm(f))), 4)
+    return out[["media_id", "media_type", "payload_bytes", "feature_norm_q"]]
+
+
+# =====================================================================
+# Full-engine CDC replay (rows-only; no SQL view over generated shards)
+# =====================================================================
+
+
+def _flagship_shards(sf_dir: str, n_events: int = 20000) -> dict:
+    """Deterministic change shards derived from the sf dir (cached)."""
+    from rookray.gen import GenConfig, write_shards
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/rookray_streams", f"{tag}-{n_events}")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        cfg = GenConfig(n_docs=max(200, n_events // 20), n_events=n_events,
+                        noise_pct=5, evolve_at=n_events // 2 + 1, zipf_a=1.2)
+        write_shards(cfg, out, n_shards=16)
+    import json
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
+    """THE flagship: full exactly-once replay of a generated change
+    stream into a lake table; returns the final state digest
+    (token arrays verified against the serial oracle in tests)."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = _flagship_shards(sf_dir)
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(meta["files"])
+    state = lake.state_table()
+    toks = state.column("tokens").combine_chunks()
+    sums = np.zeros(len(state), dtype=np.int64)
+    if len(state):
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(flat)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = cum[bounds[1:]] - cum[bounds[:-1]]
+    return pd.DataFrame({
+        "doc_id": state.column("doc_id").to_pylist(),
+        "n_tok": state.column("n_tok").to_pylist(),
+        "source": state.column("source").to_pylist(),
+        "token_sum": sums,
+    })
+
+
+def cdc_derived_index(sf_dir: str) -> pd.DataFrame:
+    """Derived-index target over the generated stream (F-series analog)."""
+    import tempfile
+    from rookray.pipeline import CDCConfig
+    from rookray.targets import DerivedIndexTarget
+    meta = _flagship_shards(sf_dir)
+    root = tempfile.mkdtemp(prefix="rookray_derived_")
+    target = DerivedIndexTarget(root, config=CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    target.apply(meta["files"])
+    st = target.state_table()
+    return st.select(["doc_id", "n_tok", "tok_hash", "source"]).to_pandas()
+
+
+def cdc_evictions(sf_dir: str) -> pd.DataFrame:
+    """Cache-invalidation target over the generated stream (C-series)."""
+    from rookray.targets import CacheInvalidationTarget, EvictionTarget
+    meta = _flagship_shards(sf_dir)
+    t = CacheInvalidationTarget({
+        "rook.sequences": [
+            EvictionTarget("SeqEntity", ("doc_id",), query_spaces=("seq_space",)),
+            EvictionTarget("SeqBySource", ("source",), is_collection=True),
+        ]})
+    ds = ray.data.read_parquet(meta["files"])
+    out = t.evictions(ds).groupby(["name", "kind"]).aggregate(
+        Count(alias_name="n_evictions")).to_pandas()
+    return out
+
+
+# =====================================================================
+# catalog
+# =====================================================================
+
+QUERIES = {
+    # CDC over the events log (SQL-checkable)
+    "cdc_lww_state": cdc_lww_state,
+    "cdc_partition_watermarks": cdc_partition_watermarks,
+    "cdc_op_routing": cdc_op_routing,
+    "cdc_ignored_filter": cdc_ignored_filter,
+    "cdc_tumbling_window": cdc_tumbling_window,
+    "cdc_session_windows": cdc_session_windows,
+    "cdc_dedup_replay": cdc_dedup_replay,
+    "cdc_event_type_stats": cdc_event_type_stats,
+    # relational coverage
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "join_customer_nation": join_customer_nation,
+    "topk_customers": topk_customers,
+    "distinct_order_status": distinct_order_status,
+    # text
+    "text_token_counts": text_token_counts,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+    "text_langid": text_langid,
+    # dedup
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    # similarity search
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+    # multimodal
+    "multimodal_features": multimodal_features,
+    # full-engine CDC (rows-only)
+    "cdc_replay_sequences": cdc_replay_sequences,
+    "cdc_derived_index": cdc_derived_index,
+    "cdc_evictions": cdc_evictions,
+}
+
+ORACLES = {
+    "cdc_lww_state": CDC_LWW_STATE_SQL,
+    "cdc_partition_watermarks": CDC_PARTITION_WATERMARKS_SQL,
+    "cdc_op_routing": CDC_OP_ROUTING_SQL,
+    "cdc_ignored_filter": CDC_IGNORED_FILTER_SQL,
+    "cdc_tumbling_window": CDC_TUMBLING_WINDOW_SQL,
+    "cdc_session_windows": CDC_SESSION_WINDOWS_SQL,
+    "cdc_dedup_replay": CDC_DEDUP_REPLAY_SQL,
+    "cdc_event_type_stats": CDC_EVENT_TYPE_STATS_SQL,
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "join_customer_nation": JOIN_CUSTOMER_NATION_SQL,
+    "topk_customers": TOPK_CUSTOMERS_SQL,
+    "distinct_order_status": DISTINCT_ORDER_STATUS_SQL,
+    "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    # rows-only (non-SQL-expressible): text_langid, dedup_minhash_lsh,
+    # dedup_simhash, ann_lsh, multimodal_features, cdc_replay_sequences,
+    # cdc_derived_index, cdc_evictions
+}
