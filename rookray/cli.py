@@ -1,0 +1,135 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+North-rule operational shape: the engine runs as a Ray job on a fixed
+multi-node cluster.  Usage (cluster):
+
+    ray job submit --working-dir . -- \
+        python -m rookray.cli ingest --shards /data/binlog --table /lake/sequences
+
+Local sandbox (no cluster): the same command runs against
+``ray.init(address="local")``.  This module is the only library-side
+owner of a Ray session (guarded — it never re-inits a driver-provided
+session, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            kwargs["address"] = "local"
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_ingest(args) -> int:
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    _ensure_ray(args.num_cpus)
+    shards = sorted(glob.glob(os.path.join(args.shards, args.pattern)))
+    if not shards:
+        print(json.dumps({"error": f"no shards matching {args.pattern} in {args.shards}"}))
+        return 1
+    if args.prune:
+        from rookray.source import shards_above
+        lake_probe = LakeTable(args.table)
+        m = lake_probe.manifest()
+        floor = (m or {}).get("closed_watermark")
+        if floor is not None:
+            shards = shards_above(shards, floor)
+        if not shards:
+            print(json.dumps({"noop": True,
+                              "reason": "all shards at or below committed watermark"}))
+            return 0
+    cfg = CDCConfig(
+        table=args.source_table,
+        num_partitions=args.partitions,
+        salt=args.salt,
+        ignored_tables=frozenset(args.ignore_table or ()),
+        ignored_server_ids=frozenset(args.ignore_server or ()),
+        tx_atomic=not args.no_tx_atomic,
+    )
+    lake = LakeTable(args.table, cfg)
+    res = lake.apply(shards)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_tail(args) -> int:
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.source import ShardTailer
+
+    _ensure_ray(args.num_cpus)
+    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    tailer = ShardTailer(args.shards, lake, pattern=args.pattern)
+    tailer.connect()
+    try:
+        results = tailer.run(poll_interval_s=args.interval,
+                             max_polls=args.max_polls)
+    finally:
+        tailer.disconnect()
+    print(json.dumps({"epochs": results}))
+    return 0
+
+
+def cmd_show(args) -> int:
+    from rookray.pipeline import LakeTable
+
+    m = LakeTable(args.table).manifest()
+    print(json.dumps(m, indent=1) if m else json.dumps({"error": "no manifest"}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rookray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="apply one epoch of change shards")
+    ing.add_argument("--shards", required=True)
+    ing.add_argument("--table", required=True)
+    ing.add_argument("--pattern", default="events-*.parquet")
+    ing.add_argument("--source-table", default="sequences")
+    ing.add_argument("--partitions", type=int, default=64)
+    ing.add_argument("--salt", type=int, default=0)
+    ing.add_argument("--ignore-table", action="append")
+    ing.add_argument("--ignore-server", action="append", type=int)
+    ing.add_argument("--no-tx-atomic", action="store_true")
+    ing.add_argument("--prune", action="store_true",
+                     help="skip shards entirely below the committed watermark "
+                          "(footer statistics only)")
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.set_defaults(fn=cmd_ingest)
+
+    tail = sub.add_parser("tail", help="tail a shard directory (binlog-tail mode)")
+    tail.add_argument("--shards", required=True)
+    tail.add_argument("--table", required=True)
+    tail.add_argument("--pattern", default="events-*.parquet")
+    tail.add_argument("--partitions", type=int, default=64)
+    tail.add_argument("--interval", type=float, default=1.0)
+    tail.add_argument("--max-polls", type=int, default=None)
+    tail.add_argument("--num-cpus", type=int, default=None)
+    tail.set_defaults(fn=cmd_tail)
+
+    show = sub.add_parser("show", help="print a lake table's manifest")
+    show.add_argument("--table", required=True)
+    show.set_defaults(fn=cmd_show)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,14 +100,25 @@ def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
     after image for I; PK-changing updates are split into two rows.
     Payload columns come from the after image (null for deletes).
     """
-    before = _conform_struct(batch.column("before"), cfg.payload)
     after = _conform_struct(batch.column("after"), cfg.payload)
     op = batch.column("op").combine_chunks()
     gtid = batch.column("gtid").combine_chunks()
-    tx_id = batch.column("tx_id").combine_chunks()
+    # tx_id is bookkeeping the merge path prunes away; carry it through
+    # only when present (targets / tests read it)
+    tx_id = (batch.column("tx_id").combine_chunks()
+             if "tx_id" in batch.column_names else None)
 
-    b_key = before.field("doc_id")
     a_key = after.field("doc_id")
+    merged_key = None
+    if "key" in batch.column_names:
+        # producer materialized the merge key top-level: the `before`
+        # struct need not be decoded at all (pruned at the read), and
+        # key selection needs no per-row if_else — `key` already IS
+        # before-image-for-U/D, after-image-for-I
+        b_key = merged_key = batch.column("key").combine_chunks()
+    else:
+        before = _conform_struct(batch.column("before"), cfg.payload)
+        b_key = before.field("doc_id")
 
     op_np = op.to_numpy(zero_copy_only=False)
     is_u = op_np == OP_UPDATE
@@ -120,16 +131,17 @@ def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
     n = len(batch)
     base_idx = np.arange(n, dtype=np.int64)
 
-    def _emit(idx: np.ndarray, use_before_key: np.ndarray, ops: np.ndarray, split: np.ndarray) -> dict:
-        key = pc.if_else(pa.array(use_before_key[idx]), b_key.take(pa.array(idx)), a_key.take(pa.array(idx)))
+    def _emit(idx: np.ndarray, key_arr, ops: np.ndarray, split: np.ndarray) -> dict:
+        take = pa.array(idx)
         out = {
-            "gtid": gtid.take(pa.array(idx)),
+            "gtid": gtid.take(take),
             "split": pa.array(split, type=pa.int8()),
-            "tx_id": tx_id.take(pa.array(idx)),
             "op": pa.array(ops, type=pa.int8()),
-            "doc_id": key,
+            "doc_id": key_arr.take(take),
         }
-        taken_after = after.take(pa.array(idx))
+        if tx_id is not None:
+            out["tx_id"] = tx_id.take(take)
+        taken_after = after.take(take)
         del_mask = ops == OP_DELETE
         for f in cfg.payload:
             if f.name == "doc_id":
@@ -141,22 +153,26 @@ def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
         return out
 
     normal = ~pk_change
-    use_before = np.isin(op_np, (OP_UPDATE, OP_DELETE))
     parts = []
     # normal events: one row each, split=1
     idx0 = base_idx[normal]
+    if merged_key is not None:
+        key0 = merged_key
+    else:
+        use_before = np.isin(op_np, (OP_UPDATE, OP_DELETE))
+        key0 = pc.if_else(pa.array(use_before), b_key, a_key)
     parts.append(
-        _emit(idx0, use_before, op_np[normal], np.ones(len(idx0), dtype=np.int8))
+        _emit(idx0, key0, op_np[normal], np.ones(len(idx0), dtype=np.int8))
     )
     if pk_change.any():
         idx1 = base_idx[pk_change]
         # delete of the OLD key (split=0) ...
         parts.append(
-            _emit(idx1, np.ones(n, dtype=bool), np.full(len(idx1), OP_DELETE, dtype=np.int8), np.zeros(len(idx1), dtype=np.int8))
+            _emit(idx1, b_key, np.full(len(idx1), OP_DELETE, dtype=np.int8), np.zeros(len(idx1), dtype=np.int8))
         )
         # ... then insert of the NEW key (split=1)
         parts.append(
-            _emit(idx1, np.zeros(n, dtype=bool), np.full(len(idx1), OP_INSERT, dtype=np.int8), np.ones(len(idx1), dtype=np.int8))
+            _emit(idx1, a_key, np.full(len(idx1), OP_INSERT, dtype=np.int8), np.ones(len(idx1), dtype=np.int8))
         )
     tables = [pa.table(p) for p in parts if len(next(iter(p.values())))]
     if not tables:

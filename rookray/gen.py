@@ -157,9 +157,15 @@ def _tx_assignment(cfg: GenConfig, n: int):
     return tx_id, seq_in_tx.astype(np.int32), tx_events.astype(np.int32)
 
 
+def _as_array(a):
+    """pa.array() on big numpy string inputs returns ChunkedArray —
+    StructArray children must be contiguous."""
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
 def _struct(arrays: list[pa.Array], with_lang: bool, mask: np.ndarray) -> pa.StructArray:
     names = ["doc_id", "tokens", "n_tok", "source"] + (["lang"] if with_lang else [])
-    arrs = arrays[: 4 + (1 if with_lang else 0)]
+    arrs = [_as_array(a) for a in arrays[: 4 + (1 if with_lang else 0)]]
     return pa.StructArray.from_arrays(arrs, names=names, mask=pa.array(~mask))
 
 
@@ -228,6 +234,11 @@ def generate_events(cfg: GenConfig) -> pa.Table:
         table[half] = cfg.noise_table
         server_id[other] = cfg.noise_server_id
 
+    # merge key: before-image doc_id for U/D, after-image doc_id for I
+    b_key = before.field("doc_id").to_numpy(zero_copy_only=False)
+    a_key = after.field("doc_id").to_numpy(zero_copy_only=False)
+    key = pa.array(np.where(has_before, b_key, a_key), type=pa.string())
+
     return pa.table(
         {
             "gtid": pa.array(gtid),
@@ -238,6 +249,7 @@ def generate_events(cfg: GenConfig) -> pa.Table:
             "db": pa.array(np.full(n, cfg.db, dtype=object)),
             "table": pa.array(table.astype("U32")),
             "op": pa.array(op),
+            "key": key,
             "before": before,
             "after": after,
         }

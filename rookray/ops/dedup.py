@@ -44,20 +44,28 @@ def exact_groups(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset
     """(doc_id, group_size) — one survivor (min doc_id) per distinct
     content hash, with its duplicate-group size."""
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: hash + in-batch min/count per hash, so the
+        # shuffle ships one row per (hash, batch) instead of per doc
         text = batch.column(col).to_pandas()
         md5 = text.map(lambda s: hashlib.md5(s.encode()).hexdigest())
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "h": pa.array(md5, pa.string())}
+        df = pd.DataFrame(
+            {"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+             "h": md5}
         )
+        g = (df.groupby("h", sort=False)
+             .agg(doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "group_size": [len(g)]}
-        )
+    from ray.data.aggregate import Min, Sum
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    return hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
+    hashed = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Sum("group_size", alias_name="group_size"),
+    )
+    return out.select_columns(["doc_id", "group_size"])
 
 
 # ------------------------------------------------------------- shingling
@@ -127,20 +135,34 @@ class MinHasher:
         )
 
 
-def _candidate_pairs(grouped: "ray.data.Dataset", max_group: int = 64) -> set[tuple]:
-    """Collect candidate pairs from band-hash buckets (small output)."""
+def _candidate_pairs(grouped: "ray.data.Dataset", max_group: int = 64,
+                     coarse: int = 512) -> set[tuple]:
+    """Collect candidate pairs from band-hash buckets (small output).
+
+    Groups by a COARSE bucket of the band hash (≤``coarse`` Ray groups)
+    and does the exact per-(band, band_hash) grouping vectorized in
+    pandas inside each group — thousands of tiny Ray groups would pay
+    ~1ms each in per-group overhead, the coarse bucketing amortizes it."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (batch["band_hash"].to_numpy().astype(np.uint64)
+                           % np.uint64(coarse)).astype(np.int64)
+        return batch
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"]))[:max_group]
-        out = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1:]]
+        out = []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            docs = sorted(set(sub["doc_id"]))[:max_group]
+            out.extend((a, b) for i, a in enumerate(docs) for b in docs[i + 1:])
         if not out:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["a", "b"])
+        return pd.DataFrame(sorted(set(out)), columns=["a", "b"])
 
-    pair_ds = grouped.groupby(["band", "band_hash"]).map_groups(
-        pairs_of, batch_format="pandas"
-    )
+    pair_ds = grouped.map_batches(add_bucket, batch_format="pandas").groupby(
+        "bucket").map_groups(pairs_of, batch_format="pandas")
     return {(r["a"], r["b"]) for r in pair_ds.take_all()}
 
 
@@ -267,24 +289,32 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
     exploded = sigs.map_batches(explode_bands, batch_format="pandas")
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()[:64]
-        sh = g["simhash"].to_numpy().astype(np.uint64)[:64]
+        # coarse group: exact (band, band_val) grouping done in pandas
         out = []
-        for i in range(len(docs)):
-            x = sh[i] ^ sh[i + 1:]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(ham <= max_hamming):
-                out.append((docs[i], docs[i + 1 + j], int(ham[j])))
+        for _, sub in g.groupby(["band", "band_val"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            docs = sub["doc_id"].to_numpy()[:64]
+            sh = sub["simhash"].to_numpy().astype(np.uint64)[:64]
+            for i in range(len(docs)):
+                x = sh[i] ^ sh[i + 1:]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.flatnonzero(ham <= max_hamming):
+                    out.append((docs[i], docs[i + 1 + j], int(ham[j])))
         if not out:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+        return pd.DataFrame(sorted(set(out)), columns=["a", "b", "hamming"])
 
-    pair_ds = exploded.groupby(["band", "band_val"]).map_groups(
-        pairs_of, batch_format="pandas"
-    )
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (batch["band_val"].to_numpy().astype(np.uint64)
+                           % np.uint64(256)).astype(np.int64)
+        return batch
+
+    pair_ds = exploded.map_batches(add_bucket, batch_format="pandas").groupby(
+        "bucket").map_groups(pairs_of, batch_format="pandas")
     seen = {}
     for r in pair_ds.take_all():
         seen[(r["a"], r["b"])] = r["hamming"]

@@ -71,6 +71,11 @@ def change_event_schema(payload: pa.Schema = SEQ_SCHEMA) -> pa.Schema:
             ("db", pa.string()),
             ("table", pa.string()),
             ("op", pa.int8()),
+            # the mutation's merge key (= before-image doc_id for U/D,
+            # after-image doc_id for I), materialized top-level so the
+            # merge path can prune the whole `before` struct at the
+            # parquet read — a ~2x decode saving on update-heavy streams
+            ("key", pa.string()),
             ("before", ps),
             ("after", ps),
         ]

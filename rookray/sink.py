@@ -50,6 +50,27 @@ def atomic_write_parquet(tbl: pa.Table, path: str) -> None:
             os.unlink(tmp)
 
 
+def atomic_write_ipc(tbl: pa.Table, path: str) -> None:
+    """Arrow IPC (feather) shuffle partial — much cheaper to encode and
+    decode than parquet; these files are epoch-temporary."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_ipc(path: str) -> pa.Table:
+    with pa.memory_map(path, "r") as f:
+        return pa.ipc.open_file(f).read_all()
+
+
 def atomic_write_json(obj: dict, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")

@@ -1,0 +1,112 @@
+"""Change-stream sources — the ``MySQLReplicationStream`` lifecycle
+analog (connect / poll / deliver / disconnect,
+rook-source-mysql/.../MySQLReplicationStream.java:98-159).
+
+There is no MySQL in this environment; the "binlog" is a directory of
+GTID-ordered Parquet shards (written by ``rookray.gen`` in tests, or by
+any upstream producer in production).  ``ShardTailer`` is the tail-mode
+source: it polls the directory, batches newly-arrived shards into
+epochs, and applies each epoch to one or more targets exactly-once.
+Resume needs no extra state: the targets' own manifests carry the
+watermarks, and shards overlapping an epoch boundary are re-presented
+automatically (the engine skips already-applied gtids).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Callable
+
+import pyarrow.parquet as pq
+
+
+class ShardTailer:
+    """Tail a shard directory and apply new epochs to targets.
+
+    ``targets``: anything with ``.apply(shard_paths)`` (``LakeTable``,
+    ``DerivedIndexTarget``, ``Fanout``).  The tailer re-presents the
+    last shard of the previous epoch alongside new shards so that
+    transactions straddling an epoch boundary complete (the engine's
+    watermark makes the overlap free) — the batched analog of rook
+    holding a tx open until its XID arrives
+    (MySQLReplicationStream.java:234-249).
+    """
+
+    def __init__(self, shard_dir: str, target, pattern: str = "events-*.parquet"):
+        self.shard_dir = shard_dir
+        self.target = target
+        self.pattern = pattern
+        self._applied: list[str] = []
+        self._connected = False
+
+    # lifecycle: ReplicationStream.connect/isConnected/disconnect analog
+    def connect(self) -> None:
+        self._connected = True
+
+    def is_connected(self) -> bool:
+        return self._connected
+
+    def disconnect(self) -> None:
+        self._connected = False
+
+    def _discover(self) -> list[str]:
+        files = sorted(glob.glob(os.path.join(self.shard_dir, self.pattern)))
+        return [f for f in files if f not in self._applied]
+
+    def poll_once(self) -> dict | None:
+        """Apply one epoch of newly-arrived shards; None if nothing new."""
+        if not self._connected:
+            raise RuntimeError("not connected")
+        new = self._discover()
+        if not new:
+            return None
+        # re-present the tail shard of the previous epoch (open-tx overlap)
+        batch = ([self._applied[-1]] if self._applied else []) + new
+        result = self.target.apply(batch)
+        self._applied.extend(new)
+        return result
+
+    def run(self, poll_interval_s: float = 1.0,
+            until: Callable[[], bool] | None = None,
+            max_polls: int | None = None) -> list[dict]:
+        """Poll until ``until()`` or ``max_polls``; returns epoch results."""
+        results = []
+        polls = 0
+        while self._connected:
+            r = self.poll_once()
+            if r is not None:
+                results.append(r)
+            polls += 1
+            if until is not None and until():
+                break
+            if max_polls is not None and polls >= max_polls:
+                break
+            time.sleep(poll_interval_s)
+        return results
+
+
+def shard_gtid_range(path: str) -> tuple[int, int]:
+    """(min, max) gtid of a shard from parquet column statistics only
+    (footer read — no data scan)."""
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("gtid")
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        st = col.statistics
+        if st is None:
+            continue
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        raise ValueError(f"no gtid statistics in {path}")
+    return int(lo), int(hi)
+
+
+def shards_above(paths: list[str], floor: int) -> list[str]:
+    """Prune shards entirely at or below a committed watermark using
+    footer statistics — the resume fast path (skip finished partitions
+    without reading data)."""
+    return [p for p in paths if shard_gtid_range(p)[1] > floor]

@@ -136,7 +136,8 @@ def default_derive(flat: pa.Table) -> pa.Table:
     (doc_id, n_tok, tok_hash, source).  ``tok_hash`` is a vectorized
     rolling hash of the token array (the "indexed document" stand-in:
     no Lucene in this container, the plumbing is the point)."""
-    head = {n: flat.column(n) for n in ("gtid", "split", "tx_id", "op", "doc_id")}
+    head = {n: flat.column(n) for n in ("gtid", "split", "tx_id", "op", "doc_id")
+            if n in flat.column_names}
     tokens = flat.column("tokens").combine_chunks()
     flat_vals = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
     lens = pc.list_value_length(tokens)

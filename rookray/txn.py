@@ -51,6 +51,7 @@ def _tx_partials(batch: pa.Table, floor: int) -> pa.Table:
                 "tx_id": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
                 "min_gtid": pa.array([], pa.int64()),
+                "max_gtid": pa.array([], pa.int64()),
                 "tx_first": pa.array([], pa.int64()),
                 "tx_last": pa.array([], pa.int64()),
             }
@@ -60,12 +61,13 @@ def _tx_partials(batch: pa.Table, floor: int) -> pa.Table:
     g = df.groupby("tx_id", sort=False).agg(
         cnt=("gtid", "size"),
         min_gtid=("gtid", "min"),
+        max_gtid=("gtid", "max"),
         tx_first=("tx_first", "first"),
         tx_last=("tx_last", "first"),
     )
     g = g.reset_index().astype(
         {"tx_id": "int64", "cnt": "int64", "min_gtid": "int64",
-         "tx_first": "int64", "tx_last": "int64"}
+         "max_gtid": "int64", "tx_first": "int64", "tx_last": "int64"}
     )
     return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -92,18 +94,19 @@ def closed_watermark(events: "ray.data.Dataset", floor: int = -1) -> tuple[int, 
     agg = partials.groupby("tx_id").aggregate(
         Sum("cnt", alias_name="cnt"),
         Min("min_gtid", alias_name="min_gtid"),
+        Max("max_gtid", alias_name="max_gtid"),
         Min("tx_first", alias_name="tx_first"),
         Max("tx_last", alias_name="tx_last"),
-    )
+    ).materialize()  # small; both consumers below reuse it (one scan of events)
     # incomplete txs are rare (epoch boundaries only) → tiny take
     incomplete = agg.map_batches(
         lambda t: _filter_incomplete(t, floor), batch_format="pyarrow"
     )
     inc_rows = incomplete.take_all()
-    stats = events.aggregate(Max("gtid", alias_name="max_gtid"))
-    max_gtid = stats["max_gtid"] if stats and stats.get("max_gtid") is not None else None
-    if max_gtid is None:
+    if agg.count() == 0:
         return floor, -1
+    stats = agg.aggregate(Max("max_gtid", alias_name="mx"))
+    max_gtid = stats["mx"]
     if not inc_rows:
         return max(floor, int(max_gtid)), int(max_gtid)
     lowest_open = min(int(r["min_gtid"]) for r in inc_rows)
@@ -133,3 +136,109 @@ def closed_watermark_table(events: pa.Table, floor: int = -1) -> tuple[int, int]
     gtid = events.column("gtid").to_numpy(zero_copy_only=False)
     max_gtid = int(gtid[gtid > floor].max())
     return _watermark_from_agg(g, floor, max_gtid), max_gtid
+
+
+# ---------------------------------------------------------------------
+# Footer-statistics fast path
+# ---------------------------------------------------------------------
+
+
+def closed_watermark_from_stats(paths: list[str], floor: int = -1):
+    """O(#shards) watermark from parquet footer statistics + ONE row read.
+
+    Uses the stream invariants (dense gtids within a shard, contiguous
+    gtids within a tx) to avoid scanning the epoch:
+
+    1. per-shard (min, max, rows) from column statistics — a shard is
+       *dense* iff rows == max - min + 1;
+    2. walk the sorted intervals from ``floor+1``: the reachable end is
+       the last gtid before any coverage gap;
+    3. read the single row at the reachable end (one row group, three
+       int columns) to see whether its transaction closes there —
+       if not, the watermark backs up to just before that tx.
+
+    Returns ``(closed_wm, max_gtid)`` or ``None`` if the statistics are
+    unusable (missing stats, non-dense shard) — caller falls back to the
+    scanning ``closed_watermark``.  At 10^10 events this is the
+    difference between milliseconds and a full pass over the epoch.
+    """
+    import pyarrow.parquet as pq
+
+    spans = []
+    metas = {}
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            return None
+        idx = md.schema.to_arrow_schema().get_field_index("gtid")
+        if idx < 0:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            continue  # empty shard
+        if md.num_rows != hi - lo + 1:
+            return None  # not dense → fall back
+        spans.append((int(lo), int(hi)))
+        metas[(int(lo), int(hi))] = p
+    if not spans:
+        return floor, -1
+    max_gtid = max(h for _, h in spans)
+    min_lo = min(a for a, _ in spans)
+    start = floor + 1
+    if floor == -1:
+        # fresh table: the stream's own minimum defines the start, but
+        # a transaction cut open at the head holds the epoch back (same
+        # as the scanning path's incomplete-head-tx behavior)
+        start = min_lo
+        head = _read_row_at(metas, spans, start)
+        if head is None:
+            return None
+        if head[0] - head[1] < start:  # tx_first < start → head tx cut
+            return floor, max_gtid
+    cur = start - 1
+    for a, b in sorted(spans):
+        if a > cur + 1:
+            break
+        cur = max(cur, b)
+    if cur < start:
+        return max(floor, cur), max_gtid  # nothing newly covered
+    # tail-tx closure: inspect the single row at gtid == cur
+    row = _read_row_at(metas, spans, cur)
+    if row is None:
+        return None
+    gtid, seq_in_tx, tx_events = row
+    tx_first = gtid - seq_in_tx
+    tx_last = tx_first + tx_events - 1
+    wm = cur if tx_last <= cur else tx_first - 1
+    return max(floor, wm), max_gtid
+
+
+def _read_row_at(metas: dict, spans: list, target: int):
+    """Read (gtid, seq_in_tx, tx_events) of the row with gtid==target,
+    touching one row group of one shard."""
+    import pyarrow.parquet as pq
+
+    for (a, b), p in sorted(metas.items()):
+        if not (a <= target <= b):
+            continue
+        f = pq.ParquetFile(p)
+        offset = target - a
+        seen = 0
+        for rg in range(f.metadata.num_row_groups):
+            n = f.metadata.row_group(rg).num_rows
+            if offset < seen + n:
+                t = f.read_row_group(rg, columns=["gtid", "seq_in_tx", "tx_events"])
+                i = offset - seen
+                if t.column("gtid")[i].as_py() != target:
+                    return None  # rows not gtid-ordered → fall back
+                return (target, t.column("seq_in_tx")[i].as_py(),
+                        t.column("tx_events")[i].as_py())
+            seen += n
+    return None

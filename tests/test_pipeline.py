@@ -143,9 +143,10 @@ def test_pk_changing_update_split(tmp_lake, tmp_path):
 
     rows = [
         dict(gtid=1, tx_id=0, seq_in_tx=0, tx_events=1, server_id=1, db="rook",
-             table="sequences", op=OP_INSERT, before=None, after=payload("a", [1, 2])),
+             table="sequences", op=OP_INSERT, key="a", before=None,
+             after=payload("a", [1, 2])),
         dict(gtid=2, tx_id=1, seq_in_tx=0, tx_events=1, server_id=1, db="rook",
-             table="sequences", op=OP_UPDATE, before=payload("a", [1, 2]),
+             table="sequences", op=OP_UPDATE, key="a", before=payload("a", [1, 2]),
              after=payload("b", [3, 4])),  # PK change a → b
     ]
     tbl = pa.Table.from_pylist(rows, schema=change_event_schema())
@@ -167,9 +168,11 @@ def test_delete_of_missing_key_is_noop(tmp_lake, tmp_path):
 
     rows = [
         dict(gtid=1, tx_id=0, seq_in_tx=0, tx_events=2, server_id=1, db="rook",
-             table="sequences", op=OP_DELETE, before=payload("ghost", []), after=None),
+             table="sequences", op=OP_DELETE, key="ghost",
+             before=payload("ghost", []), after=None),
         dict(gtid=2, tx_id=0, seq_in_tx=1, tx_events=2, server_id=1, db="rook",
-             table="sequences", op=OP_INSERT, before=None, after=payload("x", [7])),
+             table="sequences", op=OP_INSERT, key="x", before=None,
+             after=payload("x", [7])),
     ]
     tbl = pa.Table.from_pylist(rows, schema=change_event_schema())
     p = str(tmp_path / "ev.parquet")

@@ -1,0 +1,45 @@
+"""ShardTailer (binlog-tail analog) + footer-statistics shard pruning."""
+
+import os
+import shutil
+
+from rookray.gen import GenConfig, final_state, write_shards
+from rookray.pipeline import CDCConfig, LakeTable
+from rookray.source import ShardTailer, shard_gtid_range, shards_above
+
+from tests.test_gen_oracle import assert_tables_equal
+
+
+def test_tail_applies_incrementally(tmp_path):
+    cfg = GenConfig(n_docs=30, n_events=400)
+    staged = tmp_path / "staged"
+    meta = write_shards(cfg, str(staged), n_shards=4)
+    live = tmp_path / "live"
+    live.mkdir()
+
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    tailer = ShardTailer(str(live), lake)
+    tailer.connect()
+    assert tailer.is_connected()
+    assert tailer.poll_once() is None  # nothing arrived yet
+
+    # shards arrive one at a time; each poll applies an epoch with the
+    # previous tail shard re-presented (open-tx overlap)
+    for f in meta["files"]:
+        shutil.copy(f, live / os.path.basename(f))
+        r = tailer.poll_once()
+        assert r is not None
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+    tailer.disconnect()
+    assert not tailer.is_connected()
+
+
+def test_shard_pruning_by_footer_stats(tmp_path):
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    ranges = [shard_gtid_range(f) for f in meta["files"]]
+    assert ranges[0][0] == 1 and ranges[-1][1] == 300
+    # floor inside shard 1 → shard 0 pruned, 1 and 2 kept
+    floor = ranges[0][1]
+    kept = shards_above(meta["files"], floor)
+    assert kept == meta["files"][1:]

@@ -29,8 +29,9 @@ def payload(doc, toks, source="s"):
 
 
 def ev(gtid, op, before=None, after=None, tx=0, table="sequences", db="rook"):
+    key = (before or after)["doc_id"]
     return dict(gtid=gtid, tx_id=tx, seq_in_tx=0, tx_events=1, server_id=1,
-                db=db, table=table, op=op, before=before, after=after)
+                db=db, table=table, op=op, key=key, before=before, after=after)
 
 
 REGISTRY = {
