@@ -30,6 +30,7 @@ class PartitionLineage:
     rows: int
     content_hash: str
     events_applied: int  # events applied in the epoch that wrote this
+    kind: str = "base"  # "base" (full state rewrite) | "delta" (merge-on-read)
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -41,11 +42,11 @@ class PartitionLineage:
 
 def lineage_for(partition: int, file: str, state: pa.Table,
                 prev_watermark: int, events_applied: int,
-                max_applied_gtid: int = -1) -> PartitionLineage:
+                max_applied_gtid: int = -1, kind: str = "base") -> PartitionLineage:
     # watermark = max PROCESSED gtid, not max surviving-state gtid —
     # a tombstone winner leaves no state row but its gtid is applied
     wm = max(prev_watermark, max_applied_gtid)
-    if len(state):
+    if len(state) and "_gtid" in state.column_names:
         wm = max(wm, int(pa.compute.max(state.column("_gtid")).as_py()))
     return PartitionLineage(
         partition=partition,
@@ -54,4 +55,5 @@ def lineage_for(partition: int, file: str, state: pa.Table,
         rows=len(state),
         content_hash=stable_table_hash(state),
         events_applied=events_applied,
+        kind=kind,
     )

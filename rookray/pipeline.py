@@ -65,6 +65,13 @@ class CDCConfig:
     #: churn (repeat runs degrade 2-5x); smaller batches also shrink
     #: shuffle partials less (combiner collapses less per batch)
     router_batch_size: int = 65536
+    #: "rewrite" = each epoch rewrites a touched partition's full state
+    #: file (fast reads, write amplification ~ state size per epoch);
+    #: "delta" = each epoch writes only its merged delta incl.
+    #: tombstones (Hudi-MOR-style: O(epoch) writes at 100 TB state,
+    #: merge-on-read + periodic compact()).  Delta requires the
+    #: external-shuffle merge path (actors strategy, no salt).
+    write_mode: str = "rewrite"
     #: where shuffle partials live.  None → $ROOKRAY_SHUFFLE_DIR, else
     #: /dev/shm when present (single node), else the lake root.  On a
     #: multi-node cluster point this at the shared storage the lake
@@ -121,6 +128,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("rows", pa.int64()),
         ("content_hash", pa.string()),
         ("events_applied", pa.int64()),
+        ("kind", pa.string()),
     ]
 )
 
@@ -227,12 +235,14 @@ class FinalizeMerge:
     config load once per actor."""
 
     def __init__(self, root: str, epoch: int, shuffle_dir: str,
-                 prior_files: dict, prior_wms: dict):
+                 prior_files: dict, prior_wms: dict,
+                 write_mode: str = "rewrite"):
         self.root = root
         self.epoch = epoch
         self.shuffle_dir = shuffle_dir
         self.prior_files = prior_files
         self.prior_wms = prior_wms
+        self.write_mode = write_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import glob as _glob
@@ -250,23 +260,109 @@ class FinalizeMerge:
                 if len(chunks) > 1 else chunks[0]
             )
             applied = sum(len(c) for c in chunks)
-            prior = None
-            pf = self.prior_files.get(part)
-            if pf is not None:
-                prior = pq.read_table(os.path.join(self.root, pf))
-            state = merge.merge_state(prior, events)
-            path = sink.state_file(self.root, part, self.epoch)
-            sink.atomic_write_parquet(state, path)
-            rel = os.path.relpath(path, self.root)
             max_applied = int(pc.max(events.column("gtid")).as_py()) if len(events) else -1
-            lin = lineage_for(
-                part, rel, state,
-                prev_watermark=self.prior_wms.get(part, -1),
-                events_applied=applied,
-                max_applied_gtid=max_applied,
-            )
+            if self.write_mode == "delta":
+                # merge-on-read: persist only the epoch's winners
+                # (tombstones included) — O(epoch), not O(state)
+                path = sink.delta_file(self.root, part, self.epoch)
+                sink.atomic_write_parquet(events, path)
+                rel = os.path.relpath(path, self.root)
+                lin = lineage_for(
+                    part, rel, events,  # hash/row-count the delta itself
+                    prev_watermark=self.prior_wms.get(part, -1),
+                    events_applied=applied,
+                    max_applied_gtid=max_applied,
+                    kind="delta",
+                )
+            else:
+                prior = None
+                pf = self.prior_files.get(part)
+                if pf is not None:
+                    prior = pq.read_table(os.path.join(self.root, pf))
+                state = merge.merge_state(prior, events)
+                path = sink.state_file(self.root, part, self.epoch)
+                sink.atomic_write_parquet(state, path)
+                rel = os.path.relpath(path, self.root)
+                lin = lineage_for(
+                    part, rel, state,
+                    prev_watermark=self.prior_wms.get(part, -1),
+                    events_applied=applied,
+                    max_applied_gtid=max_applied,
+                )
             out.append(lin.to_dict())
         return pa.Table.from_pylist(out, schema=LINEAGE_SCHEMA)
+
+
+def _resolve_partition(root: str, base_rel: str | None,
+                       delta_rels: list[str]) -> pa.Table | None:
+    """base + deltas → current state table (merge-on-read kernel)."""
+    base = pq.read_table(os.path.join(root, base_rel)) if base_rel else None
+    if not delta_rels:
+        return base
+    deltas = [pq.read_table(os.path.join(root, r)) for r in delta_rels]
+    events = (pa.concat_tables(deltas, promote_options="default")
+              if len(deltas) > 1 else deltas[0])
+    return merge.merge_state(base, merge.keep_last(events))
+
+
+class _MergeOnRead:
+    """Per-partition merge-on-read task (delta mode reads)."""
+
+    def __init__(self, root: str, frags: dict, include_meta: bool):
+        self.root = root
+        self.frags = frags
+        self.include_meta = include_meta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("part").to_pylist():
+            base_rel, delta_rels = self.frags[int(part)]
+            state = _resolve_partition(self.root, base_rel, delta_rels)
+            if state is None or len(state) == 0:
+                continue
+            if not self.include_meta:
+                state = state.drop_columns(
+                    [c for c in ("_gtid", "_split") if c in state.column_names]
+                )
+            outs.append(state)
+        if not outs:
+            return pa.table({})
+        return (pa.concat_tables(outs, promote_options="default")
+                if len(outs) > 1 else outs[0])
+
+
+_COMPACT_SCHEMA = pa.schema(
+    [("partition", pa.int32()), ("file", pa.string()),
+     ("rows", pa.int64()), ("content_hash", pa.string())]
+)
+
+
+class _CompactPartition:
+    """Per-partition compaction task: fold deltas into a fresh base."""
+
+    def __init__(self, root: str, epoch: int, frags: dict):
+        self.root = root
+        self.epoch = epoch
+        self.frags = frags
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rookray.util import stable_table_hash
+
+        out = []
+        for part in batch.column("part").to_pylist():
+            base_rel, delta_rels = self.frags[int(part)]
+            state = _resolve_partition(self.root, base_rel, delta_rels)
+            if state is None:
+                continue
+            path = sink.state_file(self.root, int(part), self.epoch)
+            sink.atomic_write_parquet(state, path)
+            out.append({
+                "partition": int(part),
+                "file": os.path.relpath(path, self.root),
+                "rows": len(state),
+                "content_hash": stable_table_hash(state),
+            })
+        return pa.Table.from_pylist(out, schema=_COMPACT_SCHEMA)
 
 
 class LakeTable:
@@ -285,34 +381,105 @@ class LakeTable:
     def manifest(self) -> dict | None:
         return sink.read_manifest(self.root)
 
+    def _has_deltas(self, m: dict | None = None) -> bool:
+        m = m or self.manifest()
+        return bool(m) and any(p.get("delta_files") for p in m["partitions"].values())
+
     def committed_files(self) -> list[str]:
+        """Base state files only — valid as-is when no deltas exist."""
         m = self.manifest()
         if not m:
             return []
         return [os.path.join(self.root, p["file"]) for p in m["partitions"].values()
-                if p["rows"] > 0]
+                if p.get("file") and p["rows"] > 0]
+
+    def _partition_fragments(self, m: dict) -> dict[int, tuple[str | None, list[str]]]:
+        out = {}
+        for pid, p in m["partitions"].items():
+            out[int(pid)] = (p.get("file"), list(p.get("delta_files", ())))
+        return out
 
     def read(self, include_meta: bool = False) -> "ray.data.Dataset":
-        files = self.committed_files()
-        if not files:
-            return ray.data.from_arrow(self._empty_state())
-        ds = ray.data.read_parquet(files)
-        if not include_meta:
-            ds = ds.drop_columns(["_gtid", "_split"])
-        return ds
+        m = self.manifest()
+        if not self._has_deltas(m):
+            files = self.committed_files()
+            if not files:
+                return ray.data.from_arrow(self._empty_state())
+            ds = ray.data.read_parquet(files)
+            if not include_meta:
+                ds = ds.drop_columns(["_gtid", "_split"])
+            return ds
+        # merge-on-read: one task per partition resolves base + deltas
+        frags = self._partition_fragments(m)
+        reader = _MergeOnRead(self.root, frags, include_meta)
+        parts_ds = ray.data.from_items(
+            [{"part": p} for p in sorted(frags)]
+        ).repartition(len(frags))
+        return parts_ds.map_batches(reader, batch_format="pyarrow", batch_size=1)
 
     def state_table(self, include_meta: bool = False) -> pa.Table:
         """Full committed state as one in-memory table (tests/small only)."""
-        files = self.committed_files()
-        if not files:
+        m = self.manifest()
+        if self._has_deltas(m):
+            frags = self._partition_fragments(m)
+            reader = _MergeOnRead(self.root, frags, include_meta)
+            tables = [
+                reader(pa.table({"part": pa.array([p], pa.int32())}))
+                for p in sorted(frags)
+            ]
+            tables = [t for t in tables if len(t)]
+        else:
+            files = self.committed_files()
+            if not files:
+                return self._empty_state()
+            tables = [pq.read_table(f) for f in files]
+            if not include_meta:
+                tables = [t.drop_columns(["_gtid", "_split"]) for t in tables]
+        if not tables:
             return self._empty_state()
-        tables = [pq.read_table(f) for f in files]
         schema = unify_additive([t.schema for t in tables])
         from rookray.schema import conform
         tbl = pa.concat_tables([conform(t, schema) for t in tables], promote_options="none")
-        if not include_meta:
-            tbl = tbl.drop_columns(["_gtid", "_split"])
         return tbl.sort_by("doc_id")
+
+    # ------------------------------------------------------- compaction
+
+    def compact(self, max_concurrency: int = 64) -> dict:
+        """Collapse each partition's base + deltas into a fresh base
+        (the Hudi-MOR compactor analog).  Runs as one parallel task per
+        partition; commits as a new epoch.  No-op without deltas."""
+        m = self.manifest()
+        if not self._has_deltas(m):
+            return {"compacted": 0}
+        epoch = m["epoch"] + 1
+        frags = self._partition_fragments(m)
+        todo = {p: fr for p, fr in frags.items() if fr[1]}
+        comp = _CompactPartition(self.root, epoch, todo)
+        parts_ds = ray.data.from_items(
+            [{"part": p} for p in sorted(todo)]
+        ).repartition(len(todo))
+        rows = parts_ds.map_batches(
+            comp, batch_format="pyarrow", batch_size=1,
+            concurrency=min(max_concurrency, len(todo)),
+        ).take_all()
+        partitions = dict(m["partitions"])
+        for row in rows:
+            pid = str(int(row["partition"]))
+            prev = partitions[pid]
+            partitions[pid] = {
+                "file": row["file"],
+                "delta_files": [],
+                "gtid_watermark": prev["gtid_watermark"],
+                "rows": int(row["rows"]),
+                "content_hash": row["content_hash"],
+                "events_applied": 0,
+            }
+        manifest = dict(m)
+        manifest["epoch"] = epoch
+        manifest["partitions"] = partitions
+        manifest["compaction"] = True
+        sink.commit_manifest(self.root, manifest)
+        return {"compacted": len(rows), "epoch": epoch}
 
     def _empty_state(self) -> pa.Table:
         fields = list(SEQ_SCHEMA)
@@ -349,6 +516,12 @@ class LakeTable:
         m = self.manifest()
         if epoch is None:
             epoch = (m["epoch"] + 1) if m else 0
+        if cfg.write_mode == "delta" and (cfg.merge_strategy != "actors" or cfg.salt):
+            raise ValueError("delta write mode requires the external-shuffle "
+                             "merge path (merge_strategy='actors', salt=0)")
+        if cfg.write_mode == "rewrite" and self._has_deltas(m):
+            raise ValueError("table has uncompacted deltas; run compact() "
+                             "before switching to rewrite mode")
 
         # the prior closed watermark is the tx-completeness floor:
         # members of a tx at or below it were already applied
@@ -450,7 +623,8 @@ class LakeTable:
                 [{"part": p} for p in range(cfg.num_partitions)]
             ).repartition(cfg.num_partitions)
             fin = FinalizeMerge(self.root, epoch, shuffle_dir,
-                                prior_files, prior_wms)
+                                prior_files, prior_wms,
+                                write_mode=cfg.write_mode)
             lineage_tbls = parts_ds.map_batches(
                 fin, batch_format="pyarrow", batch_size=1,
                 concurrency=cfg.merge_actors,
@@ -474,13 +648,21 @@ class LakeTable:
         applied = 0
         for row in lineage_rows:
             applied += int(row["events_applied"])
-            partitions[str(int(row["partition"]))] = {
-                "file": row["file"],
+            pid = str(int(row["partition"]))
+            entry = {
                 "gtid_watermark": int(row["gtid_watermark"]),
                 "rows": int(row["rows"]),
                 "content_hash": row["content_hash"],
                 "events_applied": int(row["events_applied"]),
             }
+            if row.get("kind") == "delta":
+                # merge-on-read: keep the prior base + accumulate deltas
+                prev = partitions.get(pid, {})
+                entry["file"] = prev.get("file")
+                entry["delta_files"] = list(prev.get("delta_files", ())) + [row["file"]]
+            else:
+                entry["file"] = row["file"]
+            partitions[pid] = entry
         manifest = {
             "epoch": epoch,
             "table": cfg.table,

@@ -105,13 +105,24 @@ def state_file(root: str, partition: int, epoch: int) -> str:
     return os.path.join(root, "state", f"part-{partition:05d}-epoch-{epoch:06d}.parquet")
 
 
+def delta_file(root: str, partition: int, epoch: int) -> str:
+    """Merge-on-read delta (Hudi-MOR-style): flat winning events incl.
+    tombstones for one partition and epoch."""
+    return os.path.join(root, "state", f"delta-{partition:05d}-epoch-{epoch:06d}.parquet")
+
+
 def gc_uncommitted(root: str, keep_epochs: int = 2) -> int:
     """Remove state files not referenced by the current manifest and
     older than ``keep_epochs`` behind it. Returns count removed."""
     m = read_manifest(root)
     if m is None:
         return 0
-    referenced = {os.path.join(root, p["file"]) for p in m["partitions"].values()}
+    referenced = set()
+    for p in m["partitions"].values():
+        if p.get("file"):
+            referenced.add(os.path.join(root, p["file"]))
+        for d in p.get("delta_files", ()):  # delta mode: all fragments live
+            referenced.add(os.path.join(root, d))
     cutoff = m["epoch"] - keep_epochs
     removed = 0
     state_dir = os.path.join(root, "state")
