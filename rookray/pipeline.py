@@ -627,7 +627,7 @@ class LakeTable:
                                 write_mode=cfg.write_mode)
             lineage_tbls = parts_ds.map_batches(
                 fin, batch_format="pyarrow", batch_size=1,
-                concurrency=cfg.merge_actors,
+                concurrency=min(cfg.merge_actors, cfg.num_partitions),
             )
             lineage_rows = lineage_tbls.take_all()
             _shutil.rmtree(shuffle_dir, ignore_errors=True)

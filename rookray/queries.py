@@ -300,11 +300,16 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     """Broadcast-semi-join + hash-aggregate + top-k: revenue of BUILDING
     customers' orders (the shuffle-join-avoidance pattern: customer and
     orders are broadcast as key sets / lookup dicts, lineitem streams)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    import pyarrow.parquet as _pq
+    # dimension tables: plain driver-side reads (broadcast build side —
+    # two extra Dataset executions would cost more than the data)
+    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"]).to_pandas()
     building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey", "o_custkey"]).to_pandas()
     sel = orders[orders["o_custkey"].isin(building)]
-    okeys = ray.put(dict(zip(sel["o_orderkey"], sel["o_orderdate"])))
+    okeys = ray.put(set(sel["o_orderkey"]))
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -347,7 +352,9 @@ LIMIT 10
 def join_customer_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast dimension join: customers per nation with quantized
     account-balance stats (nation is tiny → ray.put lookup, no shuffle)."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    import pyarrow.parquet as _pq
+    nation = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"]).to_pandas()
     lookup = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 

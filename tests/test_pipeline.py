@@ -207,3 +207,19 @@ def test_resume_after_partial_failure(tmp_lake, tmp_path):
     # rerun the epoch (resume from the committed closed watermark)
     lake.apply(meta["files"][1:])
     assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_per_statement_mode_applies_open_tx(tmp_lake, tmp_path):
+    """tx_atomic=False = rook's setGroupEventsByTX(false): per-statement
+    delivery, no holdback at a mid-transaction cut
+    (MySQLReplicationStream.java:82-84)."""
+    cfg = GenConfig(n_docs=20, n_events=300)
+    tbl = generate_events(cfg)
+    cut = next(i for i in range(200, 300)
+               if tbl.column("seq_in_tx")[i].as_py() > 0)
+    p1 = str(tmp_path / "a.parquet")
+    pq.write_table(tbl.slice(0, cut), p1)
+    lake = make_lake(tmp_lake, tx_atomic=False)
+    lake.apply([p1])
+    # EVERY event up to the cut is applied, including the open tx's head
+    assert_tables_equal(lake.state_table(), replay(tbl.slice(0, cut)))
