@@ -154,7 +154,7 @@ def run_scaling() -> dict:
     # scaling evidence uses a longer job: per-session fixed costs
     # (worker spawn, executor startup, commit) are one-time in a real
     # multi-hour ingest and would otherwise mask the parallel fraction
-    scaling_events = os.environ.get("ROOKRAY_SCALING_EVENTS", "8000000")
+    scaling_events = os.environ.get("ROOKRAY_SCALING_EVENTS", "24000000")
 
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -615,7 +615,8 @@ def _flagship_shards(sf_dir: str, n_events: int = 20000) -> dict:
 
 def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
     """THE flagship: full exactly-once replay of a generated change
-    stream into a lake table; returns the final state digest
+    stream — two overlapping delta (merge-on-read) epochs, then
+    compaction — into a lake table; returns the final state digest
     (token arrays verified against the serial oracle in tests)."""
     import tempfile
     from rookray.pipeline import CDCConfig, LakeTable
@@ -623,9 +624,13 @@ def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
     root = tempfile.mkdtemp(prefix="rookray_lake_")
     lake = LakeTable(root, CDCConfig(
         num_partitions=16,
+        write_mode="delta",
         ignored_tables=frozenset({"ignored_entity"}),
         ignored_server_ids=frozenset({999})))
-    lake.apply(meta["files"])
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    lake.apply(meta["files"][half:])  # overlap: watermark-skip dedup
+    lake.compact()
     state = lake.state_table()
     toks = state.column("tokens").combine_chunks()
     sums = np.zeros(len(state), dtype=np.int64)
