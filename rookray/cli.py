@@ -85,6 +85,14 @@ def cmd_tail(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from rookray.pipeline import LakeTable
+
+    _ensure_ray(args.num_cpus)
+    print(json.dumps(LakeTable(args.table).compact()))
+    return 0
+
+
 def cmd_show(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -126,6 +134,11 @@ def main(argv=None) -> int:
     show = sub.add_parser("show", help="print a lake table's manifest")
     show.add_argument("--table", required=True)
     show.set_defaults(fn=cmd_show)
+
+    comp = sub.add_parser("compact", help="fold delta files into fresh bases")
+    comp.add_argument("--table", required=True)
+    comp.add_argument("--num-cpus", type=int, default=None)
+    comp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -648,6 +648,21 @@ def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def pack_training_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing over the replayed sequence table: the final
+    lake state (closed-form oracle of the flagship stream) packed into
+    fixed 128-token GPT-style training blocks."""
+    import ray.data as rd
+    from rookray.gen import GenConfig, final_state
+    from rookray.ops.pack import pack_sequences
+
+    meta = _flagship_shards(sf_dir)
+    state = final_state(GenConfig(**meta["config"]))
+    ds = rd.from_arrow(state.select(["doc_id", "tokens"]))
+    out = pack_sequences(ds, context_len=128).to_pandas()
+    return out[["pack_id", "n_docs", "n_tok"]]
+
+
 def cdc_derived_index(sf_dir: str) -> pd.DataFrame:
     """Derived-index target over the generated stream (F-series analog)."""
     import tempfile
@@ -715,6 +730,8 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     # multimodal
     "multimodal_features": multimodal_features,
+    # sequence packing (rows-only)
+    "pack_training_chunks": pack_training_chunks,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,

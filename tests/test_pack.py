@@ -1,0 +1,62 @@
+"""Sequence splitting / packing over the sequence table."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from rookray.ops.pack import pack_batch, split_batch, pack_sequences, split_sequences
+
+
+def _tbl(docs):
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in docs]),
+        "tokens": pa.array([t for _, t in docs], pa.list_(pa.int32())),
+    })
+
+
+def test_split_exact_chunks():
+    t = _tbl([("a", list(range(10))), ("b", list(range(25)))])
+    out = split_batch(t, context_len=10, min_tail=3)
+    rows = out.to_pylist()
+    assert [r["doc_id"] for r in rows] == ["a", "b", "b", "b"]
+    assert [r["n_tok"] for r in rows] == [10, 10, 10, 5]
+    assert rows[1]["tokens"] == list(range(10))
+    assert rows[3]["tokens"] == list(range(20, 25))
+
+
+def test_split_drops_small_tails_and_docs():
+    t = _tbl([("a", list(range(12))), ("tiny", [1, 2])])
+    out = split_batch(t, context_len=10, min_tail=3)
+    rows = out.to_pylist()
+    # a's 2-token tail dropped; tiny (2 < min_tail) dropped entirely
+    assert [(r["doc_id"], r["n_tok"]) for r in rows] == [("a", 10)]
+
+
+def test_pack_stream_roundtrip():
+    docs = [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6, 7, 8, 9])]
+    out = pack_batch(_tbl(docs), context_len=4, eos=0)
+    rows = out.to_pylist()
+    stream = [tok for r in rows for tok in r["tokens"]]
+    assert stream == [1, 2, 3, 0, 4, 5, 0, 6, 7, 8, 9, 0]
+    assert [r["n_tok"] for r in rows] == [4, 4, 4]
+    assert sum(r["n_docs"] for r in rows) == 3
+
+
+def test_pack_full_blocks_except_tail():
+    rng = np.random.RandomState(0)
+    docs = [(f"d{i}", rng.randint(1, 100, rng.randint(5, 60)).tolist())
+            for i in range(50)]
+    out = pack_batch(_tbl(docs), context_len=128)
+    lens = out.column("n_tok").to_pylist()
+    assert all(l == 128 for l in lens[:-1]) and 0 < lens[-1] <= 128
+    total = sum(len(t) for _, t in docs) + len(docs)  # + one EOS per doc
+    assert sum(lens) == total
+
+
+def test_dataset_paths():
+    docs = [(f"d{i}", list(range(i + 1))) for i in range(40)]
+    ds = ray.data.from_arrow(_tbl(docs))
+    assert split_sequences(ds, context_len=8, min_tail=1).count() > 40 // 2
+    packed = pack_sequences(ds, context_len=64).to_pandas()
+    assert (packed["n_tok"].iloc[:-1] == 64).all()
