@@ -42,14 +42,19 @@ class _ScoreBatch:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[self.id_col].to_numpy()
-        m = _normalize(np.stack(batch[self.vec_col].to_numpy()))
+        m = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
         sim = self.qm @ m.T  # (Q, B)
         k = min(self.k, sim.shape[1])
-        idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
+        # deterministic tie-break (cosine DESC, neighbor_id ASC) BEFORE
+        # truncating to k — argpartition's arbitrary tie order could drop
+        # a lower-id neighbor tied at the k-boundary, diverging from the
+        # SQL oracle's ordering
+        ids_b = np.broadcast_to(ids, sim.shape)
+        order = np.lexsort((ids_b, -sim), axis=1)[:, :k]
         rows = {
             "query_id": np.repeat(self.qids, k),
-            "neighbor_id": ids[idx].reshape(-1).astype(np.int64),
-            "cosine": np.take_along_axis(sim, idx, axis=1).reshape(-1).astype(np.float64),
+            "neighbor_id": ids[order].reshape(-1).astype(np.int64),
+            "cosine": np.take_along_axis(sim, order, axis=1).reshape(-1).astype(np.float64),
         }
         return pd.DataFrame(rows)
 
@@ -82,9 +87,19 @@ def bruteforce_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
 
 def make_queries(ds: "ray.data.Dataset", n_queries: int,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Deterministic query set: the n lowest ids."""
-    rows = (ds.sort(id_col).limit(n_queries)
-            .select_columns([id_col, vec_col]).take_all())
+    """Deterministic query set: the n lowest ids.
+
+    Per-batch min-n combiner instead of a global ``ds.sort`` — a full
+    shuffle of the corpus to fetch 8 rows is the wrong shape at scale;
+    each batch emits at most n candidate rows, the driver keeps the n
+    smallest of the tiny union."""
+
+    def smallest(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.nsmallest(n_queries, id_col)[[id_col, vec_col]]
+
+    rows = ds.map_batches(smallest, batch_format="pandas").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    rows = rows[:n_queries]
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     return ids, mat
@@ -145,10 +160,11 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
                     continue
                 sel = buckets == b
                 ids = batch[id_col].to_numpy()[sel]
-                mm = _normalize(m[sel])
+                mm = _normalize(m[sel].astype(np.float64))
                 sim = self.qm[qidx] @ mm.T
                 kk = min(k + 1, sim.shape[1])
-                idx = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+                ids_b = np.broadcast_to(ids, sim.shape)
+                idx = np.lexsort((ids_b, -sim), axis=1)[:, :kk]
                 outs.append(pd.DataFrame({
                     "query_id": np.repeat(self.qids[qidx], kk),
                     "neighbor_id": ids[idx].reshape(-1).astype(np.int64),

@@ -377,7 +377,9 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
-        m = np.stack(g[vec_col].to_numpy())
+        # float64 throughout so quantized cosines agree with the DuckDB
+        # oracle's DOUBLE[] computation (float32 diverges at the 6th dp)
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms

@@ -206,8 +206,8 @@ def cdc_session_windows(sf_dir: str) -> pd.DataFrame:
 
 CDC_SESSION_WINDOWS_SQL = """
 SELECT user_id,
-       sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-                THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
       FROM events)
@@ -412,9 +412,12 @@ ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
 def distinct_order_status(sf_dir: str) -> pd.DataFrame:
     """Distinct/unique operator: distinct (status, priority) pairs."""
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    # DISTINCT as an aggregate (per-block partial combine + tiny final),
+    # not per-group map_groups — millions of distinct pairs would mean
+    # millions of ~1-row Python group calls
     out = (ds.groupby(["o_orderstatus", "o_orderpriority"])
-           .map_groups(lambda g: g.head(1), batch_format="pandas")
-           .to_pandas())
+           .aggregate(Count(alias_name="_n")).to_pandas()
+           .drop(columns=["_n"]))
     return out.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
 
 
@@ -483,7 +486,10 @@ SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
 def text_langid(sf_dir: str) -> pd.DataFrame:
     from rookray.ops.text import LangId, lang_id
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    profiles = LangId.build_profiles(ds.to_pandas())
+    # profiles come from a BOUNDED labeled sample (build_profiles caps
+    # at 200 docs/lang internally; a full to_pandas() here would be a
+    # driver OOM at 100 TB and buys nothing)
+    profiles = LangId.build_profiles(ds.limit(1000).to_pandas())
     out = lang_id(ds, profiles).to_pandas()
     return out[["doc_id", "pred_lang"]]
 
@@ -538,20 +544,22 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 def dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    # threshold 0.3 yields a real pair set on the test fixtures (~111
+    # at sf0.01) — round 1's 0.5 passed vacuously with 0 rows
     from rookray.ops import dedup as D
     pairs = D.embedding_neardup_pairs(
-        _read(sf_dir, "embeddings"), threshold=0.5).to_pandas()
+        _read(sf_dir, "embeddings"), threshold=0.3).to_pandas()
     pairs["cosine_q"] = _q(pairs.pop("cosine"), 6)
     return pairs
 
 
 DEDUP_EMBEDDING_SQL = """
 SELECT a.vec_id AS a, b.vec_id AS b,
-       CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000000 + 0.5)
-            AS BIGINT) AS cosine_q
+       CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  * 1000000 + 0.5) AS BIGINT) AS cosine_q
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
 """
 
 
@@ -564,11 +572,11 @@ def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 ANN_BRUTEFORCE_SQL = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
            ORDER BY vec_id LIMIT 8)
 SELECT query_id, vec_id AS neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id)
+            ORDER BY list_cosine_similarity(qe, embedding::DOUBLE[]) DESC, vec_id)
             AS BIGINT) AS rank
 FROM q CROSS JOIN embeddings
 WHERE vec_id <> query_id

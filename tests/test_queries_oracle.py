@@ -36,6 +36,13 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     assert len(ray_df) == len(sql_df), \
         f"{name}: rows {len(ray_df)} != {len(sql_df)}"
     a, b = canon(ray_df), canon(sql_df)
+    # dtype parity: the external driver's value hash is dtype-sensitive
+    # (round 1: identical values, int64 vs float64 → red cell)
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        assert ka == kb, f"{name}.{col}: dtype kind {a[col].dtype} != {b[col].dtype}"
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
