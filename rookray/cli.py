@@ -110,7 +110,12 @@ def main(argv=None) -> int:
     ing.add_argument("--table", required=True)
     ing.add_argument("--pattern", default="events-*.parquet")
     ing.add_argument("--source-table", default="sequences")
-    ing.add_argument("--partitions", type=int, default=64)
+    # default aligned with CDCConfig (a mismatch between the two entry
+    # points used to re-partition an existing table silently; the
+    # manifest's committed value now wins regardless — see
+    # LakeTable._num_partitions)
+    from rookray.pipeline import CDCConfig as _C
+    ing.add_argument("--partitions", type=int, default=_C.num_partitions)
     ing.add_argument("--salt", type=int, default=0)
     ing.add_argument("--ignore-table", action="append")
     ing.add_argument("--ignore-server", action="append", type=int)
@@ -125,7 +130,7 @@ def main(argv=None) -> int:
     tail.add_argument("--shards", required=True)
     tail.add_argument("--table", required=True)
     tail.add_argument("--pattern", default="events-*.parquet")
-    tail.add_argument("--partitions", type=int, default=64)
+    tail.add_argument("--partitions", type=int, default=_C.num_partitions)
     tail.add_argument("--interval", type=float, default=1.0)
     tail.add_argument("--max-polls", type=int, default=None)
     tail.add_argument("--num-cpus", type=int, default=None)

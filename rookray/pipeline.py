@@ -376,6 +376,25 @@ class LakeTable:
         self.config = config or CDCConfig()
         os.makedirs(root, exist_ok=True)
 
+    def _num_partitions(self, m: dict | None = None) -> int:
+        """Effective partition count: once a manifest exists its
+        ``num_partitions`` is authoritative — re-applying with a
+        different config value would silently scatter keys across a
+        different partitioning (verified corruption in round 1 review),
+        so the committed value always wins.  Changing the count
+        requires an explicit repartition/compaction, not a config edit."""
+        m = m if m is not None else self.manifest()
+        if m and "num_partitions" in m:
+            mp = int(m["num_partitions"])
+            if mp != self.config.num_partitions:
+                import warnings
+                warnings.warn(
+                    f"LakeTable {self.root}: configured num_partitions="
+                    f"{self.config.num_partitions} != committed {mp}; "
+                    f"using the committed value", stacklevel=2)
+            return mp
+        return self.config.num_partitions
+
     # ------------------------------------------------------------ state
 
     def manifest(self) -> dict | None:
@@ -486,8 +505,8 @@ class LakeTable:
         return pa.table({f.name: pa.array([], f.type) for f in fields})
 
     def watermarks(self) -> np.ndarray:
-        wms = np.full(self.config.num_partitions, -1, dtype=np.int64)
         m = self.manifest()
+        wms = np.full(self._num_partitions(m), -1, dtype=np.int64)
         if m:
             for pid, p in m["partitions"].items():
                 wms[int(pid)] = p["gtid_watermark"]
@@ -589,8 +608,9 @@ class LakeTable:
             if m:
                 schemas.insert(0, self._manifest_payload(m))
             manifest_payload = unify_additive(schemas)
+        P = self._num_partitions(m)
         wms = self.watermarks()
-        stage = PartitionStage(ncfg, cfg.num_partitions, wms, closed_wm,
+        stage = PartitionStage(ncfg, P, wms, closed_wm,
                                transform=transform)
         prior_files, prior_wms = {}, {}
         if m:
@@ -608,11 +628,30 @@ class LakeTable:
 
             base = cfg.shuffle_dir or os.environ.get("ROOKRAY_SHUFFLE_DIR")
             if base is None:
+                # single-node default: tmpfs.  On a multi-node cluster
+                # set shuffle_dir (or $ROOKRAY_SHUFFLE_DIR) to the same
+                # shared storage the lake lives on — partials written by
+                # map tasks on one node must be readable by reducers on
+                # another.  cfg.shuffle_dir="lake" is shorthand for that.
                 base = "/dev/shm" if os.path.isdir("/dev/shm") else self.root
+            elif base == "lake":
+                base = self.root
             tag = _hashlib.md5(self.root.encode()).hexdigest()[:10]
-            shuffle_dir = os.path.join(
-                base, "rookray-shuffle", tag, f"epoch-{epoch:06d}"
-            )
+            # key the dir by the input shard set too: an aborted earlier
+            # attempt of the SAME epoch with a DIFFERENT shard list must
+            # not leave partials that FinalizeMerge would silently merge
+            if isinstance(events, (list, tuple)):
+                in_digest = _hashlib.md5(
+                    "\n".join(sorted(map(str, events))).encode()
+                ).hexdigest()[:10]
+            else:
+                import uuid
+                in_digest = uuid.uuid4().hex[:10]
+            epoch_root = os.path.join(base, "rookray-shuffle", tag,
+                                      f"epoch-{epoch:06d}")
+            # clear stale partials of any prior attempt of this epoch
+            _shutil.rmtree(epoch_root, ignore_errors=True)
+            shuffle_dir = os.path.join(epoch_root, in_digest)
             writer = ShuffleWriter(stage, shuffle_dir)
             routed = raw.map_batches(
                 writer, batch_format="pyarrow",
@@ -620,17 +659,17 @@ class LakeTable:
             )
             routed.take_all()  # tiny per-partial counts; drives the map side
             parts_ds = ray.data.from_items(
-                [{"part": p} for p in range(cfg.num_partitions)]
-            ).repartition(cfg.num_partitions)
+                [{"part": p} for p in range(P)]
+            ).repartition(P)
             fin = FinalizeMerge(self.root, epoch, shuffle_dir,
                                 prior_files, prior_wms,
                                 write_mode=cfg.write_mode)
             lineage_tbls = parts_ds.map_batches(
                 fin, batch_format="pyarrow", batch_size=1,
-                concurrency=min(cfg.merge_actors, cfg.num_partitions),
+                concurrency=min(cfg.merge_actors, P),
             )
             lineage_rows = lineage_tbls.take_all()
-            _shutil.rmtree(shuffle_dir, ignore_errors=True)
+            _shutil.rmtree(epoch_root, ignore_errors=True)
         else:
             flat = raw.map_batches(
                 stage, batch_format="pyarrow", batch_size=cfg.batch_size,
@@ -666,10 +705,16 @@ class LakeTable:
         manifest = {
             "epoch": epoch,
             "table": cfg.table,
-            "num_partitions": cfg.num_partitions,
+            "num_partitions": P,
             "closed_watermark": int(closed_wm) if closed_wm < 2**62 else None,
             "max_gtid_seen": int(max_gtid),
             "partitions": partitions,
+            # lossless payload schema (Arrow IPC, base64) — the string
+            # round-trip through a fixed type map broke on any type
+            # outside it (list<string>, date32, tz timestamps), leaving
+            # the table permanently un-appendable
+            "payload_schema_ipc": _schema_to_b64(manifest_payload),
+            # readable duplicate for humans/debugging (never parsed back)
             "payload_schema": [[f.name, str(f.type)] for f in manifest_payload],
         }
         sink.commit_manifest(self.root, manifest)
@@ -696,9 +741,32 @@ class LakeTable:
 
     @staticmethod
     def _manifest_payload(m: dict) -> pa.Schema:
+        ipc = m.get("payload_schema_ipc")
+        if ipc is not None:
+            return _schema_from_b64(ipc)
+        # manifests committed before the IPC field existed: parse the
+        # readable [name, str(type)] list through the legacy type map
         return pa.schema([pa.field(n, _parse_type(t)) for n, t in m["payload_schema"]])
 
 
+def _schema_to_b64(schema: pa.Schema) -> str:
+    """Lossless schema persistence: Arrow IPC bytes, base64-encoded.
+    Round-trip validated so a bad encode fails at commit time, not at
+    the next apply()."""
+    import base64
+    b = base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+    rt = _schema_from_b64(b)
+    if rt != schema:
+        raise ValueError(f"schema IPC round-trip mismatch: {schema} != {rt}")
+    return b
+
+
+def _schema_from_b64(s: str) -> pa.Schema:
+    import base64
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+# legacy (pre-IPC) manifest support only — never written anymore
 _TYPES = {
     "string": pa.string(),
     "large_string": pa.large_string(),

@@ -41,8 +41,20 @@ class ShardTailer:
         self._applied: list[str] = []
         self._connected = False
 
-    # lifecycle: ReplicationStream.connect/isConnected/disconnect analog
-    def connect(self) -> None:
+    # lifecycle: ReplicationStream.connect/connect(timeout)/isConnected/
+    # disconnect analog (MySQLReplicationStream.java:98-159)
+    def connect(self, timeout_s: float | None = None) -> None:
+        """Connect; with ``timeout_s``, block until the shard directory
+        is visible (the ``connect(timeout)`` variant — rook waits for
+        the binlog client handshake, we wait for the stream substrate)."""
+        if timeout_s is not None:
+            deadline = time.monotonic() + timeout_s
+            while not os.path.isdir(self.shard_dir):
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"shard dir {self.shard_dir} not visible after "
+                        f"{timeout_s}s")
+                time.sleep(min(0.05, timeout_s / 20))
         self._connected = True
 
     def is_connected(self) -> bool:
@@ -55,6 +67,23 @@ class ShardTailer:
         files = sorted(glob.glob(os.path.join(self.shard_dir, self.pattern)))
         return [f for f in files if f not in self._applied]
 
+    def _overlap(self) -> list[str]:
+        """Applied shards that must be re-presented so open transactions
+        can complete: every applied shard whose max gtid exceeds the
+        target's committed closed watermark (a tx can span ANY number of
+        shards — re-presenting only the single last one stalled the
+        watermark permanently on 3+-shard transactions).  Falls back to
+        one shard of overlap for targets without a manifest."""
+        if not self._applied:
+            return []
+        get_m = getattr(self.target, "manifest", None)
+        if callable(get_m):
+            m = get_m()
+            floor = (m or {}).get("closed_watermark")
+            if floor is not None:
+                return shards_above(self._applied, floor)
+        return self._applied[-1:]
+
     def poll_once(self) -> dict | None:
         """Apply one epoch of newly-arrived shards; None if nothing new."""
         if not self._connected:
@@ -62,8 +91,9 @@ class ShardTailer:
         new = self._discover()
         if not new:
             return None
-        # re-present the tail shard of the previous epoch (open-tx overlap)
-        batch = ([self._applied[-1]] if self._applied else []) + new
+        # re-present applied shards still above the closed watermark
+        # (open-tx overlap); watermark skip makes the replay free
+        batch = self._overlap() + new
         result = self.target.apply(batch)
         self._applied.extend(new)
         return result

@@ -41,6 +41,15 @@ class Fanout:
     def unregister(self, name: str) -> None:
         self.targets.pop(name, None)
 
+    def unregister_by_class(self, cls: type) -> int:
+        """Unregister every target that is an instance of ``cls`` —
+        the ``unregisterListener(Class)`` variant
+        (MySQLReplicationStream.java:140-151).  Returns count removed."""
+        victims = [n for n, t in self.targets.items() if isinstance(t, cls)]
+        for n in victims:
+            del self.targets[n]
+        return len(victims)
+
     def apply(self, shard_paths: list[str], **kw) -> dict[str, dict]:
         results: dict[str, dict] = {}
         for name, target in self.targets.items():
