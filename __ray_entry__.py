@@ -37,10 +37,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; the
-    full-engine CDC replays, LSH/SimHash approximations, language-ID
-    and multimodal stubs are rows-only by design (documented in
-    rookray/queries.py)."""
-    from rookray.queries import ORACLES
+    """DuckDB-equivalent SQL for every SQL-expressible query, including
+    the full-engine flagship replay (the oracle SQL reads the same
+    change log from a flat parquet dump).  LSH/SimHash approximations,
+    language-ID and multimodal stubs are rows-only by design
+    (documented in rookray/queries.py)."""
+    from rookray.queries import ORACLES, flagship_stream
 
+    # the flagship oracle SQL references the change-log dump by path —
+    # make sure it exists even if the oracle runs before the query
+    # (pure numpy/pyarrow generation; no Ray needed)
+    flagship_stream()
     return dict(ORACLES)

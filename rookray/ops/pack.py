@@ -8,11 +8,12 @@ provenance.  Two vectorized per-batch strategies:
 * ``split``: every document is chunked independently to
   ``context_len``; the tail chunk is emitted when ≥ ``min_tail``
   tokens (deterministic, embarrassingly parallel, no cross-row state);
-* ``pack``: documents within a batch are greedily concatenated into
-  full ``context_len`` blocks with an EOS separator; the final
-  under-filled block of each batch is emitted as a short block
-  (per-batch determinism — no cross-batch carry, so results are
-  independent of Ray's block order modulo batch boundaries).
+* ``pack``: documents are concatenated into full ``context_len``
+  blocks with an EOS separator.  ``pack_sequences`` is the canonical
+  GLOBALLY deterministic variant (docs in doc_id order, global block
+  ids, repartition-invariant); ``pack_batch`` is the within-batch
+  kernel (ids local to the batch — composable but block-boundary
+  dependent).
 
 Both are pyarrow/numpy vectorized (offset arithmetic over the flat
 token buffer, never a per-token Python loop).
@@ -127,9 +128,131 @@ def split_sequences(ds: "ray.data.Dataset", context_len: int = 128,
     )
 
 
+# ------------------------------------------------ global deterministic pack
+
+
+class _FragmentEmitter:
+    """map_batches stage: emit each document's token-stream fragments
+    keyed by global pack id.
+
+    Document d with global stream offset s occupies positions
+    [s, s+n_tok+1) of the virtual packed stream (tokens ++ EOS); the
+    stream is cut every ``context_len`` positions.  Each doc emits one
+    fragment row per block it overlaps — so output depends only on the
+    offset table, never on Ray block boundaries.  Offsets are broadcast
+    once via ``ray.put`` (read in __init__, once per actor/task)."""
+
+    def __init__(self, offsets_ref, context_len: int, eos: int,
+                 col: str, id_col: str):
+        import ray as _ray
+        self.offsets = _ray.get(offsets_ref)  # doc_id -> stream start
+        self.C = context_len
+        self.eos = eos
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        flat, lens = _flat_tokens(batch, self.col)
+        n = len(lens)
+        empty = pa.table({
+            "pack_id": pa.array([], pa.int64()),
+            "frag_start": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_start": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        ids = batch.column(self.id_col).to_pandas()
+        s = ids.map(self.offsets).to_numpy(dtype=np.int64)
+        C = self.C
+        L = lens + 1  # tokens + EOS
+        e = s + L
+        b0 = s // C
+        nb = (e - 1) // C - b0 + 1
+        total_frags = int(nb.sum())
+        rep = np.repeat(np.arange(n), nb)
+        frag_idx = np.arange(total_frags) - np.repeat(
+            np.concatenate([[0], np.cumsum(nb[:-1])]), nb)
+        block = b0[rep] + frag_idx
+        fs = np.maximum(s[rep], block * C)
+        fe = np.minimum(e[rep], (block + 1) * C)
+        fl = fe - fs
+        total_out = int(fl.sum())
+        pos_in_frag = np.arange(total_out) - np.repeat(
+            np.concatenate([[0], np.cumsum(fl[:-1])]), fl)
+        rep_flat = np.repeat(rep, fl)
+        p = np.repeat(fs - s[rep], fl) + pos_in_frag  # position in doc stream
+        doc_starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+        is_eos = p == lens[rep_flat]
+        src = (doc_starts[rep_flat] + p).clip(0, max(flat.size - 1, 0))
+        vals = np.where(is_eos, self.eos,
+                        flat[src] if flat.size else self.eos).astype(np.int32)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(fl)]), pa.int32()),
+            pa.array(vals, pa.int32()),
+        )
+        return pa.table({
+            "pack_id": pa.array(block, pa.int64()),
+            "frag_start": pa.array(fs, pa.int64()),
+            "tokens": tokens,
+            "n_start": pa.array((block == b0[rep]).astype(np.int64)),
+        })
+
+
+def _assemble_pack(group: pa.Table) -> pa.Table:
+    group = group.sort_by("frag_start")
+    toks = group.column("tokens").combine_chunks()
+    vals = toks.flatten()
+    return pa.table({
+        "pack_id": group.column("pack_id").slice(0, 1),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array([0, len(vals)], pa.int32()), vals),
+        "n_docs": pa.array([int(pc.sum(group.column("n_start")).as_py())],
+                           pa.int64()),
+        "n_tok": pa.array([len(vals)], pa.int64()),
+    })
+
+
 def pack_sequences(ds: "ray.data.Dataset", context_len: int = 128,
-                   eos: int = 0) -> "ray.data.Dataset":
-    return ds.map_batches(
-        lambda b: pack_batch(b, context_len, eos),
+                   eos: int = 0, col: str = "tokens",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """GPT-style packing with GLOBALLY deterministic pack ids.
+
+    Documents are concatenated in ``doc_id`` order (each followed by one
+    EOS) into a virtual stream cut every ``context_len`` tokens;
+    ``pack_id`` is the global block index, so the output is a pure
+    function of the input table — invariant under ``repartition()`` and
+    Ray block boundaries (round 1's per-batch ids collided across
+    batches and depended on block sizes), and closed-form in SQL
+    (window cumsum — see PACK_TRAINING_CHUNKS_SQL).
+
+    Shape: pass 1 aggregates the tiny (doc_id, n_tok) projection to
+    assign stream offsets (16 bytes/doc — broadcast once via
+    ``ray.put``; at extreme doc counts replace with a sorted range
+    join); pass 2 emits per-block fragments in ``map_batches`` (token
+    bytes move once); ``groupby(pack_id)`` assembles blocks."""
+    import ray as _ray
+
+    def lens_of(batch: pa.Table) -> pa.Table:
+        toks = batch.column(col).combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(toks), 0)
+        return pa.table({id_col: batch.column(id_col),
+                         "_len": lens.cast(pa.int64())})
+
+    lens_df = (ds.map_batches(lens_of, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .to_pandas().sort_values(id_col).reset_index(drop=True))
+    stream_lens = lens_df["_len"].to_numpy(dtype=np.int64) + 1
+    starts = np.zeros(len(stream_lens), dtype=np.int64)
+    if len(stream_lens):
+        starts[1:] = np.cumsum(stream_lens[:-1])
+    offsets_ref = _ray.put(dict(zip(lens_df[id_col], starts.tolist())))
+
+    frags = ds.map_batches(
+        _FragmentEmitter,
+        fn_constructor_args=(offsets_ref, context_len, eos, col, id_col),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
+        concurrency=(1, 8),
     )
+    return frags.groupby("pack_id").map_groups(
+        _assemble_pack, batch_format="pyarrow")

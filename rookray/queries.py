@@ -606,19 +606,71 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
 # =====================================================================
 
 
-def _flagship_shards(sf_dir: str, n_events: int = 20000) -> dict:
-    """Deterministic change shards derived from the sf dir (cached)."""
-    from rookray.gen import GenConfig, write_shards
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join("/tmp/rookray_streams", f"{tag}-{n_events}")
+#: fixed, sf-independent location so the DuckDB oracle SQL (a static
+#: string) can reference the change log by absolute path
+FLAGSHIP_DIR = "/tmp/rookray_streams/flagship-20000"
+FLAGSHIP_EVENTS = 20000
+
+
+def flagship_stream() -> dict:
+    """Deterministic flagship change stream (cached on disk).
+
+    Writes the GTID-ordered parquet shards the engine replays AND a
+    flat single-file dump (``changelog.parquet``: one row per change
+    event, payload columns top-level) so DuckDB can compute the same
+    LWW replay in SQL — the driver-checkable oracle for the flagship.
+    """
+    import pyarrow.parquet as _pq
+    from rookray.gen import GenConfig, generate_events, write_shards
+    out = FLAGSHIP_DIR
     meta_path = os.path.join(out, "meta.json")
-    if not os.path.exists(meta_path):
+    clog = os.path.join(out, "changelog.parquet")
+    if not (os.path.exists(meta_path) and os.path.exists(clog)):
+        n_events = FLAGSHIP_EVENTS
         cfg = GenConfig(n_docs=max(200, n_events // 20), n_events=n_events,
                         noise_pct=5, evolve_at=n_events // 2 + 1, zipf_a=1.2)
         write_shards(cfg, out, n_shards=16)
+        tbl = generate_events(cfg)
+        after = tbl.column("after").combine_chunks()
+        changelog = pa.table({
+            "gtid": tbl.column("gtid"),
+            "tx_id": tbl.column("tx_id"),
+            "server_id": tbl.column("server_id"),
+            "table": tbl.column("table"),
+            "op": tbl.column("op"),
+            "doc_id": tbl.column("key"),
+            "tokens": after.field("tokens"),
+            "n_tok": after.field("n_tok"),
+            "source": after.field("source"),
+        })
+        _pq.write_table(changelog, clog)
     import json
     with open(meta_path) as f:
         return json.load(f)
+
+
+def _flagship_shards(sf_dir: str, n_events: int = FLAGSHIP_EVENTS) -> dict:
+    """Back-compat shim: the stream no longer depends on the sf dir."""
+    return flagship_stream()
+
+
+#: shared LWW-replay CTE over the flat change log — the SQL statement
+#: of the engine's core semantics (DefaultRowsMutationIndexer.java:64-88
+#: restated): last (max gtid) event per key wins, delete winners drop
+#: the key, ignore-listed servers/tables are filtered first
+_FLAGSHIP_LWW_CTE = f"""
+ev AS (
+  SELECT gtid, op, doc_id, tokens, n_tok, source
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+),
+win AS (
+  SELECT doc_id, tokens, n_tok, source
+  FROM ev
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2
+)
+"""
 
 
 def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
@@ -650,25 +702,58 @@ def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
         sums = cum[bounds[1:]] - cum[bounds[:-1]]
     return pd.DataFrame({
         "doc_id": state.column("doc_id").to_pylist(),
-        "n_tok": state.column("n_tok").to_pylist(),
+        "n_tok": np.asarray(state.column("n_tok").to_pylist(), dtype=np.int64),
         "source": state.column("source").to_pylist(),
         "token_sum": sums,
     })
 
 
+CDC_REPLAY_SEQUENCES_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE}
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       source,
+       CAST(coalesce(list_aggregate(tokens, 'sum'), 0) AS BIGINT) AS token_sum
+FROM win
+"""
+
+
 def pack_training_chunks(sf_dir: str) -> pd.DataFrame:
     """Sequence packing over the replayed sequence table: the final
     lake state (closed-form oracle of the flagship stream) packed into
-    fixed 128-token GPT-style training blocks."""
+    fixed 128-token GPT-style training blocks with globally
+    deterministic pack ids (doc_id-ordered stream — closed form in SQL
+    via window cumsum)."""
     import ray.data as rd
     from rookray.gen import GenConfig, final_state
     from rookray.ops.pack import pack_sequences
 
-    meta = _flagship_shards(sf_dir)
+    meta = flagship_stream()
     state = final_state(GenConfig(**meta["config"]))
     ds = rd.from_arrow(state.select(["doc_id", "tokens"]))
     out = pack_sequences(ds, context_len=128).to_pandas()
-    return out[["pack_id", "n_docs", "n_tok"]]
+    return (out[["pack_id", "n_docs", "n_tok"]]
+            .sort_values("pack_id").reset_index(drop=True))
+
+
+PACK_TRAINING_CHUNKS_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE},
+d AS (SELECT doc_id, CAST(n_tok AS BIGINT) + 1 AS sl FROM win),
+o AS (SELECT doc_id, sl,
+             sum(sl) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - sl AS s
+      FROM d),
+tot AS (SELECT CAST(sum(sl) AS BIGINT) AS total FROM d),
+blocks AS (SELECT unnest(range(CAST(ceil(total / 128.0) AS BIGINT))) AS pack_id
+           FROM tot),
+st AS (SELECT CAST(s // 128 AS BIGINT) AS pack_id, count(*) AS n_docs
+       FROM o GROUP BY 1)
+SELECT b.pack_id,
+       CAST(coalesce(st.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN b.pack_id = (t.total - 1) // 128
+                 THEN t.total - b.pack_id * 128 ELSE 128 END AS BIGINT) AS n_tok
+FROM blocks b CROSS JOIN tot t LEFT JOIN st ON st.pack_id = b.pack_id
+"""
 
 
 def cdc_derived_index(sf_dir: str) -> pd.DataFrame:
@@ -684,7 +769,42 @@ def cdc_derived_index(sf_dir: str) -> pd.DataFrame:
         ignored_server_ids=frozenset({999})))
     target.apply(meta["files"])
     st = target.state_table()
-    return st.select(["doc_id", "n_tok", "tok_hash", "source"]).to_pandas()
+    out = st.select(["doc_id", "n_tok", "tok_hash", "source"]).to_pandas()
+    out["n_tok"] = out["n_tok"].astype("int64")
+    return out
+
+
+def _pow31_mod64() -> str:
+    """31^(i mod 32) mod 2^64 for i in 0..31 — the uint64-wrapping
+    weights of default_derive's rolling token hash, as a SQL list."""
+    return "[" + ",".join(str(pow(31, i, 1 << 64)) for i in range(32)) + "]"
+
+
+# tok_hash in SQL: DuckDB HUGEINT carries the exact products
+# (token * 31^(i%32) mod 2^64 < 2^80), the explicit % 2^64 at each step
+# reproduces numpy's uint64 wraparound, and the final CASE maps the
+# unsigned value onto signed int64 exactly as the engine stores it
+CDC_DERIVED_INDEX_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE},
+pw AS (SELECT {_pow31_mod64()}::HUGEINT[] AS p),
+h AS (
+  SELECT doc_id, n_tok, source,
+         coalesce(
+           list_aggregate(
+             list_transform(tokens,
+               (x, i) -> (x::HUGEINT * pw.p[((i - 1) % 32) + 1])
+                         % 18446744073709551616::HUGEINT),
+             'sum') % 18446744073709551616::HUGEINT,
+           0::HUGEINT) AS uh
+  FROM win CROSS JOIN pw)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                 THEN uh - 18446744073709551616::HUGEINT
+                 ELSE uh END AS BIGINT) AS tok_hash,
+       source
+FROM h
+"""
 
 
 def cdc_evictions(sf_dir: str) -> pd.DataFrame:
@@ -767,7 +887,12 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
-    # rows-only (non-SQL-expressible): text_langid, dedup_minhash_lsh,
-    # dedup_simhash, ann_lsh, multimodal_features, cdc_replay_sequences,
-    # cdc_derived_index, cdc_evictions
+    # full-engine flagship: DuckDB replays the same change log
+    # (flat dump written by flagship_stream()) in SQL
+    "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
+    "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
+    "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
+    # rows-only (non-SQL-expressible / approximate by design):
+    # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,
+    # multimodal_features, cdc_evictions
 }

@@ -55,8 +55,38 @@ def test_pack_full_blocks_except_tail():
 
 
 def test_dataset_paths():
-    docs = [(f"d{i}", list(range(i + 1))) for i in range(40)]
+    docs = [(f"d{i:02d}", list(range(i + 1))) for i in range(40)]
     ds = ray.data.from_arrow(_tbl(docs))
     assert split_sequences(ds, context_len=8, min_tail=1).count() > 40 // 2
-    packed = pack_sequences(ds, context_len=64).to_pandas()
+    packed = (pack_sequences(ds, context_len=64).to_pandas()
+              .sort_values("pack_id").reset_index(drop=True))
     assert (packed["n_tok"].iloc[:-1] == 64).all()
+    assert list(packed["pack_id"]) == list(range(len(packed)))
+
+
+def test_pack_repartition_invariant():
+    """Global pack output is a pure function of the table — identical
+    under different Ray block layouts (round 1: per-batch ids collided
+    and results depended on block boundaries)."""
+    rng = np.random.RandomState(7)
+    docs = [(f"d{i:03d}", rng.randint(0, 999, rng.randint(1, 90)).tolist())
+            for i in range(120)]
+    t = _tbl(docs)
+
+    def run(ds):
+        df = pack_sequences(ds, context_len=128).to_pandas()
+        df["tokens"] = df["tokens"].map(tuple)
+        return df.sort_values("pack_id").reset_index(drop=True)
+
+    a = run(ray.data.from_arrow(t))
+    b = run(ray.data.from_arrow(t).repartition(13))
+    assert a.equals(b)
+    # ids globally unique and dense
+    assert a["pack_id"].is_unique
+    # stream roundtrip: concatenation of blocks == doc_id-ordered stream
+    stream = [tok for toks in a["tokens"] for tok in toks]
+    expect = []
+    for d, toks in sorted(docs):
+        expect.extend(toks)
+        expect.append(0)
+    assert stream == expect
