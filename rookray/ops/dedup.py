@@ -135,9 +135,11 @@ class MinHasher:
         )
 
 
-def _candidate_pairs(grouped: "ray.data.Dataset", max_group: int = 64,
-                     coarse: int = 512) -> set[tuple]:
-    """Collect candidate pairs from band-hash buckets (small output).
+def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
+                       coarse: int = 512) -> "ray.data.Dataset":
+    """Distinct candidate pairs from band-hash buckets, AS A DATASET —
+    nothing materializes on the driver (round 1 collected the pair set
+    driver-side; a near-dup-heavy 100-TB corpus would OOM it).
 
     Groups by a COARSE bucket of the band hash (≤``coarse`` Ray groups)
     and does the exact per-(band, band_hash) grouping vectorized in
@@ -161,77 +163,212 @@ def _candidate_pairs(grouped: "ray.data.Dataset", max_group: int = 64,
                                  "b": pd.Series([], dtype="int64")})
         return pd.DataFrame(sorted(set(out)), columns=["a", "b"])
 
+    from ray.data.aggregate import Count
+
     pair_ds = grouped.map_batches(add_bucket, batch_format="pandas").groupby(
         "bucket").map_groups(pairs_of, batch_format="pandas")
-    return {(r["a"], r["b"]) for r in pair_ds.take_all()}
+    # same pair can surface from several bands — distinct via aggregate
+    return (pair_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["a", "b"]))
 
 
-def _verify_jaccard(ds, pairs: set[tuple], threshold: float,
-                    shingle_n: int, col: str) -> list[tuple]:
-    """Exact Jaccard over ONLY the docs named in candidate pairs."""
-    involved = sorted({d for p in pairs for d in p})
-    if not involved:
-        return []
-    inv_ref = ray.put(set(involved))
+def _shingle_sets_batch(batch: pd.DataFrame, shingle_n: int, col: str,
+                        out_key: str, out_col: str) -> pa.Table:
+    """doc → distinct shingle-hash set, packed as a single BINARY cell
+    (the little-endian bytes of the sorted int64 hash array).  64-bit
+    hashed shingles stand in for the shingle strings — collision odds
+    are negligible and the packed bytes shuffle far cheaper than text.
+    Binary packing (vs list<int64>) lets the pair join run through
+    Ray's native hash-shuffle join, whose Acero kernel rejects list
+    payload columns.  A plain task stage (not an actor pool): it is
+    stateless, and actor-pool CPU floors stacked with join aggregators
+    can starve a small session into deadlock."""
+    sh = _word_shingle_hashes(batch[col], shingle_n)
+    packed = [np.sort(h.astype(np.int64)).tobytes() for h in sh]
+    return pa.table({out_key: pa.array(batch["doc_id"].to_numpy()),
+                     out_col: pa.array(packed, pa.binary())})
 
-    def only_involved(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(batch.column("doc_id"),
-                        value_set=pa.array(sorted(ray.get(inv_ref))))
-        return batch.filter(keep)
 
-    small = ds.map_batches(only_involved, batch_format="pyarrow").take_all()
-    texts = {r["doc_id"]: r[col] for r in small}
-    sets = {}
-    for d, s in texts.items():
-        words = s.lower().split()
-        sets[d] = ({" ".join(words[i:i + shingle_n]) for i in range(len(words) - shingle_n + 1)}
-                   if len(words) >= shingle_n else {" ".join(words)})
-    out = []
-    for a, b in sorted(pairs):
-        sa, sb = sets.get(a), sets.get(b)
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= threshold:
-            out.append((a, b, j))
-    return out
+def _join_partitions() -> int:
+    """Partition count for native hash-shuffle joins, sized to the
+    session: each join holds num_partitions aggregator actors alive for
+    the pipeline's duration, so chained joins on a small CPU budget
+    deadlock if oversized (observed: 2×16 aggregators starved a 4-CPU
+    test session into a hang)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
+#: fractional aggregator CPUs — joins coexist with map/actor stages
+_JOIN_ARGS = {"num_cpus": 0.25}
+
+
+def _verified_pair_ds(ds, pair_ds, threshold: float, shingle_n: int,
+                      col: str, concurrency: int,
+                      num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Exact-Jaccard verification, fully distributed: candidate pairs
+    hash-join their two endpoint shingle sets (Ray native shuffle join
+    — no driver materialization), then a per-pair exact Jaccard
+    filter."""
+    sh_a = ds.map_batches(
+        _shingle_sets_batch,
+        fn_kwargs=dict(shingle_n=shingle_n, col=col, out_key="a",
+                       out_col="_sh_a"),
+        batch_format="pandas", batch_size=2048)
+    sh_b = ds.map_batches(
+        _shingle_sets_batch,
+        fn_kwargs=dict(shingle_n=shingle_n, col=col, out_key="b",
+                       out_col="_sh_b"),
+        batch_format="pandas", batch_size=2048)
+    P = num_partitions or _join_partitions()
+    # barrier: complete the banding/candidate stage before the join
+    # pipeline spins up its aggregator actors — running the MinHasher
+    # actor pool, two shingle stages and two joins in ONE streaming
+    # pipeline can exceed a small session's CPU slots and deadlock
+    pair_ds = pair_ds.materialize()
+    j = pair_ds.join(sh_a, join_type="inner", on=("a",),
+                     num_partitions=P, aggregator_ray_remote_args=_JOIN_ARGS)
+    j = j.join(sh_b, join_type="inner", on=("b",),
+               num_partitions=P, aggregator_ray_remote_args=_JOIN_ARGS)
+
+    def verify(batch: pd.DataFrame) -> pa.Table:
+        # returns TYPED ARROW even when empty: empty pandas blocks lose
+        # their schema in Ray's shuffle and poison downstream joins
+        a_out, b_out, jac_out = [], [], []
+        for a, b, sa, sb in zip(batch["a"], batch["b"],
+                                batch["_sh_a"], batch["_sh_b"]):
+            sa = np.frombuffer(sa, dtype=np.int64)
+            sb = np.frombuffer(sb, dtype=np.int64)
+            if sa.size == 0 or sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (sa.size + sb.size - inter)
+            if jac >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                jac_out.append(jac)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(jac_out, pa.float64())})
+
+    return j.map_batches(verify, batch_format="pandas")
+
+
+def _hashmin_labels(edges: "ray.data.Dataset", max_iters: int = 50,
+                    num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Connected components over an edge Dataset by iterative hash-min
+    label propagation — the distributed replacement for driver-side
+    union-find.  Per iteration: every edge proposes min(label_a,
+    label_b) to both endpoints (labels attached via Ray's native hash
+    join); a vectorized groupby-min folds the proposals.  Labels only
+    decrease, so an unchanged label SUM is an exact fixpoint test.
+    Converges in O(cluster diameter) rounds (1 round for duplicate
+    cliques, the common case)."""
+    from ray.data.aggregate import Min
+
+    edges = edges.select_columns(["a", "b"]).materialize()
+
+    def first_msgs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        m = np.minimum(a, b)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "cand": pa.array(np.concatenate([m, m]))})
+
+    labels = (edges.map_batches(first_msgs, batch_format="pyarrow",
+                                zero_copy_batch=True)
+              .groupby("node").aggregate(Min("cand", alias_name="label"))
+              .materialize())
+    prev_sum = labels.sum("label") or 0
+
+    def rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return fn
+
+    def msgs(batch: pa.Table) -> pa.Table:
+        la = batch.column("_la").to_numpy(zero_copy_only=False)
+        lb = batch.column("_lb").to_numpy(zero_copy_only=False)
+        m = np.minimum(la, lb)
+        node = np.concatenate([batch.column("a").to_numpy(zero_copy_only=False),
+                               batch.column("b").to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "cand": pa.array(np.concatenate([m, m]), pa.int64())})
+
+    for _ in range(max_iters):
+        lab_a = labels.map_batches(rename(["a", "_la"]), batch_format="pyarrow")
+        lab_b = labels.map_batches(rename(["b", "_lb"]), batch_format="pyarrow")
+        P = num_partitions or _join_partitions()
+        e = edges.join(lab_a, join_type="inner", on=("a",),
+                       num_partitions=P, aggregator_ray_remote_args=_JOIN_ARGS)
+        e = e.join(lab_b, join_type="inner", on=("b",),
+                   num_partitions=P, aggregator_ray_remote_args=_JOIN_ARGS)
+        labels = (e.map_batches(msgs, batch_format="pyarrow")
+                  .groupby("node").aggregate(Min("cand", alias_name="label"))
+                  .materialize())
+        s = labels.sum("label") or 0
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
 
 
 def minhash_lsh_clusters(ds: "ray.data.Dataset", threshold: float = 0.8,
                          k: int = 64, bands: int = 16, shingle_n: int = 3,
-                         col: str = "text", concurrency: int = 4) -> pa.Table:
+                         col: str = "text", concurrency: int = 4,
+                         driver_edge_budget: int = 1_000_000) -> pa.Table:
     """Near-dup clusters: (doc_id, cluster_id) for every doc in a
     verified near-dup cluster; cluster_id = min doc_id of the cluster.
 
-    Driver-side work is bounded by the candidate-pair set (tiny vs the
-    corpus); everything heavy is map_batches / groupby."""
+    Every heavy stage is distributed: banding (map_batches), candidate
+    pairs (groupby), exact-Jaccard verification (native hash-shuffle
+    join + filter).  Round 1 pulled candidate pairs, involved TEXTS,
+    and union-find state driver-side — a driver OOM on a
+    near-dup-heavy 100-TB corpus.  Clustering is hybrid with an
+    EXPLICIT budget: verified edge lists under ``driver_edge_budget``
+    rows (16 B/edge — the texts never come back) use driver union-find
+    (exact, low latency); above it, distributed hash-min label
+    propagation (``_hashmin_labels``) runs entirely in the cluster and
+    the driver sees only the final (doc_id, cluster_id) rows."""
     rows = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(k=k, bands=bands,
                                               shingle_n=shingle_n, col=col),
         batch_format="pandas", batch_size=2048, concurrency=(1, concurrency),
     )
-    pairs = _candidate_pairs(rows)
-    verified = _verify_jaccard(ds, pairs, threshold, shingle_n, col)
-    # union-find over the verified pairs (small by construction)
-    parent: dict = {}
+    pairs = _candidate_pair_ds(rows)
+    verified = _verified_pair_ds(ds, pairs, threshold, shingle_n, col,
+                                 concurrency)
+    edges = verified.select_columns(["a", "b"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    if n_edges <= driver_edge_budget:
+        parent: dict = {}
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-    for a, b, _ in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members = sorted(parent)
-    return pa.table(
-        {
+        for blk in edges.iter_batches(batch_format="pandas", batch_size=65536):
+            for a, b in zip(blk["a"].to_numpy(), blk["b"].to_numpy()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        members = sorted(parent)
+        return pa.table({
             "doc_id": pa.array(members, pa.int64()),
             "cluster_id": pa.array([find(m) for m in members], pa.int64()),
-        }
-    )
+        })
+    labels = _hashmin_labels(edges)
+    out = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+                     "cluster_id": pa.array(out["label"].to_numpy(), pa.int64())})
 
 
 # ----------------------------------------------------------------- simhash

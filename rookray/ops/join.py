@@ -1,0 +1,162 @@
+"""Distributed joins for Ray Data pipelines.
+
+The reference has no general joins (SURVEY.md §2.3) — its only lookups
+are broadcast-small-side patterns.  The engine needs a real
+shuffle-free-driver join for the LLM-data operators (candidate-pair
+verification, semi-joins on fact tables), so this module provides:
+
+* ``broadcast_join`` — small side shipped once via ``ray.put``, looked
+  up per batch (the rook ``loadEntity`` analog, zero shuffle);
+* ``bucketed_join`` — both sides hash-bucketed on the key, one Ray
+  ``groupby(bucket)`` shuffle, vectorized ``pandas.merge`` inside each
+  bucket group.  Neither side ever materializes on the driver.  The
+  coarse bucket count amortizes Ray's per-group overhead while the
+  in-bucket merge stays C-speed.
+
+Scale shape: one all-to-all exchange of the two (pre-projected) sides,
+then embarrassingly parallel per-bucket merges.  Use
+``broadcast_join`` whenever one side fits comfortably in a worker heap
+— it is strictly cheaper.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _bucket_of(values: pd.Series, buckets: int) -> np.ndarray:
+    """Deterministic bucket assignment for int64 or string keys."""
+    if values.dtype.kind in "iu":
+        v = values.to_numpy().astype(np.uint64)
+        z = (v + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        return (z % np.uint64(buckets)).astype(np.int64)
+    from rookray.util import hash_strings
+    arr = pa.array(values.astype(str).to_numpy(dtype=object))
+    return (hash_strings(arr) % np.uint64(buckets)).astype(np.int64)
+
+
+def _arrow_schema_of(ds: "ray.data.Dataset") -> pa.Schema:
+    """Arrow schema of a Dataset; pandas-block datasets report a
+    PandasBlockSchema (numpy dtypes) which we convert field-wise."""
+    s = ds.schema()
+    base = s.base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(t)
+        fields.append(pa.field(name, t))
+    return pa.schema(fields)
+
+
+def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                  on: str, how: str = "inner", buckets: int = 256,
+                  left_schema: pa.Schema | None = None,
+                  right_schema: pa.Schema | None = None) -> "ray.data.Dataset":
+    """Hash-bucketed distributed join of two Datasets on one key column.
+
+    Supported ``how``: "inner", "left", "semi" (left rows whose key
+    exists in right; right payload dropped).  Non-key column names must
+    not collide (rename upstream — keeps the result schema explicit).
+
+    Pass ``left_schema``/``right_schema`` when the input is a lazy
+    pipeline tail: Ray infers schemas of unexecuted map stages by
+    sampling, and the sampled prefix can come back with nulls widened
+    to double — an explicit schema sidesteps the inference entirely.
+    """
+    if how not in ("inner", "left", "semi"):
+        raise ValueError(f"unsupported how={how!r}")
+    from rookray.schema import conform as _conform, unify_additive
+
+    ls = left_schema or _arrow_schema_of(left)
+    rs = right_schema or _arrow_schema_of(right)
+    clash = (set(ls.names) & set(rs.names)) - {on}
+    if clash:
+        raise ValueError(f"column collision {sorted(clash)}; rename upstream")
+    # one Arrow schema for both sides (absent columns = typed nulls) so
+    # the shuffle concatenates cleanly
+    target = unify_additive([ls, rs])
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            bkt = _bucket_of(batch.column(on).to_pandas(), buckets)
+            t = _conform(batch, target)
+            return (t.append_column("__bkt", pa.array(bkt, pa.int64()))
+                     .append_column("__side",
+                                    pa.array(np.full(len(t), side, np.int8))))
+        fn.__name__ = f"JoinPrep{side}"
+        return fn
+
+    both = left.map_batches(prep(0), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(prep(1), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    l_payload = sorted(set(ls.names) - {on})
+    r_payload = sorted(set(rs.names) - {on})
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # sides split in ARROW and rows gathered with Table.take so
+        # every payload column keeps its exact Arrow type (a pandas
+        # round-trip upcasts typed-null ints to float and turns list
+        # columns into Ray tensor-extension types); only the tiny key
+        # index frames go through pandas merge
+        side = g.column("__side")
+        lt = g.filter(pa.compute.equal(side, 0)).select([on, *l_payload])
+        rt = g.filter(pa.compute.equal(side, 1)).select([on, *r_payload])
+        lk = lt.column(on).to_pandas()
+        if how == "semi":
+            keep = lk.isin(set(rt.column(on).to_pandas()))
+            return lt.filter(pa.array(keep.to_numpy()))
+        rk = rt.column(on).to_pandas()
+        m = pd.DataFrame({on: lk, "__li": np.arange(len(lk))}).merge(
+            pd.DataFrame({on: rk, "__ri": np.arange(len(rk))}),
+            on=on, how=how)
+        li = pa.array(m["__li"].to_numpy(dtype=np.int64))
+        if how == "inner":
+            ri = pa.array(m["__ri"].to_numpy(dtype=np.int64))
+        else:  # left join: null index -> null row from take
+            ri = pa.array([None if pd.isna(x) else int(x) for x in m["__ri"]],
+                          pa.int64())
+        lout = lt.take(li)
+        rout = rt.take(ri)
+        cols = {on: lout.column(on)}
+        for c in l_payload:
+            cols[c] = lout.column(c)
+        for c in r_payload:
+            cols[c] = rout.column(c)
+        return pa.table(cols)
+
+    return both.groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def broadcast_join(left: "ray.data.Dataset", right_df: pd.DataFrame,
+                   on: str, how: str = "inner",
+                   concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Join a Dataset against a SMALL pandas side broadcast once via
+    ``ray.put`` (read per actor in ``__init__``, never re-shipped per
+    batch).  ``how``: "inner", "left", "semi"."""
+    ref = ray.put(right_df)
+
+    class Joiner:
+        def __init__(self):
+            self.right = ray.get(ref)
+            self.keys = set(self.right[on]) if how == "semi" else None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if how == "semi":
+                return batch[batch[on].isin(self.keys)]
+            return batch.merge(self.right, on=on, how=how)
+
+    Joiner.__name__ = f"BroadcastJoin_{on}"
+    return left.map_batches(Joiner, batch_format="pandas",
+                            concurrency=concurrency)

@@ -297,38 +297,52 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast-semi-join + hash-aggregate + top-k: revenue of BUILDING
-    customers' orders (the shuffle-join-avoidance pattern: customer and
-    orders are broadcast as key sets / lookup dicts, lineitem streams)."""
-    import pyarrow.parquet as _pq
-    # dimension tables: plain driver-side reads (broadcast build side —
-    # two extra Dataset executions would cost more than the data)
-    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                          columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                            columns=["o_orderkey", "o_custkey"]).to_pandas()
-    sel = orders[orders["o_custkey"].isin(building)]
-    okeys = ray.put(set(sel["o_orderkey"]))
+    """Distributed semi-join + hash-aggregate + top-k: revenue of
+    BUILDING customers' orders.
+
+    Scale shape (replaces round 1's driver-side read + broadcast of the
+    whole orders FACT table — a scale-killer at billions of orders):
+    only the BUILDING customer KEY SET (a dimension slice) is broadcast;
+    orders are filtered distributed; lineitem pre-aggregates revenue
+    per batch, then a native hash-shuffle semi-join against the
+    selected order keys and a final groupby — the driver sees only
+    per-block top-10 candidates."""
+    from rookray.ops.join import broadcast_join
+
+    # dimension slice: BUILDING customer keys (tiny → broadcast)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bkeys = (cust.filter(expr="c_mktsegment == 'BUILDING'")
+             .select_columns(["c_custkey"]).to_pandas()
+             .rename(columns={"c_custkey": "o_custkey"}))
+
+    # orders filtered DISTRIBUTED (never read on the driver)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    sel_keys = (broadcast_join(orders, bkeys, on="o_custkey", how="semi")
+                .map_batches(lambda t: t.select(["o_orderkey"])
+                             .rename_columns(["l_orderkey"]),
+                             batch_format="pyarrow"))
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    class Revenue:
-        def __init__(self):
-            self.orders = ray.get(okeys)
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df = df[df["l_orderkey"].isin(self.orders)]
-            df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-            g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+    rev = ds.map_batches(partial_rev, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    from rookray.ops.dedup import _join_partitions, _JOIN_ARGS
+    joined = rev.join(sel_keys, join_type="left_semi", on=("l_orderkey",),
+                      num_partitions=_join_partitions(),
+                      aggregator_ray_remote_args=_JOIN_ARGS)
+    agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
 
-    out = (ds.map_batches(Revenue, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
-           .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
-           .to_pandas())
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.nlargest(10, "rev")
+
+    out = pd.DataFrame(agg.map_batches(topk, batch_format="pandas").take_all())
     out = out.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
     out["revenue_q"] = _q(out.pop("rev"), 2)

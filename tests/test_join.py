@@ -1,0 +1,86 @@
+"""Distributed join stages (rookray.ops.join) — the reusable join the
+engine lacked in round 1 (every join was hand-rolled per query)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rookray.ops.join import broadcast_join, bucketed_join
+
+
+def _left():
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    }))
+
+
+def _right():
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4, 6], pa.int64()),
+        "w": pa.array(["b", "d", "f"], pa.string()),
+    }))
+
+
+def test_bucketed_inner_join():
+    out = bucketed_join(_left(), _right(), on="k", buckets=8).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [2, 4]
+    assert out["v"].tolist() == [20, 40]
+    assert out["w"].tolist() == ["b", "d"]
+    assert out["v"].dtype.kind == "i"
+
+
+def test_bucketed_left_and_semi_join():
+    left = _left()
+    lj = (bucketed_join(left, _right(), on="k", how="left", buckets=8)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert lj["k"].tolist() == [1, 2, 3, 4, 5]
+    assert lj["w"].tolist() == [None, "b", None, "d", None]
+    sj = (bucketed_join(left, _right(), on="k", how="semi", buckets=8)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert sj["k"].tolist() == [2, 4]
+    assert list(sj.columns) == ["k", "v"]
+
+
+def test_bucketed_join_list_payload():
+    """List-typed payload columns survive (the case Ray's native Acero
+    join rejects)."""
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 3], pa.int64()),
+        "toks": pa.array([[1, 2], [3, 4, 5]], pa.list_(pa.int64())),
+    }))
+    out = (bucketed_join(_left(), right, on="k", buckets=8)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert [list(t) for t in out["toks"]] == [[1, 2], [3, 4, 5]]
+
+
+def test_bucketed_join_string_key():
+    left = ray.data.from_arrow(pa.table({
+        "name": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "name": pa.array(["b", "c", "d"], pa.string()),
+        "w": pa.array([20, 30, 40], pa.int64())}))
+    out = (bucketed_join(left, right, on="name", buckets=4)
+           .to_pandas().sort_values("name").reset_index(drop=True))
+    assert out["name"].tolist() == ["b", "c"]
+    assert out["w"].tolist() == [20, 30]
+
+
+def test_bucketed_join_collision_raises():
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_join(_left(), _left(), on="k")
+
+
+def test_broadcast_join_modes():
+    small = pd.DataFrame({"k": [2, 4], "w": ["b", "d"]})
+    inner = (broadcast_join(_left(), small, on="k")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    assert inner["w"].tolist() == ["b", "d"]
+    semi = (broadcast_join(_left(), small[["k"]], on="k", how="semi")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert semi["k"].tolist() == [2, 4] and "w" not in semi.columns

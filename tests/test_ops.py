@@ -193,3 +193,73 @@ def test_multimodal_plumbing(docs):
         batch_format="pyarrow", batch_size=256, concurrency=2,
     ).to_pandas()
     assert (frames.groupby("media_id").size() >= 1).all()
+
+
+def test_minhash_cluster_transitivity_and_cliques():
+    """Distributed hash-min clustering: a chain A~B~C~D (adjacent pairs
+    above threshold, distant pairs below) must land in ONE cluster
+    (multi-round propagation), and a 20-doc identical clique converges
+    in one round.  Reference clusters computed by in-test union-find
+    over exact brute-force jaccard pairs."""
+    from rookray.ops.dedup import minhash_lsh_clusters
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(500)]
+
+    docs = {}
+    # chain: sliding 70-word window over 115 distinct words, shift 15 =>
+    # adjacent jaccard ~0.64 (>= 0.5), 2-hop ~0.39 (< 0.5)
+    chain_words = [f"c{i}" for i in range(115)]
+    for i in range(4):
+        docs[100 + i] = " ".join(chain_words[15 * i: 15 * i + 70])
+    # identical clique
+    clique_text = " ".join(vocab[i] for i in rng.randint(0, 500, 60))
+    for i in range(20):
+        docs[200 + i] = clique_text
+    # noise singletons
+    for i in range(40):
+        docs[300 + i] = " ".join(vocab[j] for j in rng.randint(0, 500, 70))
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in sorted(docs.items())])
+    # bands=32 (rows=2): candidate-detection probability ~1 at J>=0.6;
+    # the exact-jaccard verification pass kills the false positives.
+    # driver_edge_budget=0 FORCES the fully-distributed label-propagation
+    # path (the >budget branch a 100-TB near-dup corpus would take)
+    out = minhash_lsh_clusters(ds, threshold=0.5, k=64, bands=32,
+                               shingle_n=3, driver_edge_budget=0).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+
+    # reference: exact jaccard >= threshold pairs + union-find
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: shingles(t) for d, t in docs.items()}
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(docs)
+    edges = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                edges.append((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) for d in sorted(parent)}
+    # the planted chain must actually be a chain (adjacent only)
+    chain_edges = [e for e in edges if e[0] >= 100 and e[1] < 200]
+    assert ([(a, b) for a, b in chain_edges]
+            == [(100, 101), (101, 102), (102, 103)]), chain_edges
+    assert got == expect
+    # one cluster for the whole chain despite no direct 100~103 edge
+    assert got[100] == got[103] == 100
+    assert all(got[200 + i] == 200 for i in range(20))
