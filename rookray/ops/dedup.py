@@ -373,6 +373,18 @@ def minhash_lsh_clusters(ds: "ray.data.Dataset", threshold: float = 0.8,
 
 # ----------------------------------------------------------------- simhash
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via an 8-bit lookup table (numpy
+    1.x has no bitwise_count; the per-element bin().count() loop was a
+    hot-path Python loop)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POPCNT8[b].reshape(x.shape + (8,)).sum(-1).astype(np.int64)
+
 
 class SimHasher:
     """Actor-pool stage: text → 64-bit SimHash signature."""
@@ -436,7 +448,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
             sh = sub["simhash"].to_numpy().astype(np.uint64)[:64]
             for i in range(len(docs)):
                 x = sh[i] ^ sh[i + 1:]
-                ham = np.array([bin(int(v)).count("1") for v in x])
+                ham = _popcount64(x)
                 for j in np.flatnonzero(ham <= max_hamming):
                     out.append((docs[i], docs[i + 1 + j], int(ham[j])))
         if not out:
@@ -467,12 +479,25 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
-                        block_col: str = "source", col: str = "text") -> pa.Table:
+                        block_col: str = "source", col: str = "text",
+                        max_block: int = 20_000) -> pa.Table:
     """Exact word-set Jaccard pairs within blocks — the SQL-checkable
     ground-truth variant (DuckDB oracle: self-join on the block column
-    with list_distinct/list_intersect)."""
+    with list_distinct/list_intersect).
+
+    Deliberately O(n²) per block; ``max_block`` is the guard rail — a
+    coarse block column (round 1: ``source`` with 8 values over a
+    whole corpus) silently becomes corpus²/8 at scale.  Blocks over
+    the limit raise with a pointer to ``minhash_lsh_clusters``, the
+    sub-quadratic path."""
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_block:
+            raise ValueError(
+                f"ngram_jaccard_pairs block {g[block_col].iloc[0]!r} has "
+                f"{len(g)} docs (> max_block={max_block}); exact pairwise "
+                f"Jaccard is quadratic per block — use minhash_lsh_clusters "
+                f"for large corpora or pass a finer block_col/max_block")
         g = g.sort_values("doc_id")
         docs = g["doc_id"].to_numpy()
         sets = [set(s.lower().split()) for s in g[col]]

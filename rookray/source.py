@@ -117,6 +117,63 @@ class ShardTailer:
         return results
 
 
+class LiveTailer(ShardTailer):
+    """Continuous live tail on a background thread — the I/O-thread
+    analog of ``BinaryLogClient.connect()``: rook's ``connect()``
+    spawns the binlog thread and all delivery happens on it
+    (MySQLReplicationStream.java:98-120).  Here ``connect()`` starts a
+    poller thread; ``disconnect()`` stops and joins it;
+    ``is_connected()`` reflects the live thread.
+
+    In-flight work is bounded to ONE epoch: the thread applies an
+    epoch to its exactly-once commit before polling again —
+    backpressure by construction, the batched analog of rook's
+    synchronous listener delivery (:161-179).  Epoch results
+    accumulate in ``results``; a failed apply lands in ``errors`` and
+    stops the tail (the shards remain unconsumed — reconnect resumes
+    from the targets' own watermarks)."""
+
+    def __init__(self, shard_dir: str, target,
+                 pattern: str = "events-*.parquet",
+                 poll_interval_s: float = 0.2):
+        super().__init__(shard_dir, target, pattern)
+        self.poll_interval_s = poll_interval_s
+        self.results: list[dict] = []
+        self.errors: list[BaseException] = []
+        self._thread = None
+        self._stop = None
+
+    def connect(self, timeout_s: float | None = None) -> None:
+        import threading
+        super().connect(timeout_s)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="rookray-live-tailer")
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                r = self.poll_once()
+                if r is not None:
+                    self.results.append(r)
+            except BaseException as e:  # noqa: BLE001 — surface, don't lose
+                self.errors.append(e)
+                break
+            self._stop.wait(self.poll_interval_s)
+
+    def is_connected(self) -> bool:
+        return bool(self._connected and self._thread
+                    and self._thread.is_alive())
+
+    def disconnect(self, join_timeout_s: float = 30.0) -> None:
+        if self._stop is not None:
+            self._stop.set()
+        if self._thread is not None:
+            self._thread.join(join_timeout_s)
+        super().disconnect()
+
+
 def shard_gtid_range(path: str) -> tuple[int, int]:
     """(min, max) gtid of a shard from parquet column statistics only
     (footer read — no data scan)."""

@@ -11,12 +11,13 @@ dataset instead of a warn log.
 """
 
 from rookray.targets.invalidation import EvictionTarget, CacheInvalidationTarget
-from rookray.targets.derived import DerivedIndexTarget
+from rookray.targets.derived import ContainerSpec, DerivedIndexTarget
 from rookray.targets.fanout import Fanout
 
 __all__ = [
     "EvictionTarget",
     "CacheInvalidationTarget",
+    "ContainerSpec",
     "DerivedIndexTarget",
     "Fanout",
 ]

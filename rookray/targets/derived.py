@@ -31,6 +31,7 @@ with a partial-then-final groupby.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
@@ -41,6 +42,29 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from rookray.pipeline import CDCConfig, LakeTable
+
+
+@dataclass(frozen=True)
+class ContainerSpec:
+    """One level of the container graph — the ``@ContainedIn`` edge
+    analog (Reference.navigateFrom,
+    rook-target-hibernate4-fulltextindex/.../Reference.java:28-61).
+
+    ``child`` is the level this container aggregates: ``"primary"`` for
+    the document table itself, or another spec's ``name`` — chains of
+    specs express multi-hop containment (doc → source → source-group),
+    mirroring the reference's recursive container re-index
+    (DefaultRowsMutationIndexer.java:90-123 and the embedded /
+    many-to-many cascade integration tests,
+    supplement/.../h4fti/IntegrationTest.java:254-368).
+
+    ``key_of`` maps a child-level pandas frame to this container's key
+    series; defaults to the ``key_col`` column."""
+
+    name: str
+    child: str = "primary"
+    key_col: str = "source"
+    key_of: Callable | None = None
 
 
 class DerivedIndexTarget:
@@ -56,10 +80,15 @@ class DerivedIndexTarget:
 
     def __init__(self, root: str, derive_fn: Callable[[pa.Table], pa.Table] | None = None,
                  config: CDCConfig | None = None,
-                 container_key: str = "source"):
+                 container_key: str = "source",
+                 containers: "list[ContainerSpec] | None" = None):
         self.lake = LakeTable(root, config or CDCConfig())
         self.derive_fn = derive_fn or default_derive
         self.container_key = container_key
+        self.containers = containers or [
+            ContainerSpec(name="containers", child="primary",
+                          key_col=container_key)
+        ]
         self.container_root = root + "_containers"
 
     # ------------------------------------------------------------ apply
@@ -79,22 +108,67 @@ class DerivedIndexTarget:
     # ------------------------------------------------------------ cascade
 
     def cascade(self, primary: LakeTable) -> dict:
-        """Re-derive container rollups from the authoritative primary
-        state (F5 analog: container re-index after child mutation).
+        """Re-derive container rollups RECURSIVELY from the
+        authoritative primary state (F5: container re-index after child
+        mutation, DefaultRowsMutationIndexer.indexContainers).
 
-        Full-state rollup written atomically; at 100 TB this would be
-        filtered to the affected container keys from the epoch's events
-        — the filter is a broadcast set, the aggregate is partial
-        (per-batch) then final (tiny groupby)."""
+        Walks the container graph from the primary level upward.  Each
+        level is computed AT MOST ONCE per cascade pass — the
+        ``IndexingLog`` cycle/dedup guard analog
+        (DefaultRowsMutationIndexer.java:151-166): a spec whose child
+        chain never grounds at the primary (a cycle, or a dangling
+        reference) is detected at fixpoint and reported as skipped
+        instead of recursing forever.
+
+        Scale shape: the primary→level-1 rollup is a distributed
+        partial-then-final aggregate over the lake; higher levels
+        aggregate the (already tiny) child rollup driver-side.  At
+        100 TB this pass would additionally be filtered to the epoch's
+        affected container keys (broadcast set)."""
+        import os
+        import pandas as pd
+        from rookray import sink
+
+        done: dict[str, pd.DataFrame] = {}
+        results: dict[str, dict] = {}
+        pending = list(self.containers)
+        progress = True
+        while pending and progress:
+            progress = False
+            for spec in list(pending):
+                if spec.child != "primary" and spec.child not in done:
+                    continue
+                pending.remove(spec)
+                progress = True
+                if spec.child == "primary":
+                    df = self._primary_rollup(primary, spec)
+                else:
+                    df = self._child_rollup(done[spec.child], spec)
+                done[spec.name] = df
+                out = pa.Table.from_pandas(df, preserve_index=False)
+                path = os.path.join(self.container_root,
+                                    f"{spec.name}.parquet")
+                sink.atomic_write_parquet(out, path)
+                results[spec.name] = {"containers": len(out), "file": path}
+        for spec in pending:  # cycle / unresolved child — guarded skip
+            results[spec.name] = {
+                "skipped": f"container chain does not ground at primary "
+                           f"(cycle or unknown child {spec.child!r})"}
+        return results
+
+    def _primary_rollup(self, primary: LakeTable,
+                        spec: "ContainerSpec") -> "pd.DataFrame":
+        import pandas as pd
+        key = spec.key_col
         ds = primary.read()
-        key = self.container_key
 
         def partial(batch: pa.Table) -> pa.Table:
-            import pandas as pd
             df = pd.DataFrame({
                 key: batch.column(key).to_numpy(zero_copy_only=False),
                 "n_tok": batch.column("n_tok").to_numpy(zero_copy_only=False),
             })
+            if spec.key_of is not None:
+                df[key] = spec.key_of(df)
             g = df.groupby(key, sort=False).agg(
                 docs=("n_tok", "size"), total_tokens=("n_tok", "sum")
             ).reset_index()
@@ -106,17 +180,25 @@ class DerivedIndexTarget:
             .aggregate(Sum("docs", alias_name="docs"),
                        Sum("total_tokens", alias_name="total_tokens"))
         )
-        tbl = rollup.sort(key).take_all()
-        out = pa.Table.from_pylist(tbl) if tbl else pa.table(
-            {key: pa.array([], pa.string()),
-             "docs": pa.array([], pa.int64()),
-             "total_tokens": pa.array([], pa.int64())}
-        )
-        from rookray import sink
-        import os
-        path = os.path.join(self.container_root, "containers.parquet")
-        sink.atomic_write_parquet(out, path)
-        return {"containers": len(out), "file": path}
+        rows = rollup.sort(key).take_all()
+        if not rows:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "docs": pd.Series([], dtype="int64"),
+                                 "total_tokens": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def _child_rollup(child: "pd.DataFrame",
+                      spec: "ContainerSpec") -> "pd.DataFrame":
+        import pandas as pd
+        keys = (spec.key_of(child) if spec.key_of is not None
+                else child[spec.key_col])
+        df = pd.DataFrame({spec.key_col: keys,
+                           "docs": child["docs"],
+                           "total_tokens": child["total_tokens"]})
+        return (df.groupby(spec.key_col, sort=True)
+                .agg(docs=("docs", "sum"), total_tokens=("total_tokens", "sum"))
+                .reset_index())
 
     def read(self) -> "ray.data.Dataset":
         return self.lake.read()
@@ -124,10 +206,10 @@ class DerivedIndexTarget:
     def state_table(self) -> pa.Table:
         return self.lake.state_table()
 
-    def containers_table(self) -> pa.Table:
+    def containers_table(self, name: str = "containers") -> pa.Table:
         import os
         import pyarrow.parquet as pq
-        path = os.path.join(self.container_root, "containers.parquet")
+        path = os.path.join(self.container_root, f"{name}.parquet")
         return pq.read_table(path)
 
 

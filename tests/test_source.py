@@ -43,3 +43,37 @@ def test_shard_pruning_by_footer_stats(tmp_path):
     floor = ranges[0][1]
     kept = shards_above(meta["files"], floor)
     assert kept == meta["files"][1:]
+
+
+def test_live_tailer_background_thread(tmp_path):
+    """LiveTailer: shards arriving while the background thread runs are
+    applied exactly-once; disconnect joins the thread; final state
+    byte-equals the closed-form oracle."""
+    import time
+    from rookray.source import LiveTailer
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    staged = tmp_path / "staged"
+    meta = write_shards(cfg, str(staged), n_shards=5)
+    live = tmp_path / "live"
+    live.mkdir()
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    tailer = LiveTailer(str(live), lake, poll_interval_s=0.05)
+    tailer.connect(timeout_s=2)
+    assert tailer.is_connected()
+    try:
+        for f in meta["files"]:
+            shutil.copy(f, live / os.path.basename(f))
+            time.sleep(0.1)
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            m = lake.manifest()
+            if m and m.get("closed_watermark") == meta["gtid_max"]:
+                break
+            time.sleep(0.2)
+    finally:
+        tailer.disconnect()
+    assert not tailer.is_connected()
+    assert tailer.errors == []
+    assert lake.manifest()["closed_watermark"] == meta["gtid_max"]
+    assert_tables_equal(lake.state_table(), final_state(cfg))

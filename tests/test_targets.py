@@ -195,3 +195,69 @@ def test_fanout_isolates_failures(tmp_path):
     # dead letter recorded
     recs = [json.loads(l) for l in open(tmp_path / "dlq" / "boom.jsonl")]
     assert recs[0]["target"] == "boom" and "sink down" in recs[0]["error"]
+
+
+def test_recursive_cascade_multi_hop(tmp_path):
+    """Multi-hop container chain doc -> source -> source-group (the
+    embedded/many-to-many cascade reindex analog,
+    supplement/.../h4fti/IntegrationTest.java:254-368): a child
+    mutation re-derives EVERY ancestor level."""
+    from rookray.targets import ContainerSpec
+
+    cfg = GenConfig(n_docs=30, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    primary = LakeTable(str(tmp_path / "primary"), CDCConfig(num_partitions=4))
+    primary.apply(meta["files"])
+
+    specs = [
+        ContainerSpec(name="by_source", child="primary", key_col="source"),
+        # level 2: sources grouped by even/odd suffix
+        ContainerSpec(
+            name="by_parity", child="by_source", key_col="parity",
+            key_of=lambda df: df["source"].str[-1].astype(int) % 2),
+    ]
+    target = DerivedIndexTarget(str(tmp_path / "derived"),
+                                config=CDCConfig(num_partitions=4),
+                                containers=specs)
+    res = target.apply(meta["files"], primary=primary)
+    assert res["containers"]["by_source"]["containers"] > 0
+    assert res["containers"]["by_parity"]["containers"] == 2
+
+    exp = final_state(cfg).to_pandas()
+    lvl1 = target.containers_table("by_source").to_pandas().set_index("source")
+    exp1 = exp.groupby("source").agg(docs=("n_tok", "size"),
+                                     total_tokens=("n_tok", "sum"))
+    assert lvl1["docs"].to_dict() == exp1["docs"].to_dict()
+    lvl2 = target.containers_table("by_parity").to_pandas().set_index("parity")
+    exp["parity"] = exp["source"].str[-1].astype(int) % 2
+    exp2 = exp.groupby("parity").agg(docs=("n_tok", "size"),
+                                     total_tokens=("n_tok", "sum"))
+    assert lvl2["docs"].to_dict() == exp2["docs"].to_dict()
+    assert lvl2["total_tokens"].to_dict() == {
+        k: int(v) for k, v in exp2["total_tokens"].items()}
+
+
+def test_cascade_cycle_guard(tmp_path):
+    """A container chain that never grounds at the primary (a cycle)
+    must terminate and be reported, not recurse forever -- the
+    IndexingLog cycle-guard analog
+    (DefaultRowsMutationIndexer.java:151-166)."""
+    from rookray.targets import ContainerSpec
+
+    cfg = GenConfig(n_docs=10, n_events=100)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=2)
+    primary = LakeTable(str(tmp_path / "primary"), CDCConfig(num_partitions=2))
+    primary.apply(meta["files"])
+
+    specs = [
+        ContainerSpec(name="ok", child="primary", key_col="source"),
+        ContainerSpec(name="a", child="b", key_col="source"),
+        ContainerSpec(name="b", child="a", key_col="source"),
+    ]
+    target = DerivedIndexTarget(str(tmp_path / "derived"),
+                                config=CDCConfig(num_partitions=2),
+                                containers=specs)
+    target.lake.apply_derived(meta["files"], target.derive_fn)
+    res = target.cascade(primary)
+    assert res["ok"]["containers"] > 0
+    assert "skipped" in res["a"] and "skipped" in res["b"]
