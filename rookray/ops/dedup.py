@@ -213,6 +213,9 @@ def _verified_pair_ds(ds, pair_ds, threshold: float, shingle_n: int,
     hash-join their two endpoint shingle sets (Ray native shuffle join
     — no driver materialization), then a per-pair exact Jaccard
     filter."""
+    # two independent shingle passes (a-side, b-side): they pipeline
+    # WITH the join stages — a shared materialized pass measured slower
+    # (the barrier serializes shingling against the joins)
     sh_a = ds.map_batches(
         _shingle_sets_batch,
         fn_kwargs=dict(shingle_n=shingle_n, col=col, out_key="a",
