@@ -179,13 +179,19 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N CPU levels. Defaults 4→16: this single box saturates its
+    # N vs 4N CPU levels, measured at BOTH 4→16 and 8→32.  The primary
+    # (headline) pair defaults to 4→16: this single box saturates its
     # memory bandwidth near ~16-24 cores on this byte-heavy workload
-    # (8 cpus already sustain >700k events/s), so 8→32 measures the
-    # machine's bandwidth ceiling rather than the engine's scaling; on
-    # a real multi-node cluster each node brings its own bandwidth.
+    # (8 cpus already sustain >700k events/s), so 8→32 additionally
+    # measures the machine's bandwidth ceiling; on a real multi-node
+    # cluster each node brings its own bandwidth.  Both numbers are
+    # reported so the efficiency claim is robust to the level choice.
     lo = int(os.environ.get("ROOKRAY_SCALING_LO", "4"))
     hi = int(os.environ.get("ROOKRAY_SCALING_HI", str(lo * 4)))
+    pairs = [(lo, hi)]
+    if os.environ.get("ROOKRAY_SCALING_PAIRS", "both") == "both" \
+            and (lo, hi) == (4, 16):
+        pairs.append((8, 32))
 
     def settle():
         # flush the previous child's dirty pages so background writeback
@@ -193,24 +199,31 @@ def run_scaling() -> dict:
         subprocess.run(["sync"], check=False)
         time.sleep(10)
 
-    settle()
-    r_hi = run_at(hi)
-    settle()
-    r_lo = run_at(lo)
-    t_lo = r_lo["cdc"]["apply_sec"]
-    t_hi = r_hi["cdc"]["apply_sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    results = []
+    for plo, phi in pairs:
+        settle()
+        r_hi = run_at(phi)
+        settle()
+        r_lo = run_at(plo)
+        t_lo = r_lo["cdc"]["apply_sec"]
+        t_hi = r_hi["cdc"]["apply_sec"]
+        eff = (t_lo / t_hi) / (phi / plo)
+        results.append({
+            "num_cpus_lo": plo,
+            "num_cpus_hi": phi,
+            "apply_sec_lo": t_lo,
+            "apply_sec_hi": t_hi,
+            "events_per_sec_lo": r_lo["cdc"]["events_per_sec"],
+            "events_per_sec_hi": r_hi["cdc"]["events_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        })
+    primary = results[0]
     return {
         "metric": "cdc replay scaling",
         "unit": "efficiency",
-        "num_cpus_lo": lo,
-        "num_cpus_hi": hi,
-        "apply_sec_lo": t_lo,
-        "apply_sec_hi": t_hi,
-        "events_per_sec_lo": r_lo["cdc"]["events_per_sec"],
-        "events_per_sec_hi": r_hi["cdc"]["events_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "value": round(eff, 3),
+        "pairs": results,
+        **primary,
+        "value": primary["scaling_efficiency"],
     }
 
 
