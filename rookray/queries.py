@@ -67,21 +67,33 @@ def cdc_lww_state(sf_dir: str) -> pd.DataFrame:
         last = np.concatenate([~eq, [True]])
         return t.filter(pa.array(last))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id")
-        last = g.iloc[-1]
-        if OP_MAP[last["event_type"]] == "delete":
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "event_id": pd.Series([], dtype="int64"),
-                                 "event_type": pd.Series([], dtype="object"),
-                                 "value": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"user_id": [last["user_id"]],
-                             "event_id": [last["event_id"]],
-                             "event_type": [last["event_type"]],
-                             "value": [last["value"]]})
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((u * 2654435761 % 16).astype(np.int64)))
+
+    def final_part(group: pa.Table) -> pa.Table:
+        # one COARSE hash partition per call (16 total), every key's
+        # rows co-located: keep-last + delete-drop is one vectorized
+        # pass — round 1 ran a Python map_groups call PER KEY (millions
+        # of ~1-row groups at 100x scale)
+        t = group.drop_columns(["part"]).sort_by(
+            [("user_id", "ascending"), ("event_id", "ascending")])
+        if len(t) == 0:
+            return t
+        u = t.column("user_id")
+        eq = (pc.equal(u.slice(1), u.slice(0, len(u) - 1))
+              .to_numpy(zero_copy_only=False) if len(t) > 1
+              else np.zeros(0, dtype=bool))
+        last = np.concatenate([~eq, [True]])
+        t = t.filter(pa.array(last))
+        et = t.column("event_type").to_pandas()
+        alive = (et.map(OP_MAP) != "delete").to_numpy()
+        return t.filter(pa.array(alive))
 
     return (ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("user_id").map_groups(final, batch_format="pandas")
+            .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part").map_groups(final_part, batch_format="pyarrow")
             .to_pandas())
 
 
@@ -420,6 +432,42 @@ SELECT o_custkey AS c_custkey, count(*) AS n_orders,
        CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_q
 FROM orders GROUP BY o_custkey
 ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+"""
+
+
+def join_orders_segment(sf_dir: str) -> pd.DataFrame:
+    """Generic distributed hash join (rookray.ops.join.bucketed_join):
+    orders ⋈ customer on custkey, order count + quantized total per
+    market segment.  Neither side touches the driver — the join is one
+    bucketed shuffle + per-bucket Arrow merges."""
+    from rookray.ops.join import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(lambda t: t.rename_columns(
+                ["o_custkey", "c_mktsegment"]), batch_format="pyarrow"))
+    j = bucketed_join(orders, cust, on="o_custkey", buckets=64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby("c_mktsegment", sort=False)
+             .agg(n_orders=("o_totalprice", "size"),
+                  total=("o_totalprice", "sum")).reset_index())
+        return g
+
+    out = (j.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total", alias_name="total"))
+           .to_pandas())
+    out["total_q"] = _q(out.pop("total"), 2)
+    return out
+
+
+JOIN_ORDERS_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_q
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """
 
 
@@ -770,6 +818,42 @@ FROM blocks b CROSS JOIN tot t LEFT JOIN st ON st.pack_id = b.pack_id
 """
 
 
+def pack_split_chunks(sf_dir: str) -> pd.DataFrame:
+    """Per-document chunking (the other packing mode): the flagship
+    final state split into ≤32-token chunks, sub-8-token tails
+    dropped.  Embarrassingly parallel (no cross-row state) and
+    closed-form in SQL."""
+    import ray.data as rd
+    from rookray.gen import GenConfig, final_state
+    from rookray.ops.pack import split_sequences
+
+    meta = flagship_stream()
+    state = final_state(GenConfig(**meta["config"]))
+    ds = rd.from_arrow(state.select(["doc_id", "tokens"]))
+    out = split_sequences(ds, context_len=32, min_tail=8).to_pandas()
+    out = out[["doc_id", "chunk_idx", "n_tok"]].copy()
+    out["chunk_idx"] = out["chunk_idx"].astype("int64")
+    out["n_tok"] = out["n_tok"].astype("int64")
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+PACK_SPLIT_CHUNKS_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE},
+d AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+             CAST(ceil(n_tok / 32.0) AS BIGINT) AS nc
+      FROM win),
+k AS (SELECT doc_id, n, nc,
+             CASE WHEN nc > 1 AND n - (nc - 1) * 32 < 8
+                  THEN nc - 1 ELSE nc END AS keep
+      FROM d
+      WHERE NOT (nc = 1 AND n < 8)),
+chunks AS (SELECT doc_id, n, unnest(range(keep)) AS chunk_idx FROM k)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(32, n - chunk_idx * 32) AS BIGINT) AS n_tok
+FROM chunks
+"""
+
+
 def cdc_derived_index(sf_dir: str) -> pd.DataFrame:
     """Derived-index target over the generated stream (F-series analog)."""
     import tempfile
@@ -854,6 +938,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "join_customer_nation": join_customer_nation,
+    "join_orders_segment": join_orders_segment,
     "topk_customers": topk_customers,
     "distinct_order_status": distinct_order_status,
     # text
@@ -872,8 +957,9 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     # multimodal
     "multimodal_features": multimodal_features,
-    # sequence packing (rows-only)
+    # sequence packing
     "pack_training_chunks": pack_training_chunks,
+    "pack_split_chunks": pack_split_chunks,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -892,6 +978,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "join_customer_nation": JOIN_CUSTOMER_NATION_SQL,
+    "join_orders_segment": JOIN_ORDERS_SEGMENT_SQL,
     "topk_customers": TOPK_CUSTOMERS_SQL,
     "distinct_order_status": DISTINCT_ORDER_STATUS_SQL,
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
@@ -906,6 +993,7 @@ ORACLES = {
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
+    "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,
     # multimodal_features, cdc_evictions
