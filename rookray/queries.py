@@ -920,6 +920,22 @@ def cdc_evictions(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# one eviction row per (registered target × sequences-table event);
+# noise-TABLE rows drop out via the registry lookup, noise-SERVER rows
+# stay (the cache evictor has no server filter — that is the stream's
+# job, SecondLevelCacheSynchronizer.java:41-67 has no such predicate)
+CDC_EVICTIONS_SQL = f"""
+WITH ev AS (
+  SELECT * FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences'
+)
+SELECT t.name, t.kind, count(*) AS n_evictions
+FROM ev CROSS JOIN (VALUES ('SeqEntity', 'entity'),
+                           ('SeqBySource', 'collection')) AS t(name, kind)
+GROUP BY t.name, t.kind
+"""
+
+
 # =====================================================================
 # catalog
 # =====================================================================
@@ -994,6 +1010,7 @@ ORACLES = {
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,
+    "cdc_evictions": CDC_EVICTIONS_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,
     # multimodal_features, cdc_evictions
