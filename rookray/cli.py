@@ -70,18 +70,47 @@ def cmd_ingest(args) -> int:
 
 def cmd_tail(args) -> int:
     from rookray.pipeline import CDCConfig, LakeTable
-    from rookray.source import ShardTailer
+    from rookray.source import LiveTailer, ShardTailer
 
     _ensure_ray(args.num_cpus)
     lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    if args.live:
+        # background I/O-thread mode (BinaryLogClient.connect analog);
+        # the driver thread just waits for the duration / interrupt
+        import time
+        tailer = LiveTailer(args.shards, lake, pattern=args.pattern,
+                            poll_interval_s=args.interval)
+        tailer.connect(timeout_s=args.connect_timeout)
+        try:
+            deadline = (time.monotonic() + args.duration
+                        if args.duration else None)
+            while tailer.is_connected():
+                if deadline is not None and time.monotonic() >= deadline:
+                    break
+                time.sleep(min(args.interval, 1.0))
+        except KeyboardInterrupt:
+            pass
+        finally:
+            tailer.disconnect()
+        print(json.dumps({"epochs": tailer.results,
+                          "errors": [repr(e) for e in tailer.errors]}))
+        return 1 if tailer.errors else 0
     tailer = ShardTailer(args.shards, lake, pattern=args.pattern)
-    tailer.connect()
+    tailer.connect(timeout_s=args.connect_timeout)
     try:
         results = tailer.run(poll_interval_s=args.interval,
                              max_polls=args.max_polls)
     finally:
         tailer.disconnect()
     print(json.dumps({"epochs": results}))
+    return 0
+
+
+def cmd_gc(args) -> int:
+    from rookray.sink import gc_uncommitted
+
+    removed = gc_uncommitted(args.table, keep_epochs=args.keep_epochs)
+    print(json.dumps({"removed": removed}))
     return 0
 
 
@@ -133,8 +162,18 @@ def main(argv=None) -> int:
     tail.add_argument("--partitions", type=int, default=_C.num_partitions)
     tail.add_argument("--interval", type=float, default=1.0)
     tail.add_argument("--max-polls", type=int, default=None)
+    tail.add_argument("--live", action="store_true",
+                      help="tail on a background thread (LiveTailer)")
+    tail.add_argument("--duration", type=float, default=None,
+                      help="with --live: stop after this many seconds")
+    tail.add_argument("--connect-timeout", type=float, default=None)
     tail.add_argument("--num-cpus", type=int, default=None)
     tail.set_defaults(fn=cmd_tail)
+
+    gc = sub.add_parser("gc", help="remove unreferenced old state files")
+    gc.add_argument("--table", required=True)
+    gc.add_argument("--keep-epochs", type=int, default=2)
+    gc.set_defaults(fn=cmd_gc)
 
     show = sub.add_parser("show", help="print a lake table's manifest")
     show.add_argument("--table", required=True)

@@ -181,14 +181,13 @@ class CacheInvalidationTarget:
         )
 
     def query_invalidations(self, events: "ray.data.Dataset") -> "ray.data.Dataset":
+        from ray.data.aggregate import Count
+
         partial = events.map_batches(
             self.query_invalidations_batch, batch_format="pyarrow", zero_copy_batch=True
         )
-        # cross-batch distinct (a tx may span batches)
-        return partial.groupby(["tx_id", "space"]).map_groups(
-            _first_row, batch_format="pyarrow"
-        )
-
-
-def _first_row(g: pa.Table) -> pa.Table:
-    return g.slice(0, 1)
+        # cross-batch distinct (a tx may span batches) as an AGGREGATE
+        # (vectorized partial+final), not per-group map_groups Python
+        return (partial.groupby(["tx_id", "space"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["tx_id", "space"]))
