@@ -184,6 +184,96 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
     )
 
 
+def build_ivf_centroids(ds: "ray.data.Dataset", n_centroids: int = 16,
+                        sample: int = 2048, iters: int = 5, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means centroids from a BOUNDED sample
+    (the IVF coarse quantizer).  Driver work is O(sample × iters) —
+    the corpus itself never materializes; at larger scale the Lloyd
+    iterations would move into map_batches (assign) + groupby (update),
+    same shape as the bucketed scoring below."""
+    rows = ds.limit(sample).take_all()
+    m = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                             for r in rows]))
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)),
+                         replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
+             query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id", exclude_self: bool = True,
+             concurrency: int = 4) -> "ray.data.Dataset":
+    """IVF cosine top-k — the inverted-file scale path alongside
+    ``lsh_topk``: vectors are coarse-quantized to their nearest
+    centroid; each query scores only the vectors in its ``nprobe``
+    nearest cells (≈ nprobe/n_centroids of the corpus).  Centroids and
+    the per-query probe lists are broadcast once via ``ray.put``;
+    recall vs ``bruteforce_topk`` is the quality metric (tested);
+    ``nprobe == n_centroids`` degenerates to exhaustive search."""
+    cents = build_ivf_centroids(ds, n_centroids, seed=seed, vec_col=vec_col)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    order = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probe_of_cell: dict[int, list[int]] = {}
+    for qi in range(len(qm)):
+        for c in order[qi]:
+            probe_of_cell.setdefault(int(c), []).append(qi)
+    ref = ray.put({"cents": cents, "ids": np.asarray(query_ids),
+                   "matrix": qm, "probe_of_cell": probe_of_cell})
+
+    class ScoreIvf:
+        def __init__(self):
+            q = ray.get(ref)
+            self.cents = q["cents"]
+            self.qids, self.qm = q["ids"], q["matrix"]
+            self.probe_of_cell = q["probe_of_cell"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            ids = batch[id_col].to_numpy()
+            cell = np.argmax(m @ self.cents.T, axis=1)
+            outs = []
+            for c in np.unique(cell):
+                qidx = self.probe_of_cell.get(int(c))
+                if not qidx:
+                    continue
+                sel = cell == c
+                mm, mids = m[sel], ids[sel]
+                sim = self.qm[qidx] @ mm.T
+                kk = min(k + 1, sim.shape[1])
+                ids_b = np.broadcast_to(mids, sim.shape)
+                idx = np.lexsort((ids_b, -sim), axis=1)[:, :kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.repeat(self.qids[qidx], kk),
+                    "neighbor_id": mids[idx].reshape(-1).astype(np.int64),
+                    "cosine": np.take_along_axis(sim, idx, axis=1)
+                              .reshape(-1).astype(np.float64),
+                }))
+            if not outs:
+                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                     "neighbor_id": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+    ScoreIvf.__name__ = "ScoreIvf"
+    partial = ds.map_batches(ScoreIvf, batch_format="pandas",
+                             batch_size=4096, concurrency=(1, concurrency))
+    return partial.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k, exclude_self), batch_format="pandas"
+    )
+
+
 def recall_at_k(approx: pa.Table, exact: pa.Table, k: int = 10) -> float:
     """Mean fraction of exact top-k recovered by the approximate search."""
     a = approx.to_pandas().groupby("query_id")["neighbor_id"].apply(set)

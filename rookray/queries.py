@@ -227,6 +227,78 @@ GROUP BY user_id
 """
 
 
+def cdc_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping windows (1 h length, 30 min hop): each event lands in
+    two overlapping windows — vectorized double-emit per batch, then
+    one grouped aggregate."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # unit-safe epoch seconds (parquet timestamps arrive as us or ns
+        # depending on the pandas/arrow path)
+        t = df["ts"].astype("datetime64[s]").astype("int64")
+        hi = t // 1800 * 1800                  # latest window start <= t
+        parts = []
+        for start in (hi, hi - 1800):
+            g = pd.DataFrame({"user_id": df["user_id"],
+                              "win_start": start, "value": df["value"]})
+            parts.append(g)
+        allg = pd.concat(parts, ignore_index=True)
+        agg = (allg.groupby(["user_id", "win_start"], sort=False)
+               .agg(n=("value", "size"), sv=("value", "sum")).reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (ds.map_batches(buckets, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["user_id", "win_start"])
+           .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"))
+           .to_pandas())
+    out["sum_value_q"] = _q(out.pop("sv"), 2)
+    return out
+
+
+CDC_HOPPING_WINDOW_SQL = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+           FROM events),
+both_w AS (
+  SELECT user_id, t // 1800 * 1800 AS win_start, value FROM e
+  UNION ALL
+  SELECT user_id, t // 1800 * 1800 - 1800 AS win_start, value FROM e
+)
+SELECT user_id, win_start, count(*) AS n,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
+FROM both_w GROUP BY user_id, win_start
+"""
+
+
+def cdc_sampled_stats(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash sampling (~25% of events, shuffle-free): the
+    scalable sampling shape — a pure filter on a key hash, identical on
+    any cluster size, no random state."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        keep = (e * 2654435761) % 97 < 24  # ~24.7%
+        return batch.filter(pa.array(keep))
+
+    out = (ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+           .to_pandas())
+    out["sum_value_q"] = _q(out.pop("sv"), 2)
+    return out
+
+
+CDC_SAMPLED_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
+FROM events
+WHERE (event_id * 2654435761) % 97 < 24
+GROUP BY event_type
+"""
+
+
 def cdc_dedup_replay(sf_dir: str) -> pd.DataFrame:
     """Duplicate-shard replay idempotence: the stream unioned with
     itself dedups back to the original event count (exact dedup on
@@ -471,6 +543,40 @@ GROUP BY c_mktsegment
 """
 
 
+def topk_orders_per_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (window-function analog): the 3 highest-value
+    orders per order status — per-batch top-k combiner shrinks the
+    shuffle to ≤ 3×blocks rows per group before the tiny final."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(["o_totalprice", "o_orderkey"],
+                                  ascending=[False, True])
+                .groupby("o_orderstatus", sort=False).head(3))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderstatus").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    out["price_q"] = _q(out.pop("o_totalprice"), 2)
+    return out.reset_index(drop=True)
+
+
+TOPK_ORDERS_PER_STATUS_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_q
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
 def distinct_order_status(sf_dir: str) -> pd.DataFrame:
     """Distinct/unique operator: distinct (status, priority) pairs."""
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
@@ -651,6 +757,17 @@ def ann_lsh(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings")
     qids, qmat = A.make_queries(ds, 8)
     out = A.lsh_topk(ds, qids, qmat, k=10, n_planes=3).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF coarse-quantized top-k (the inverted-file scale path);
+    recall vs brute force asserted in tests — rows-only here (the
+    k-means cells are not SQL-expressible)."""
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.ivf_topk(ds, qids, qmat, k=10, n_centroids=16, nprobe=4).to_pandas()
     return out[["query_id", "neighbor_id", "rank"]]
 
 
@@ -948,6 +1065,8 @@ QUERIES = {
     "cdc_ignored_filter": cdc_ignored_filter,
     "cdc_tumbling_window": cdc_tumbling_window,
     "cdc_session_windows": cdc_session_windows,
+    "cdc_hopping_window": cdc_hopping_window,
+    "cdc_sampled_stats": cdc_sampled_stats,
     "cdc_dedup_replay": cdc_dedup_replay,
     "cdc_event_type_stats": cdc_event_type_stats,
     # relational coverage
@@ -956,6 +1075,7 @@ QUERIES = {
     "join_customer_nation": join_customer_nation,
     "join_orders_segment": join_orders_segment,
     "topk_customers": topk_customers,
+    "topk_orders_per_status": topk_orders_per_status,
     "distinct_order_status": distinct_order_status,
     # text
     "text_token_counts": text_token_counts,
@@ -971,6 +1091,7 @@ QUERIES = {
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     # multimodal
     "multimodal_features": multimodal_features,
     # sequence packing
@@ -989,6 +1110,8 @@ ORACLES = {
     "cdc_ignored_filter": CDC_IGNORED_FILTER_SQL,
     "cdc_tumbling_window": CDC_TUMBLING_WINDOW_SQL,
     "cdc_session_windows": CDC_SESSION_WINDOWS_SQL,
+    "cdc_hopping_window": CDC_HOPPING_WINDOW_SQL,
+    "cdc_sampled_stats": CDC_SAMPLED_STATS_SQL,
     "cdc_dedup_replay": CDC_DEDUP_REPLAY_SQL,
     "cdc_event_type_stats": CDC_EVENT_TYPE_STATS_SQL,
     "q1_pricing_summary": Q1_SQL,
@@ -996,6 +1119,7 @@ ORACLES = {
     "join_customer_nation": JOIN_CUSTOMER_NATION_SQL,
     "join_orders_segment": JOIN_ORDERS_SEGMENT_SQL,
     "topk_customers": TOPK_CUSTOMERS_SQL,
+    "topk_orders_per_status": TOPK_ORDERS_PER_STATUS_SQL,
     "distinct_order_status": DISTINCT_ORDER_STATUS_SQL,
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

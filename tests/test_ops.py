@@ -263,3 +263,20 @@ def test_minhash_cluster_transitivity_and_cliques():
     # one cluster for the whole chain despite no direct 100~103 edge
     assert got[100] == got[103] == 100
     assert all(got[200 + i] == 200 for i in range(20))
+
+
+def test_ann_ivf_recall_and_exhaustive(embs):
+    from rookray.ops import ann as A
+    import ray as _ray
+
+    qids, qmat = A.make_queries(embs, 5)
+    exact = pa.concat_tables(
+        [_ray.get(r) for r in A.bruteforce_topk(embs, qids, qmat, k=5).to_arrow_refs()])
+    approx = pa.Table.from_pandas(
+        A.ivf_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=3).to_pandas())
+    r = A.recall_at_k(approx, exact, k=5)
+    assert r > 0.5, f"IVF recall suspiciously low: {r}"
+    # nprobe == n_centroids degenerates to exhaustive search: recall 1.0
+    full = pa.Table.from_pandas(
+        A.ivf_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=8).to_pandas())
+    assert A.recall_at_k(full, exact, k=5) == 1.0
