@@ -106,6 +106,14 @@ def cmd_tail(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    from rookray.pipeline import LakeTable
+
+    _ensure_ray(args.num_cpus)
+    print(json.dumps(LakeTable(args.table).repartition(args.partitions)))
+    return 0
+
+
 def cmd_gc(args) -> int:
     from rookray.sink import gc_uncommitted
 
@@ -169,6 +177,13 @@ def main(argv=None) -> int:
     tail.add_argument("--connect-timeout", type=float, default=None)
     tail.add_argument("--num-cpus", type=int, default=None)
     tail.set_defaults(fn=cmd_tail)
+
+    rep = sub.add_parser("repartition",
+                         help="re-shard committed state to a new partition count")
+    rep.add_argument("--table", required=True)
+    rep.add_argument("--partitions", type=int, required=True)
+    rep.add_argument("--num-cpus", type=int, default=None)
+    rep.set_defaults(fn=cmd_repartition)
 
     gc = sub.add_parser("gc", help="remove unreferenced old state files")
     gc.add_argument("--table", required=True)

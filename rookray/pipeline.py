@@ -500,6 +500,75 @@ class LakeTable:
         sink.commit_manifest(self.root, manifest)
         return {"compacted": len(rows), "epoch": epoch}
 
+    def repartition(self, new_partitions: int) -> dict:
+        """Re-shard the committed state into a different partition
+        count — the ONLY sanctioned way to change ``num_partitions``
+        (the committed manifest value is otherwise authoritative, see
+        ``_num_partitions``).  One distributed pass: read state,
+        re-hash by ``doc_id``, write one state file per new partition,
+        commit as a new epoch.
+
+        New per-partition watermarks are set to the MIN of the old
+        ones — conservatively low is safe: re-presented events merge
+        idempotently (LWW against state ``_gtid`` ties/newer wins)."""
+        m = self.manifest()
+        if not m:
+            raise ValueError("nothing committed yet — apply() first")
+        if self._has_deltas(m):
+            raise ValueError("table has uncompacted deltas; run compact() "
+                             "before repartitioning")
+        epoch = m["epoch"] + 1
+        old_wms = [p["gtid_watermark"] for p in m["partitions"].values()]
+        new_wm = min(old_wms) if old_wms else -1
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = partition_of(batch.column("doc_id"), new_partitions)
+            return batch.append_column("part", pa.array(part, pa.int32()))
+
+        class RepartWrite:
+            def __init__(self, root: str, ep: int):
+                self.root, self.ep = root, ep
+
+            def __call__(self, group: pa.Table) -> pa.Table:
+                from rookray.util import stable_table_hash
+                if len(group) == 0:
+                    return pa.Table.from_pylist([], schema=_COMPACT_SCHEMA)
+                part = int(group.column("part")[0].as_py())
+                state = group.drop_columns(["part"])
+                path = sink.state_file(self.root, part, self.ep)
+                sink.atomic_write_parquet(state, path)
+                return pa.Table.from_pylist([{
+                    "partition": part,
+                    "file": os.path.relpath(path, self.root),
+                    "rows": len(state),
+                    "content_hash": stable_table_hash(state),
+                }], schema=_COMPACT_SCHEMA)
+
+        rw = RepartWrite(self.root, epoch)
+        rw.__name__ = "RepartWrite"
+        rows = (self.read(include_meta=True)
+                .map_batches(add_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("part").map_groups(rw, batch_format="pyarrow")
+                .take_all())
+        partitions = {}
+        for row in rows:
+            partitions[str(int(row["partition"]))] = {
+                "file": row["file"],
+                "rows": int(row["rows"]),
+                "content_hash": row["content_hash"],
+                "gtid_watermark": new_wm,
+                "events_applied": 0,
+            }
+        manifest = dict(m)
+        manifest["epoch"] = epoch
+        manifest["num_partitions"] = new_partitions
+        manifest["partitions"] = partitions
+        manifest["repartitioned_from"] = int(m["num_partitions"])
+        sink.commit_manifest(self.root, manifest)
+        return {"epoch": epoch, "num_partitions": new_partitions,
+                "partitions_written": len(rows)}
+
     def _empty_state(self) -> pa.Table:
         fields = list(SEQ_SCHEMA)
         return pa.table({f.name: pa.array([], f.type) for f in fields})

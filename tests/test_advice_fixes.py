@@ -160,3 +160,40 @@ def test_connect_timeout(tmp_path):
     os.makedirs(missing)
     t.connect(timeout_s=0.2)
     assert t.is_connected()
+
+
+def test_explicit_repartition_roundtrip(tmp_path):
+    """LakeTable.repartition: the sanctioned partition-count change —
+    state preserved exactly, subsequent epochs apply at the new count,
+    final state still byte-equals the oracle."""
+    cfg = GenConfig(n_docs=40, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, CDCConfig(num_partitions=4))
+    lake.apply(meta["files"][:2])
+    mid_state = lake.state_table()
+
+    res = lake.repartition(16)
+    assert res["num_partitions"] == 16
+    lake16 = LakeTable(root, CDCConfig(num_partitions=16))
+    assert len(lake16.watermarks()) == 16
+    assert_tables_equal(lake16.state_table(), mid_state)
+
+    # continue the stream at the new partition count (overlap shard 1
+    # re-presents held-back open-tx events)
+    lake16.apply(meta["files"][1:])
+    assert_tables_equal(lake16.state_table(), final_state(cfg))
+
+
+def test_repartition_requires_compacted_table(tmp_path):
+    cfg = GenConfig(n_docs=10, n_events=120)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"),
+                     CDCConfig(num_partitions=4, write_mode="delta"))
+    lake.apply(meta["files"])
+    with pytest.raises(ValueError, match="compact"):
+        lake.repartition(8)
+    lake.compact()
+    lake.repartition(8)
+    assert_tables_equal(
+        LakeTable(str(tmp_path / "lake")).state_table(), final_state(cfg))
