@@ -156,7 +156,17 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
             if len(sub) < 2:
                 continue
-            docs = sorted(set(sub["doc_id"]))[:max_group]
+            docs = sorted(set(sub["doc_id"]))
+            if len(docs) > max_group:
+                # no silent caps: oversized buckets (usually exact-dup
+                # floods — run exact dedup first) are truncated LOUDLY
+                import warnings
+                warnings.warn(
+                    f"LSH bucket with {len(docs)} docs truncated to "
+                    f"max_group={max_group}; recall may drop — dedup "
+                    f"exact duplicates first or raise max_group",
+                    stacklevel=2)
+                docs = docs[:max_group]
             out.extend((a, b) for i, a in enumerate(docs) for b in docs[i + 1:])
         if not out:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),

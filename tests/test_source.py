@@ -77,3 +77,45 @@ def test_live_tailer_background_thread(tmp_path):
     assert tailer.errors == []
     assert lake.manifest()["closed_watermark"] == meta["gtid_max"]
     assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_live_tailer_captures_failures_and_stays_resumable(tmp_path):
+    """A failing apply lands in .errors, stops the tail, and the shards
+    stay consumable: a reconnect with a healthy target applies
+    everything (resume from the target's own watermarks)."""
+    import time
+    from rookray.source import LiveTailer
+
+    cfg = GenConfig(n_docs=10, n_events=100)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=2)
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in meta["files"]:
+        shutil.copy(f, live / os.path.basename(f))
+
+    class Exploding:
+        def apply(self, shards, **kw):
+            raise RuntimeError("sink down")
+
+    t = LiveTailer(str(live), Exploding(), poll_interval_s=0.05)
+    t.connect()
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and not t.errors:
+        time.sleep(0.05)
+    t.disconnect()
+    assert t.errors and "sink down" in repr(t.errors[0])
+    assert t.results == []
+
+    # reconnect against a real lake: everything still applies
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    t2 = LiveTailer(str(live), lake, poll_interval_s=0.05)
+    t2.connect()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        m = lake.manifest()
+        if m and m.get("closed_watermark") == meta["gtid_max"]:
+            break
+        time.sleep(0.1)
+    t2.disconnect()
+    assert t2.errors == []
+    assert_tables_equal(lake.state_table(), final_state(cfg))
