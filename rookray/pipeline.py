@@ -733,9 +733,16 @@ class LakeTable:
             fin = FinalizeMerge(self.root, epoch, shuffle_dir,
                                 prior_files, prior_wms,
                                 write_mode=cfg.write_mode)
+            # reducer pool sized to the session: actors beyond the CPU
+            # count only add per-epoch spawn cost (64 actors on 16 CPUs
+            # oversubscribe; partitions map n:1 onto actors anyway)
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cpus = 8
             lineage_tbls = parts_ds.map_batches(
                 fin, batch_format="pyarrow", batch_size=1,
-                concurrency=min(cfg.merge_actors, P),
+                concurrency=min(cfg.merge_actors, P, max(4, cpus)),
             )
             lineage_rows = lineage_tbls.take_all()
             _shutil.rmtree(epoch_root, ignore_errors=True)
