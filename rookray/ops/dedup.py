@@ -153,25 +153,37 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         out = []
+        n_truncated = 0
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
             if len(sub) < 2:
                 continue
             docs = sorted(set(sub["doc_id"]))
             if len(docs) > max_group:
                 # no silent caps: oversized buckets (usually exact-dup
-                # floods — run exact dedup first) are truncated LOUDLY
-                import warnings
-                warnings.warn(
-                    f"LSH bucket with {len(docs)} docs truncated to "
-                    f"max_group={max_group}; recall may drop — dedup "
-                    f"exact duplicates first or raise max_group",
-                    stacklevel=2)
+                # floods — run exact dedup first) are truncated LOUDLY.
+                # Python warnings raised inside a Ray worker never reach
+                # the driver; the ray logger's records DO get forwarded
+                # to driver stdout (and counted below in a side channel).
+                import logging
+                logging.getLogger("ray.data").warning(
+                    "LSH bucket with %d docs truncated to max_group=%d; "
+                    "recall may drop — dedup exact duplicates first or "
+                    "raise max_group", len(docs), max_group)
+                n_truncated += 1
                 docs = docs[:max_group]
             out.extend((a, b) for i, a in enumerate(docs) for b in docs[i + 1:])
         if not out:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(sorted(set(out)), columns=["a", "b"])
+                                 "b": pd.Series([], dtype="int64"),
+                                 "n_trunc": pd.Series([], dtype="int64")})
+        df = pd.DataFrame(sorted(set(out)), columns=["a", "b"])
+        # side channel: the group's truncated-bucket count rides on the
+        # first pair row (a truncating bucket always yields ≥1 pair, so
+        # the count is never orphaned); the caller sums the column and
+        # re-raises the warning DRIVER-side where the user can see it
+        df["n_trunc"] = 0
+        df.iloc[0, df.columns.get_loc("n_trunc")] = n_truncated
+        return df
 
     pair_ds = grouped.map_batches(add_bucket, batch_format="pandas").groupby(
         "bucket").map_groups(pairs_of, batch_format="pandas")
@@ -314,6 +326,7 @@ def _hashmin_labels(edges: "ray.data.Dataset", max_iters: int = 50,
         return pa.table({"node": pa.array(node, pa.int64()),
                          "cand": pa.array(np.concatenate([m, m]), pa.int64())})
 
+    converged = False
     for _ in range(max_iters):
         lab_a = labels.map_batches(rename(["a", "_la"]), batch_format="pyarrow")
         lab_b = labels.map_batches(rename(["b", "_lb"]), batch_format="pyarrow")
@@ -327,8 +340,19 @@ def _hashmin_labels(edges: "ray.data.Dataset", max_iters: int = 50,
                   .materialize())
         s = labels.sum("label") or 0
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # labels-only-decrease means a stalled sum is an exact fixpoint
+        # test; exhausting the loop without one means some component has
+        # diameter > max_iters and the labels are WRONG (split clusters)
+        # — fail loudly rather than return silently-partial assignments
+        raise RuntimeError(
+            f"_hashmin_labels did not converge in max_iters={max_iters} "
+            f"rounds (component diameter exceeds the budget — long "
+            f"near-dup chains); raise max_iters, or pre-contract chains "
+            f"with a coarser LSH threshold before clustering")
     return labels
 
 
@@ -354,7 +378,15 @@ def minhash_lsh_clusters(ds: "ray.data.Dataset", threshold: float = 0.8,
                                               shingle_n=shingle_n, col=col),
         batch_format="pandas", batch_size=2048, concurrency=(1, concurrency),
     )
-    pairs = _candidate_pair_ds(rows)
+    pairs = _candidate_pair_ds(rows).materialize()
+    n_trunc = pairs.sum("n_trunc") or 0
+    if n_trunc:
+        import warnings
+        warnings.warn(
+            f"{n_trunc} LSH bucket(s) exceeded max_group and were "
+            f"truncated; recall may drop — dedup exact duplicates "
+            f"first or raise max_group", stacklevel=2)
+    pairs = pairs.select_columns(["a", "b"])
     verified = _verified_pair_ds(ds, pairs, threshold, shingle_n, col,
                                  concurrency)
     edges = verified.select_columns(["a", "b"]).materialize()

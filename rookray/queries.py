@@ -204,16 +204,44 @@ FROM events GROUP BY 1, 2
 
 def cdc_session_windows(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min gap) per key — the tx-window analog for
-    event-time streams; state confined to per-key sorted groups."""
+    event-time streams.
+
+    Scale shape (same coarse-partition trick as ``cdc_lww_state``):
+    keys are hashed into 16 COARSE partitions, each partition sorted
+    ONCE by (user_id, ts) and session starts computed in a single
+    vectorized pass (key-change OR gap>30min boundary mask), then one
+    grouped sum per partition — round 2 ran a Python ``map_groups``
+    call PER KEY (millions of ~tens-of-row pandas groups at 100×)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
-        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((u * 2654435761 % 16).astype(np.int64)))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    def sessions_part(group: pa.Table) -> pa.Table:
+        # one coarse hash partition (16 total), every key co-located
+        if len(group) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        df = (group.drop_columns(["part"]).to_pandas()
+              .sort_values(["user_id", "ts"], kind="mergesort"))
+        u = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0] = True
+        gap[1:] = (t[1:] - t[:-1]) > np.timedelta64(30, "m")
+        df["_s"] = (new_key | gap).astype(np.int64)
+        out = (df.groupby("user_id", sort=False)["_s"].sum()
+               .rename("n_sessions").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part").map_groups(sessions_part, batch_format="pyarrow")
+            .to_pandas())
 
 
 CDC_SESSION_WINDOWS_SQL = """
@@ -278,8 +306,12 @@ def cdc_sampled_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def sample(batch: pa.Table) -> pa.Table:
+        # modular arithmetic (a*b mod m == (a mod m)(b mod m) mod m):
+        # never overflows, and matches the SQL side exactly at ANY
+        # event_id — the naive (e * 2654435761) % 97 wraps silently in
+        # int64 above event_id ≈ 3.5e9 while DuckDB BIGINT errors
         e = batch.column("event_id").to_numpy(zero_copy_only=False)
-        keep = (e * 2654435761) % 97 < 24  # ~24.7%
+        keep = ((e % 97) * (2654435761 % 97)) % 97 < 24  # ~24.7%
         return batch.filter(pa.array(keep))
 
     out = (ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
@@ -294,7 +326,7 @@ CDC_SAMPLED_STATS_SQL = """
 SELECT event_type, count(*) AS n,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
 FROM events
-WHERE (event_id * 2654435761) % 97 < 24
+WHERE ((event_id % 97) * (2654435761 % 97)) % 97 < 24
 GROUP BY event_type
 """
 
@@ -426,7 +458,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     def topk(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.nlargest(10, "rev")
 
-    out = pd.DataFrame(agg.map_batches(topk, batch_format="pandas").take_all())
+    # explicit columns so the empty case (no BUILDING customers) sorts
+    # cleanly instead of KeyError-ing on a column-less frame
+    out = pd.DataFrame(agg.map_batches(topk, batch_format="pandas").take_all(),
+                       columns=["l_orderkey", "rev"])
     out = out.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
     out["revenue_q"] = _q(out.pop("rev"), 2)

@@ -72,17 +72,33 @@ class ShardTailer:
         can complete: every applied shard whose max gtid exceeds the
         target's committed closed watermark (a tx can span ANY number of
         shards — re-presenting only the single last one stalled the
-        watermark permanently on 3+-shard transactions).  Falls back to
-        one shard of overlap for targets without a manifest."""
+        watermark permanently on 3+-shard transactions).
+
+        For targets WITHOUT a committed closed watermark (custom sinks,
+        or a ``Fanout`` whose children don't all expose one) the safe
+        fallback is to re-present ALL applied shards: applies are
+        idempotent (the engine's watermark skips already-applied gtids,
+        so the replay is metadata-only), whereas re-presenting only the
+        last shard stalls any tx spanning 3+ shards forever — the exact
+        round-1 bug this method exists to fix."""
         if not self._applied:
             return []
+        floor = self._closed_watermark()
+        if floor is not None:
+            return shards_above(self._applied, floor)
+        return list(self._applied)
+
+    def _closed_watermark(self) -> int | None:
+        """The target's committed closed-tx watermark, if it exposes
+        one.  Composite targets (``Fanout``) aggregate as the MIN over
+        children — a shard is safe to prune only when EVERY child has
+        closed past it; any child without a watermark makes the
+        aggregate unknown (None → re-present everything)."""
         get_m = getattr(self.target, "manifest", None)
-        if callable(get_m):
-            m = get_m()
-            floor = (m or {}).get("closed_watermark")
-            if floor is not None:
-                return shards_above(self._applied, floor)
-        return self._applied[-1:]
+        if not callable(get_m):
+            return None
+        m = get_m()
+        return (m or {}).get("closed_watermark")
 
     def poll_once(self) -> dict | None:
         """Apply one epoch of newly-arrived shards; None if nothing new."""

@@ -50,6 +50,27 @@ class Fanout:
             del self.targets[n]
         return len(victims)
 
+    def manifest(self) -> dict | None:
+        """Aggregate manifest for tailer overlap pruning: the composite
+        ``closed_watermark`` is the MIN over children (a shard may be
+        pruned only when EVERY child has committed past it).  If any
+        child lacks a manifest or a closed watermark, the aggregate is
+        unknown — return no watermark so the tailer falls back to
+        re-presenting all applied shards (idempotent, never stalls)."""
+        if not self.targets:
+            return None
+        floors = []
+        for t in self.targets.values():
+            get_m = getattr(t, "manifest", None)
+            if not callable(get_m):
+                return {}
+            m = get_m()
+            floor = (m or {}).get("closed_watermark")
+            if floor is None:
+                return {}
+            floors.append(floor)
+        return {"closed_watermark": min(floors)}
+
     def apply(self, shard_paths: list[str], **kw) -> dict[str, dict]:
         results: dict[str, dict] = {}
         for name, target in self.targets.items():

@@ -119,3 +119,76 @@ def test_live_tailer_captures_failures_and_stays_resumable(tmp_path):
     t2.disconnect()
     assert t2.errors == []
     assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_overlap_represents_all_shards_without_watermark(tmp_path):
+    """A target with NO manifest/closed_watermark must get EVERY applied
+    shard re-presented (applies are idempotent): re-presenting only the
+    last one stalls a tx spanning 3+ shards forever."""
+    cfg = GenConfig(n_docs=10, n_events=120)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    live = tmp_path / "live"
+    live.mkdir()
+
+    class Recorder:  # duck-typed sink, no manifest()
+        def __init__(self):
+            self.epochs = []
+
+        def apply(self, shards, **kw):
+            self.epochs.append([os.path.basename(p) for p in shards])
+            return {"n": len(shards)}
+
+    rec = Recorder()
+    t = ShardTailer(str(live), rec)
+    t.connect()
+    for f in meta["files"]:
+        shutil.copy(f, live / os.path.basename(f))
+        t.poll_once()
+    # epoch k must contain ALL k-1 previously applied shards + the new one
+    names = [os.path.basename(f) for f in meta["files"]]
+    for k, ep in enumerate(rec.epochs):
+        assert ep == names[: k + 1]
+
+
+def test_fanout_manifest_aggregates_min_watermark(tmp_path):
+    """Fanout.manifest(): min over children with watermarks; unknown
+    (no watermark) when any child lacks one — which makes the tailer
+    fall back to full re-present."""
+    from rookray.targets.fanout import Fanout
+
+    class WM:
+        def __init__(self, w):
+            self.w = w
+
+        def manifest(self):
+            return {"closed_watermark": self.w}
+
+        def apply(self, shards, **kw):
+            return {}
+
+    class NoWM:
+        def apply(self, shards, **kw):
+            return {}
+
+    f = Fanout({"a": WM(10), "b": WM(7)})
+    assert f.manifest() == {"closed_watermark": 7}
+    f.register("c", NoWM())
+    assert f.manifest().get("closed_watermark") is None
+    assert Fanout({}).manifest() is None
+
+    # end-to-end: a fanout of two lakes prunes by the SLOWER child
+    cfg = GenConfig(n_docs=10, n_events=120)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    live = tmp_path / "live"
+    live.mkdir()
+    lake1 = LakeTable(str(tmp_path / "l1"), CDCConfig(num_partitions=2))
+    lake2 = LakeTable(str(tmp_path / "l2"), CDCConfig(num_partitions=2))
+    fan = Fanout({"l1": lake1, "l2": lake2})
+    t = ShardTailer(str(live), fan)
+    t.connect()
+    for f_ in meta["files"]:
+        shutil.copy(f_, live / os.path.basename(f_))
+        t.poll_once()
+    assert_tables_equal(lake1.state_table(), final_state(cfg))
+    assert_tables_equal(lake2.state_table(), final_state(cfg))
+    assert fan.manifest()["closed_watermark"] == meta["gtid_max"]
