@@ -9,11 +9,12 @@ Scale shape (per the Ray Data guide's dedup pattern):
 * MinHash-LSH = shingle→minhash per batch (numpy-vectorized across the
   whole batch), explode to (band, band_hash, doc_id) rows, one groupby
   over those tiny rows, candidate pairs verified by exact Jaccard over
-  ONLY the involved docs (second pruned pass), connected components on
-  the driver over the (small) verified-pair set;
-* SimHash = 64-bit signature per batch, 4×16-bit band blocking
-  (Hamming ≤ 3 ⇒ at least one band equal), verify Hamming on
-  candidates;
+  ONLY the involved docs (second pruned pass), connected components
+  hybrid — driver union-find under an explicit edge budget, distributed
+  hash-min label propagation above it;
+* SimHash = 64-bit signature per batch, 8-band blocking (Hamming ≤ 7
+  ⇒ at least one band equal — recall 1 for max_hamming < bands),
+  exact Hamming verify, distributed groupby(a,b) dedup;
 * n-gram Jaccard = exact pairwise within cheap blocks (``map_groups``),
   for SQL-checkable ground truth;
 * embedding near-dup = blocked pairwise cosine via numpy matmul in
@@ -458,10 +459,17 @@ class SimHasher:
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
                   shingle_n: int = 3, col: str = "text",
-                  concurrency: int = 4, bands: int = 8) -> pa.Table:
-    """Near-dup pairs by SimHash: band blocking over ``bands`` equal
+                  concurrency: int = 4, bands: int = 8) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash, AS A DATASET — (a, b, hamming), exact
+    for ``max_hamming < bands``: band blocking over ``bands`` equal
     slices of the 64-bit signature guarantees no false negatives at
-    Hamming ≤ bands-1 (pigeonhole); candidates verified exactly."""
+    Hamming ≤ bands-1 (pigeonhole); candidates verified exactly.
+
+    Fully distributed end-to-end: a pair surfacing in several band
+    buckets is deduped by a ``groupby(a, b)`` min-fold (hamming is a
+    pure function of the two signatures, so min = the value) — round 2
+    collected the pair set into a driver dict with no budget, the one
+    dedup tail that would OOM the driver on a near-dup-heavy corpus."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(shingle_n=shingle_n, col=col),
         batch_format="pandas", batch_size=2048, concurrency=(1, concurrency),
@@ -485,8 +493,10 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
 
     exploded = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        # coarse group: exact (band, band_val) grouping done in pandas
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        # coarse group: exact (band, band_val) grouping done in pandas;
+        # returns TYPED ARROW (empty pandas blocks lose their schema in
+        # the downstream dedup shuffle)
         out = []
         for _, sub in g.groupby(["band", "band_val"], sort=False):
             if len(sub) < 2:
@@ -499,11 +509,11 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
                 ham = _popcount64(x)
                 for j in np.flatnonzero(ham <= max_hamming):
                     out.append((docs[i], docs[i + 1 + j], int(ham[j])))
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame(sorted(set(out)), columns=["a", "b", "hamming"])
+        out = sorted(set(out))
+        return pa.table(
+            {"a": pa.array([p[0] for p in out], pa.int64()),
+             "b": pa.array([p[1] for p in out], pa.int64()),
+             "hamming": pa.array([p[2] for p in out], pa.int64())})
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["bucket"] = (batch["band_val"].to_numpy().astype(np.uint64)
@@ -512,15 +522,11 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
 
     pair_ds = exploded.map_batches(add_bucket, batch_format="pandas").groupby(
         "bucket").map_groups(pairs_of, batch_format="pandas")
-    seen = {}
-    for r in pair_ds.take_all():
-        seen[(r["a"], r["b"])] = r["hamming"]
-    pairs = sorted(seen)
-    return pa.table(
-        {"a": pa.array([p[0] for p in pairs], pa.int64()),
-         "b": pa.array([p[1] for p in pairs], pa.int64()),
-         "hamming": pa.array([seen[p] for p in pairs], pa.int64())}
-    )
+    # distributed cross-band dedup: min-fold over (a, b) — one shuffle
+    # of 24-byte rows, never a driver-side dict
+    from ray.data.aggregate import Min
+    return (pair_ds.groupby(["a", "b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -528,10 +534,12 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
                         block_col: str = "source", col: str = "text",
-                        max_block: int = 20_000) -> pa.Table:
-    """Exact word-set Jaccard pairs within blocks — the SQL-checkable
-    ground-truth variant (DuckDB oracle: self-join on the block column
-    with list_distinct/list_intersect).
+                        max_block: int = 20_000) -> "ray.data.Dataset":
+    """Exact word-set Jaccard pairs within blocks, AS A DATASET — the
+    SQL-checkable ground-truth variant (DuckDB oracle: self-join on the
+    block column with list_distinct/list_intersect).  Blocks are
+    disjoint groups so each pair is emitted exactly once — no dedup
+    shuffle needed; collection happens only in the query layer.
 
     Deliberately O(n²) per block; ``max_block`` is the guard rail — a
     coarse block column (round 1: ``source`` with 8 values over a
@@ -539,7 +547,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
     the limit raise with a pointer to ``minhash_lsh_clusters``, the
     sub-quadratic path."""
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
         if len(g) > max_block:
             raise ValueError(
                 f"ngram_jaccard_pairs block {g[block_col].iloc[0]!r} has "
@@ -557,21 +565,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
                 jac = inter / union if union else 0.0
                 if jac >= threshold:
                     out.append((docs[i], docs[j], jac))
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+        return pa.table(
+            {"a": pa.array([r[0] for r in out], pa.int64()),
+             "b": pa.array([r[1] for r in out], pa.int64()),
+             "jaccard": pa.array([r[2] for r in out], pa.float64())})
 
-    pair_ds = ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")
-    rows = sorted(
-        ((r["a"], r["b"], r["jaccard"]) for r in pair_ds.take_all())
-    )
-    return pa.table(
-        {"a": pa.array([r[0] for r in rows], pa.int64()),
-         "b": pa.array([r[1] for r in rows], pa.int64()),
-         "jaccard": pa.array([r[2] for r in rows], pa.float64())}
-    )
+    return ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")
 
 
 # -------------------------------------------------- embedding near-dup
@@ -580,11 +579,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
 def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                             block_col: str = "label",
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id") -> pa.Table:
-    """Blocked pairwise cosine near-dup over an embedding column —
-    numpy matmul per block inside map_groups."""
+                            id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Blocked pairwise cosine near-dup over an embedding column, AS A
+    DATASET — numpy matmul per block inside map_groups; blocks are
+    disjoint so each pair is emitted once (no dedup shuffle)."""
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         # float64 throughout so quantized cosines agree with the DuckDB
@@ -597,13 +597,9 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
         iu = np.triu_indices(len(ids), k=1)
         mask = sim[iu] >= threshold
         a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64),
-                             "cosine": sim[iu][mask].astype(np.float64)})
+        return pa.table(
+            {"a": pa.array(a.astype(np.int64), pa.int64()),
+             "b": pa.array(b.astype(np.int64), pa.int64()),
+             "cosine": pa.array(sim[iu][mask].astype(np.float64), pa.float64())})
 
-    pair_ds = ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")
-    rows = sorted(((r["a"], r["b"], r["cosine"]) for r in pair_ds.take_all()))
-    return pa.table(
-        {"a": pa.array([r[0] for r in rows], pa.int64()),
-         "b": pa.array([r[1] for r in rows], pa.int64()),
-         "cosine": pa.array([r[2] for r in rows], pa.float64())}
-    )
+    return ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")

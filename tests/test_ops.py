@@ -280,3 +280,28 @@ def test_ann_ivf_recall_and_exhaustive(embs):
     full = pa.Table.from_pandas(
         A.ivf_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=8).to_pandas())
     assert A.recall_at_k(full, exact, k=5) == 1.0
+
+
+def test_simhash_pairs_exact_vs_bruteforce(docs):
+    """The distributed simhash path (band explode → coarse-bucket pair
+    gen → groupby(a,b) min-fold dedup) must equal the O(n²) in-process
+    oracle EXACTLY: max_hamming=6 < bands=8, so banding is recall-1 by
+    pigeonhole and the whole op is deterministic."""
+    from rookray.ops import dedup as D
+
+    ds = _with_planted_dups(docs)
+    pairs = D.simhash_pairs(ds, max_hamming=6, concurrency=2).to_pandas()
+    got = {(min(a, b), max(a, b), h)
+           for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
+
+    sig = D.SimHasher()(ds.to_pandas())
+    s = sig["simhash"].to_numpy().astype(np.uint64)
+    ids = sig["doc_id"].to_numpy()
+    exp = set()
+    for i in range(len(ids)):
+        ham = D._popcount64(s[i] ^ s[i + 1:])
+        for j in np.flatnonzero(ham <= 6):
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            exp.add((min(a, b), max(a, b), int(ham[j])))
+    assert len(exp) > 0
+    assert got == exp
