@@ -90,3 +90,39 @@ def test_pack_repartition_invariant():
         expect.extend(toks)
         expect.append(0)
     assert stream == expect
+
+
+def test_pack_distributed_prefix_sum_int_ids():
+    """Integer ids take the DISTRIBUTED offset path (bucket totals →
+    driver cumsum over bucket sums → per-bucket local cumsum).  Forced
+    multi-bucket (bucket_width=8, sparse non-contiguous ids) + coarse
+    assembly (assemble_coarse=4): the stream must equal the in-process
+    doc_id-ordered concatenation exactly, and be repartition-invariant."""
+    rng = np.random.RandomState(11)
+    ids = (np.arange(97) * 13 + 5).tolist()  # sparse, gaps, many buckets
+    docs = [(int(i), rng.randint(0, 999, rng.randint(1, 70)).tolist())
+            for i in ids]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "tokens": pa.array([tk for _, tk in docs], pa.list_(pa.int32())),
+    })
+
+    def run(ds):
+        df = pack_sequences(ds, context_len=96, bucket_width=8,
+                            assemble_coarse=4).to_pandas()
+        df["tokens"] = df["tokens"].map(tuple)
+        return df.sort_values("pack_id").reset_index(drop=True)
+
+    a = run(ray.data.from_arrow(t))
+    b = run(ray.data.from_arrow(t).repartition(17))
+    assert a.equals(b)
+    assert a["pack_id"].is_unique
+    assert list(a["pack_id"]) == list(range(len(a)))
+    assert (a["n_tok"].iloc[:-1] == 96).all()
+    stream = [tok for toks in a["tokens"] for tok in toks]
+    expect = []
+    for d, toks in sorted(docs):
+        expect.extend(toks)
+        expect.append(0)
+    assert stream == expect
+    assert int(a["n_docs"].sum()) == len(docs)
