@@ -806,6 +806,34 @@ def ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def ann_lsh_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """The LSH machinery at its EXHAUSTIVE setting (n_planes=0 → one
+    bucket holds everything, every query scans the full corpus) —
+    mathematically identical to brute force, which pins the bucketed
+    scoring path (broadcast state, per-batch partial top-k, final
+    merge, deterministic tie-break) to the DuckDB oracle; the
+    approximate setting (``ann_lsh``) stays rows-only by design."""
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.lsh_topk(ds, qids, qmat, k=10, n_planes=0).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def ann_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """The IVF machinery at its EXHAUSTIVE setting (nprobe =
+    n_centroids: every query probes every cell) — identical to brute
+    force, oracle-checking the centroid assignment / probe routing /
+    merge machinery; the approximate setting (``ann_ivf``) stays
+    rows-only by design."""
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.ivf_topk(ds, qids, qmat, k=10, n_centroids=16,
+                     nprobe=16).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def multimodal_features(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import multimodal as M
     media = M.media_from_documents(_read(sf_dir, "documents"))
@@ -1127,6 +1155,8 @@ QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_lsh_exhaustive": ann_lsh_exhaustive,
+    "ann_ivf_exhaustive": ann_ivf_exhaustive,
     # multimodal
     "multimodal_features": multimodal_features,
     # sequence packing
@@ -1163,6 +1193,10 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    # exhaustive-setting variants degenerate to brute force exactly,
+    # pinning the LSH/IVF machinery to the same SQL oracle
+    "ann_lsh_exhaustive": ANN_BRUTEFORCE_SQL,
+    "ann_ivf_exhaustive": ANN_BRUTEFORCE_SQL,
     # full-engine flagship: DuckDB replays the same change log
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
