@@ -23,7 +23,6 @@ Scale shape (per the Ray Data guide's dedup pattern):
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -43,18 +42,26 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 def exact_groups(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset":
     """(doc_id, group_size) — one survivor (min doc_id) per distinct
-    content hash, with its duplicate-group size."""
+    content hash, with its duplicate-group size.
+
+    Bucketing key = TWO independent vectorized 64-bit polynomial hashes
+    (``hash_strings`` variants 0/1, an effective 128-bit key — a single
+    64-bit hash collides at 10¹⁰ docs by the birthday bound; round 2
+    used a per-row Python ``hashlib.md5`` map here, which parallelized
+    but burned a core per batch).  md5 survives only where SQL needs it
+    (``fingerprint_md5`` / DEDUP_EXACT_SQL group equivalence is by
+    CONTENT, so any injective key yields identical groups)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         # per-batch combiner: hash + in-batch min/count per hash, so the
         # shuffle ships one row per (hash, batch) instead of per doc
-        text = batch.column(col).to_pandas()
-        md5 = text.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        text = batch.column(col)
         df = pd.DataFrame(
             {"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
-             "h": md5}
+             "h0": hash_strings(text, 0).astype(np.int64),
+             "h1": hash_strings(text, 1).astype(np.int64)}
         )
-        g = (df.groupby("h", sort=False)
+        g = (df.groupby(["h0", "h1"], sort=False)
              .agg(doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
              .reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -62,7 +69,7 @@ def exact_groups(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset
     from ray.data.aggregate import Min, Sum
 
     hashed = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = hashed.groupby("h").aggregate(
+    out = hashed.groupby(["h0", "h1"]).aggregate(
         Min("doc_id", alias_name="doc_id"),
         Sum("group_size", alias_name="group_size"),
     )

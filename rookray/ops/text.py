@@ -114,10 +114,23 @@ class LangId:
 
     def __init__(self, profiles: dict[str, set[str]]):
         self.langs = sorted(profiles)
-        self.tri_to_langs: dict[str, np.ndarray] = {}
+        # profile trigrams as sorted 24-bit byte codes + a (trigram ×
+        # lang) membership matrix — the vectorized lookup table (the
+        # round-2 per-row Python dict loop was ~10× slower per core).
+        # Non-3-byte (multi-byte UTF-8) trigrams are dropped from the
+        # table; scoring uses the same byte-trigram space, so the
+        # feature space stays consistent.
+        by_code: dict[int, np.ndarray] = {}
         for li, lang in enumerate(self.langs):
             for t in profiles[lang]:
-                self.tri_to_langs.setdefault(t, np.zeros(len(self.langs)))[li] += 1.0
+                bt = t.encode("utf-8")
+                if len(bt) != 3 or 0 in bt:
+                    continue
+                code = (bt[0] << 16) | (bt[1] << 8) | bt[2]
+                by_code.setdefault(code, np.zeros(len(self.langs)))[li] += 1.0
+        self.codes = np.array(sorted(by_code), dtype=np.int64)
+        self.M = (np.stack([by_code[c] for c in self.codes])
+                  if len(by_code) else np.zeros((0, len(self.langs))))
 
     @staticmethod
     def build_profiles(sample: pd.DataFrame, text_col: str = "text",
@@ -134,14 +147,33 @@ class LangId:
         return profiles
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized scoring: all texts concatenated into one
+        # byte buffer (NUL-separated), trigram codes by three shifted
+        # slices, per-doc DISTINCT via np.unique on (doc, code) keys,
+        # profile lookup via searchsorted, scatter-add of lang rows
         texts = (" " + batch["text"].str.lower() + " ").tolist()
-        scores = np.zeros((len(texts), len(self.langs)))
-        for ri, s in enumerate(texts):
-            seen = {s[i:i + 3] for i in range(len(s) - 2)}
-            for t in seen:
-                v = self.tri_to_langs.get(t)
-                if v is not None:
-                    scores[ri] += v
+        n = len(texts)
+        scores = np.zeros((n, len(self.langs)))
+        enc = [t.encode("utf-8") for t in texts]
+        if n and self.codes.size:
+            buf = np.frombuffer(b"\x00\x00".join(enc), dtype=np.uint8)
+            lens = np.fromiter((len(b) for b in enc), np.int64, count=n)
+            offs = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                offs[1:] = np.cumsum(lens[:-1] + 2)
+            if buf.size >= 3:
+                a = buf.astype(np.int64)
+                code = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+                valid = (a[:-2] != 0) & (a[1:-1] != 0) & (a[2:] != 0)
+                pos = np.flatnonzero(valid)
+                doc = np.searchsorted(offs, pos, side="right") - 1
+                key = (doc << np.int64(24)) | code[pos]
+                uk = np.unique(key)  # per-doc DISTINCT trigrams
+                ud, uc = uk >> np.int64(24), uk & np.int64(0xFFFFFF)
+                idx = np.searchsorted(self.codes, uc)
+                idx_c = np.minimum(idx, len(self.codes) - 1)
+                hit = self.codes[idx_c] == uc
+                np.add.at(scores, ud[hit], self.M[idx_c[hit]])
         best = np.argmax(scores, axis=1)
         return pd.DataFrame(
             {

@@ -12,21 +12,38 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-_BASE = np.uint64(1099511628211)  # FNV prime, used as polynomial base
 _MAX_LEN = 4096
-_POWS = np.empty(_MAX_LEN, dtype=np.uint64)
-_p = 1
-for _i in range(_MAX_LEN):  # python-int modular pow avoids overflow warnings
-    _POWS[_i] = _p
-    _p = (_p * int(_BASE)) % (1 << 64)
 
 
-def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+def _pow_table(base: int) -> np.ndarray:
+    pows = np.empty(_MAX_LEN, dtype=np.uint64)
+    p = 1
+    for i in range(_MAX_LEN):  # python-int modular pow avoids overflow warnings
+        pows[i] = p
+        p = (p * base) % (1 << 64)
+    return pows
+
+
+_BASE = np.uint64(1099511628211)  # FNV prime, used as polynomial base
+#: per-variant (pow table, length-mix salt): variant 1 uses an
+#: independent base so (h0, h1) is an effective 128-bit key — exact
+#: dedup at 10¹⁰ docs collides a single 64-bit hash (birthday bound),
+#: the pair doesn't
+_VARIANTS = (
+    (_pow_table(int(_BASE)), np.uint64(0x9E3779B97F4A7C15)),
+    (_pow_table(1000003), np.uint64(0xC2B2AE3D27D4EB4F)),
+)
+_POWS = _VARIANTS[0][0]
+
+
+def hash_strings(arr: pa.Array | pa.ChunkedArray, variant: int = 0) -> np.ndarray:
     """Deterministic 64-bit polynomial hash of each UTF-8 string,
     fully vectorized over the flat value buffer (no per-row loop).
 
     h(s) = sum_i byte[i] * BASE^(len-1-i)  (mod 2^64), finalized with a
     splitmix-style mix so low bits distribute well for ``% P``.
+    ``variant=1`` hashes with an independent base/salt — pair the two
+    for an effective 128-bit exact-equality key.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -41,6 +58,7 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
     starts, ends = offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
     lens = ends - starts
+    pows, salt = _VARIANTS[variant]
     if lens.max(initial=0) >= _MAX_LEN:
         raise ValueError("string too long for vectorized hash")
     total = int(lens.sum())
@@ -50,7 +68,7 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(lens[:-1])]), lens
         )
-        weights = _POWS[(np.repeat(lens, lens) - 1 - pos)]
+        weights = pows[(np.repeat(lens, lens) - 1 - pos)]
         seg = data[
             np.repeat(starts, lens)
             + pos
@@ -59,7 +77,7 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         bounds = np.concatenate([[0], np.cumsum(lens)])
         sums = cum[bounds[1:]] - cum[bounds[:-1]]
     # finalize (splitmix64) + mix in length
-    z = sums + lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z = sums + lens.astype(np.uint64) * salt
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
