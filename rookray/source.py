@@ -21,6 +21,8 @@ from typing import Callable
 
 import pyarrow.parquet as pq
 
+from ray.data.datasource import Datasource
+
 
 class ShardTailer:
     """Tail a shard directory and apply new epochs to targets.
@@ -188,6 +190,119 @@ class LiveTailer(ShardTailer):
         if self._thread is not None:
             self._thread.join(join_timeout_s)
         super().disconnect()
+
+
+class ShardStreamDatasource(Datasource):
+    """Unbounded shard-directory tail INSIDE the Ray Data executor —
+    the S1 endgame: the live tail is no longer a driver-side Python
+    thread but a set of read tasks streaming blocks under executor
+    backpressure (rook's I/O thread inside ``BinaryLogClient``,
+    MySQLReplicationStream.java:98-120, re-expressed as a Ray
+    ``Datasource``).
+
+    Each of N read tasks owns the shards whose discovery index ≡ task
+    index (mod N); discovery order is sorted filename = gtid order, so
+    blocks within a task are gtid-ordered and the global order is
+    reconstructible from the gtid column.  A task polls the directory
+    and YIELDS each newly-arrived owned shard as one Arrow block — the
+    streaming executor pulls blocks with backpressure, so in-flight
+    data stays bounded no matter how fast shards land (the Dataset
+    analog of LiveTailer's one-epoch in-flight bound).  The stream
+    ends when the producer drops a sentinel file (EOF) and every owned
+    shard is drained, or after ``idle_timeout_s`` with no arrivals.
+
+    Assumes the shard directory is on storage visible to every worker
+    (true for any lake deployment; single-node local paths in tests)."""
+
+    def __init__(self, shard_dir: str, pattern: str = "events-*.parquet",
+                 poll_interval_s: float = 0.1,
+                 idle_timeout_s: float | None = 30.0,
+                 sentinel: str = "_STREAM_EOF"):
+        self.shard_dir = shard_dir
+        self.pattern = pattern
+        self.poll_interval_s = poll_interval_s
+        self.idle_timeout_s = idle_timeout_s
+        self.sentinel = sentinel
+
+    # --- Datasource interface -------------------------------------
+    def get_name(self) -> str:
+        return f"ShardStream({os.path.basename(self.shard_dir)})"
+
+    def estimate_inmemory_data_size(self):
+        return None  # unbounded
+
+    def supports_distributed_reads(self) -> bool:
+        return True
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        n = max(1, parallelism)
+        shard_dir, pattern = self.shard_dir, self.pattern
+        poll, idle, sentinel = (self.poll_interval_s, self.idle_timeout_s,
+                                self.sentinel)
+
+        def make_read_fn(task_idx: int):
+            def read_fn():
+                seen: set[str] = set()
+                last_new = time.monotonic()
+                while True:
+                    files = sorted(glob.glob(os.path.join(shard_dir, pattern)))
+                    fresh = [f for i, f in enumerate(files)
+                             if i % n == task_idx and f not in seen]
+                    for f in fresh:
+                        seen.add(f)
+                        last_new = time.monotonic()
+                        yield pq.read_table(f)
+                    eof = os.path.exists(os.path.join(shard_dir, sentinel))
+                    if eof and not fresh:
+                        # one final sweep in case shards landed with
+                        # the sentinel
+                        files = sorted(glob.glob(
+                            os.path.join(shard_dir, pattern)))
+                        tail = [f for i, f in enumerate(files)
+                                if i % n == task_idx and f not in seen]
+                        for f in tail:
+                            seen.add(f)
+                            yield pq.read_table(f)
+                        return
+                    if (idle is not None and not fresh
+                            and time.monotonic() - last_new > idle):
+                        return
+                    time.sleep(poll)
+            return read_fn
+
+        meta = BlockMetadata(num_rows=None, size_bytes=None,
+                             exec_stats=None, input_files=None)
+        return [ReadTask(make_read_fn(i), meta) for i in range(n)]
+
+
+def stream_events(shard_dir: str, pattern: str = "events-*.parquet",
+                  parallelism: int = 4, poll_interval_s: float = 0.1,
+                  idle_timeout_s: float | None = 30.0,
+                  sentinel: str = "_STREAM_EOF"):
+    """An UNBOUNDED ``ray.data.Dataset`` over a live shard directory:
+    blocks stream out of ``ShardStreamDatasource`` read tasks as shards
+    arrive, under executor backpressure — compose with ``map_batches``
+    / windowed aggregates / ``write_parquet`` like any Dataset.  End
+    the stream by dropping ``sentinel`` in the directory (producer
+    EOF) or letting ``idle_timeout_s`` elapse.
+
+    Emission granularity: Ray Data's read op buffers each task's
+    yielded blocks up to ``DataContext.target_max_block_size`` (default
+    128 MB) before emitting downstream — memory stays bounded per task
+    and throughput is optimal, but a low-rate tail flushes only at that
+    boundary (or at EOF).  For latency-sensitive tails, lower
+    ``ray.data.DataContext.get_current().target_max_block_size`` before
+    building the pipeline."""
+    import ray.data
+
+    return ray.data.read_datasource(
+        ShardStreamDatasource(shard_dir, pattern, poll_interval_s,
+                              idle_timeout_s, sentinel),
+        override_num_blocks=parallelism,
+    )
 
 
 def shard_gtid_range(path: str) -> tuple[int, int]:

@@ -192,3 +192,81 @@ def test_fanout_manifest_aggregates_min_watermark(tmp_path):
     assert_tables_equal(lake1.state_table(), final_state(cfg))
     assert_tables_equal(lake2.state_table(), final_state(cfg))
     assert fan.manifest()["closed_watermark"] == meta["gtid_max"]
+
+
+def test_shard_stream_datasource_exactly_once_and_streaming(tmp_path):
+    """The unbounded Datasource tail: shards arriving WHILE the Dataset
+    is being consumed stream out exactly-once under executor
+    backpressure, and consumption overlaps production (the live tail
+    runs inside read tasks, not a driver thread)."""
+    import threading
+    import time
+
+    from rookray.source import stream_events
+
+    cfg = GenConfig(n_docs=30, n_events=500)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+    live = tmp_path / "live"
+    live.mkdir()
+
+    writer_done = threading.Event()
+
+    def writer():
+        for f in meta["files"]:
+            shutil.copy(f, live / os.path.basename(f))
+            time.sleep(0.6)
+        (live / "_STREAM_EOF").touch()
+        writer_done.set()
+
+    import ray.data as rd
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    # the read op buffers each task's yields to target_max_block_size
+    # before emitting — shrink it so tiny test shards flush per-arrival
+    # and the overlap is observable (the documented latency knob)
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        ds = stream_events(str(live), parallelism=3)
+        gtids = []
+        overlapped = False
+        # batch_size=None → one batch per streamed block (the default
+        # 1024 re-batching would buffer the whole 500-row stream)
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            if not writer_done.is_set():
+                overlapped = True
+            gtids.extend(b.column("gtid").to_pylist())
+        t.join()
+    finally:
+        ctx.target_max_block_size = saved
+    assert sorted(gtids) == list(range(1, 501))  # exactly once, complete
+    assert overlapped, "consumption never overlapped production"
+
+
+def test_shard_stream_idle_timeout_and_composition(tmp_path):
+    """No sentinel: the stream drains pre-existing shards and ends on
+    idle timeout; composed through map_batches + groupby it matches the
+    batch read_parquet equivalent."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from rookray.source import stream_events
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "live"), n_shards=4)
+
+    def ops_per_table(ds):
+        from ray.data.aggregate import Count
+        return (ds.map_batches(lambda t: t.select(["table", "op"]),
+                               batch_format="pyarrow")
+                .groupby(["table", "op"]).aggregate(Count(alias_name="n"))
+                .to_pandas().sort_values(["table", "op"])
+                .reset_index(drop=True))
+
+    streamed = ops_per_table(
+        stream_events(str(tmp_path / "live"), parallelism=2,
+                      idle_timeout_s=1.5))
+    batch = ops_per_table(ray.data.read_parquet(meta["files"]))
+    assert streamed.equals(batch)
