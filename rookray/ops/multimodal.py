@@ -1,11 +1,14 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool decode/feature stages.
 
-The image/audio/video codec libraries are NOT in this container, so the
-actual decode is stubbed two ways (clearly marked):
+AUDIO is decoded FOR REAL: WAV (RIFF PCM) payloads parse with the
+stdlib ``wave`` module into sample arrays and featurize as a 64-band
+magnitude spectrum (numpy rfft) — no codec library needed.  The
+image/video codec libraries are NOT in this container, so those decodes
+are stubbed two ways (clearly marked):
 
 * ``strict=True``  → ``NotImplementedError`` at the decode call — the
-  production integration point (swap in PIL/torchaudio/pyav there);
+  production integration point (swap in PIL/pyav there);
 * ``strict=False`` → a deterministic fake decoder (byte-histogram
   features, hash-derived "dimensions"), so the Ray-side plumbing —
   schema, small batch sizes for large payloads, actor signature,
@@ -25,6 +28,68 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+# ------------------------------------------------------ real WAV codec
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV bytes from a float array in [-1, 1] —
+    stdlib ``wave`` writer (deterministic; test/bench substrate and a
+    real encoder for sinks)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, float64 samples in [-1, 1]) from WAV bytes —
+    stdlib ``wave`` parser, REAL decode (16-bit PCM mono/stereo;
+    stereo averages to mono)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got {width*8}-bit")
+    pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32767.0
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return rate, pcm
+
+
+def is_wav(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 12
+            and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+
+
+def wav_spectrum_features(samples: np.ndarray, dim: int = 64,
+                          window: int = 2048) -> np.ndarray:
+    """64-band log-magnitude spectrum of the first ``window`` samples
+    (rfft + band-sum + log1p, L2-normalized) — a real DSP feature from
+    real decoded audio, no codec library involved."""
+    x = np.asarray(samples, dtype=np.float64)[:window]
+    if x.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(x, n=window))
+    bands = np.add.reduceat(mag, np.linspace(0, mag.size, dim,
+                                             endpoint=False).astype(np.int64))
+    feats = np.log1p(bands)
+    n = np.linalg.norm(feats)
+    return (feats / n if n > 0 else feats).astype(np.float32)
+
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -53,19 +118,22 @@ class DecodeFeatures:
         self.projection = rng.standard_normal((256, self.FEATURE_DIM)).astype(np.float32)
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if is_wav(payload):
+            # REAL codec path: stdlib wave parse → spectrum feature
+            # (works in strict mode too — nothing is stubbed here)
+            _, samples = decode_wav(payload)
+            return wav_spectrum_features(samples, self.FEATURE_DIM)
         if self.strict:
-            # PRODUCTION INTEGRATION POINT — no codec libs in this
-            # container; plug PIL.Image.open / soundfile / pyav here.
+            # PRODUCTION INTEGRATION POINT — no image/video codec libs
+            # in this container; plug PIL.Image.open / pyav here.
             raise NotImplementedError("media decode requires codec libraries")
         counts = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
-        return counts.astype(np.float32)
+        norm = counts.sum() or 1.0
+        return ((counts / norm) @ self.projection).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        hists = np.stack([self._decode(p or b"") for p in payloads])
-        norm = hists.sum(axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        feats = (hists / norm) @ self.projection
+        feats = np.stack([self._decode(p or b"") for p in payloads])
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -126,25 +194,34 @@ class FrameSampleStub:
 
 
 def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Synthesize a media table from the documents table (text bytes as
-    the opaque payload) — test/bench substrate, deterministic."""
+    """Synthesize a media table from the documents table — test/bench
+    substrate, deterministic.  AUDIO rows carry REAL WAV payloads
+    (doc_id-seeded sine tones through ``encode_wav``) so the real codec
+    path is exercised end-to-end; image/video rows carry text bytes as
+    the opaque stand-in payload."""
 
     def to_media(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        payload = pc.cast(text, pa.binary())
-        n = len(batch)
+        payload = pc.cast(text, pa.binary()).to_pylist()
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rate = 8000
+        t = np.arange(rate // 4, dtype=np.float64) / rate  # 250 ms
+        for i in np.flatnonzero(doc % 3 == 1):
+            freq = 110.0 + float(doc[i] % 880)  # deterministic pitch
+            payload[i] = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
         return pa.table(
             {
                 "media_id": batch.column("doc_id"),
-                "payload": payload,
+                "payload": pa.array(payload, pa.binary()),
                 "media_type": pa.array(
                     np.where(doc % 3 == 0, "image",
                              np.where(doc % 3 == 1, "audio", "video")).astype(object),
                     pa.string()),
                 "width": pa.array((doc % 640 + 32).astype(np.int32)),
                 "height": pa.array((doc % 480 + 32).astype(np.int32)),
-                "duration_ms": pa.array((doc % 5000 + 100).astype(np.int32)),
+                "duration_ms": pa.array(
+                    np.where(doc % 3 == 1, 250, doc % 5000 + 100)
+                    .astype(np.int32)),
             }
         )
 
