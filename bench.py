@@ -38,7 +38,9 @@ BENCH_QUERIES = [
     "join_orders_segment",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_bruteforce",
+    "pack_training_chunks",
     "text_token_counts",
     "text_quality",
 ]
