@@ -1,0 +1,178 @@
+"""Composed corpus-cleaning pipeline: quality filter → boilerplate
+prefix dedup → tokenize → GPT-style sequence packing.
+
+The end-to-end training-data shape, entirely vectorized and entirely
+SQL-checkable (see CORPUS_CLEAN_PACK_SQL in rookray.queries): every
+stage is a Dataset transform, intermediates never land on the driver.
+
+* quality filter — the same fixed formula as ``ops.text.quality_batch``
+  (stopword/word-length reward minus punctuation penalty), compared on
+  the QUANTIZED integer score so the engine and the DuckDB oracle make
+  the identical keep/drop decision at the threshold boundary (raw
+  float comparison could flip a doc within 1 ulp of the cut);
+* prefix dedup — one survivor (min doc_id) per distinct first-N-token
+  prefix: the cheap boilerplate-removal pass (identical lead-ins are
+  near-certain template dups); same hash-pair + groupby + semi-join
+  shape as ``ops.dedup.exact_groups`` (the 128-bit key never ships the
+  text, the semi-join ships surviving text exactly once);
+* tokenize — whitespace tokens hashed to int32 ids with the vectorized
+  polynomial hash (split → empty-filter → flat hash → list rebuild; no
+  per-row loop);
+* pack — ``ops.pack.pack_sequences`` (distributed prefix-sum offsets,
+  coarse assembly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from rookray.util import hash_strings
+
+#: quantized quality threshold (score × 10⁶, integer compare both sides)
+DEFAULT_QUALITY_Q = 600_000
+DEFAULT_PREFIX_TOKENS = 3
+
+_STOPWORDS_PAT = (
+    r"\b(the|a|an|and|or|of|to|in|is|are|was|were|be|been|it|this|that"
+    r"|with|as|for|on|at|by|from)\b"
+)
+
+
+def quality_q_batch(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Quantized quality score floor(score·10⁶ + 0.5) as int64 — the
+    exact integer the SQL oracle computes (formula from
+    ``ops.text.quality_batch``)."""
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(text, pattern="[A-Za-z]+"),
+                      pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern="[.,;:!?]"),
+                      pa.float64())
+    alpha = pc.cast(pc.count_substring_regex(text, pattern="[A-Za-z]"),
+                    pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, pattern=_STOPWORDS_PAT),
+                     pa.float64())
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    score = pc.subtract(
+        pc.add(pc.min_element_wise(pc.divide(n_stop, safe_words), 0.5),
+               pc.min_element_wise(
+                   pc.divide(pc.divide(alpha, safe_words), 8.0), 1.0)),
+        pc.multiply(pc.divide(n_punct, pc.max_element_wise(n_chars, 1.0)),
+                    2.0),
+    )
+    s = score.to_numpy(zero_copy_only=False)
+    return np.floor(s * 1_000_000 + 0.5).astype(np.int64)
+
+
+def _split_words(text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace tokens per doc, empties removed, fully vectorized.
+
+    Returns (flat kept words, kept counts per doc, doc index per kept
+    word).  ``utf8_split_whitespace`` emits empty strings at string
+    edges; the empty-filter runs on the flat value array (numpy mask +
+    arrow filter), never per row."""
+    lists = pc.utf8_split_whitespace(text)
+    lists = pa.chunked_array([lists]).combine_chunks() \
+        if isinstance(lists, pa.ChunkedArray) else lists
+    flat = lists.flatten()
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    n = len(lens)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    keep &= ~np.asarray(pc.is_null(flat).to_numpy(zero_copy_only=False),
+                        dtype=bool)
+    kept = flat.filter(pa.array(keep))
+    kept_doc = doc_of[keep]
+    counts = np.bincount(kept_doc, minlength=n).astype(np.int64)
+    return kept, counts, kept_doc
+
+
+def _prefix_key(text: pa.Array, n_prefix: int) -> pa.Array:
+    """First ``n_prefix`` whitespace tokens joined by a single space —
+    the boilerplate key (vectorized list rebuild + ``binary_join``)."""
+    kept, counts, kept_doc = _split_words(text)
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])]) \
+        if len(counts) else np.zeros(0, np.int64)
+    rank = np.arange(len(kept_doc), dtype=np.int64) - starts[kept_doc] \
+        if len(kept_doc) else np.zeros(0, np.int64)
+    sel = rank < n_prefix
+    take = kept.filter(pa.array(sel)) if len(kept) else kept
+    pref_counts = np.minimum(counts, n_prefix)
+    offsets = pa.array(np.concatenate([[0], np.cumsum(pref_counts)]),
+                       pa.int32())
+    lists3 = pa.ListArray.from_arrays(offsets, take)
+    return pc.binary_join(lists3, " ")
+
+
+def tokenize_batch(batch: pa.Table, col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, tokens: list<int32>, n_tok) — whitespace tokens hashed
+    to non-negative int32 ids via the vectorized polynomial hash."""
+    text = batch.column(col).combine_chunks()
+    kept, counts, _ = _split_words(text)
+    ids = (hash_strings(kept) & np.uint64(0x7FFFFFFF)).astype(np.int32) \
+        if len(kept) else np.zeros(0, np.int32)
+    offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]), pa.int32())
+    tokens = pa.ListArray.from_arrays(offsets, pa.array(ids, pa.int32()))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "tokens": tokens,
+        "n_tok": pa.array(counts.astype(np.int32), pa.int32()),
+    })
+
+
+def clean_corpus(ds: "ray.data.Dataset", quality_q: int = DEFAULT_QUALITY_Q,
+                 prefix_tokens: int = DEFAULT_PREFIX_TOKENS,
+                 col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """quality-filter + prefix-dedup the documents Dataset; returns the
+    surviving (doc_id, text) rows."""
+    from ray.data.aggregate import Min
+
+    from rookray.ops.dedup import _JOIN_ARGS, _join_partitions
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        qq = quality_q_batch(batch.column(col).combine_chunks())
+        return batch.filter(pa.array(qq >= quality_q))
+
+    filtered = ds.map_batches(keep_quality, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def prefix_hashes(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: (prefix-hash pair, min doc) — the dedup
+        # shuffle never ships text
+        import pandas as pd
+        pfx = _prefix_key(batch.column(col).combine_chunks(), prefix_tokens)
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "h0": hash_strings(pfx, 0).astype(np.int64),
+            "h1": hash_strings(pfx, 1).astype(np.int64),
+        })
+        g = df.groupby(["h0", "h1"], sort=False)[id_col].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    survivors = (filtered.map_batches(prefix_hashes, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                 .groupby(["h0", "h1"])
+                 .aggregate(Min(id_col, alias_name=id_col))
+                 .select_columns([id_col])
+                 .materialize())
+    return filtered.join(survivors, join_type="left_semi", on=(id_col,),
+                         num_partitions=_join_partitions(),
+                         aggregator_ray_remote_args=_JOIN_ARGS)
+
+
+def clean_pack(ds: "ray.data.Dataset", context_len: int = 128,
+               quality_q: int = DEFAULT_QUALITY_Q,
+               prefix_tokens: int = DEFAULT_PREFIX_TOKENS) -> "ray.data.Dataset":
+    """The full composition: clean → tokenize → pack.  Returns packed
+    training blocks (pack_id, tokens, n_docs, n_tok)."""
+    from rookray.ops.pack import pack_sequences
+
+    cleaned = clean_corpus(ds, quality_q, prefix_tokens)
+    tokenized = cleaned.map_batches(tokenize_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return pack_sequences(tokenized, context_len=context_len)

@@ -766,6 +766,64 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def corpus_clean_pack(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END training-data pipeline over documents: quality
+    filter (quantized-score threshold) → boilerplate prefix dedup (one
+    survivor per first-3-token prefix) → whitespace tokenize → GPT-
+    style 128-token packing.  Every stage distributed and vectorized
+    (rookray/ops/corpus.py); output is the pack summary, closed-form
+    in SQL via the same window-cumsum as PACK_TRAINING_CHUNKS_SQL."""
+    from rookray.ops.corpus import clean_pack
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = clean_pack(ds, context_len=128).to_pandas()
+    return (out[["pack_id", "n_docs", "n_tok"]]
+            .sort_values("pack_id").reset_index(drop=True))
+
+
+CORPUS_CLEAN_PACK_SQL = r"""
+WITH sig AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
+         len(regexp_extract_all(text,
+             '\b(the|a|an|and|or|of|to|in|is|are|was|were|be|been|it|this|that|with|as|for|on|at|by|from)\b'))
+             AS n_stop,
+         length(text) AS n_chars
+  FROM documents),
+f AS (
+  SELECT doc_id, text FROM sig
+  WHERE CAST(floor((least(n_stop / greatest(n_words, 1)::DOUBLE, 0.5)
+                    + least(alpha_chars / greatest(n_words, 1)::DOUBLE / 8.0, 1.0)
+                    - 2.0 * (n_punct / greatest(n_chars, 1)::DOUBLE)) * 1000000 + 0.5)
+             AS BIGINT) >= 600000),
+p AS (
+  SELECT doc_id, text,
+         array_to_string(regexp_extract_all(text, '\S+')[1:3], ' ') AS pfx
+  FROM f),
+s AS (
+  SELECT doc_id, text FROM p
+  QUALIFY row_number() OVER (PARTITION BY pfx ORDER BY doc_id) = 1),
+d AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) + 1 AS sl
+      FROM s),
+o AS (SELECT doc_id, sl,
+             sum(sl) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - sl AS st
+      FROM d),
+tot AS (SELECT CAST(sum(sl) AS BIGINT) AS total FROM d),
+blocks AS (SELECT unnest(range(CAST(ceil(total / 128.0) AS BIGINT))) AS pack_id
+           FROM tot),
+starts AS (SELECT CAST(st // 128 AS BIGINT) AS pack_id, count(*) AS n_docs
+           FROM o GROUP BY 1)
+SELECT b.pack_id,
+       CAST(coalesce(starts.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN b.pack_id = (t.total - 1) // 128
+                 THEN t.total - b.pack_id * 128 ELSE 128 END AS BIGINT) AS n_tok
+FROM blocks b CROSS JOIN tot t LEFT JOIN starts ON starts.pack_id = b.pack_id
+"""
+
+
 def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import ann as A
     ds = _read(sf_dir, "embeddings")
@@ -1162,6 +1220,8 @@ QUERIES = {
     # sequence packing
     "pack_training_chunks": pack_training_chunks,
     "pack_split_chunks": pack_split_chunks,
+    # composed end-to-end corpus pipeline
+    "corpus_clean_pack": corpus_clean_pack,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -1203,6 +1263,7 @@ ORACLES = {
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,
+    "corpus_clean_pack": CORPUS_CLEAN_PACK_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,

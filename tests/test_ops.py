@@ -380,3 +380,39 @@ def test_wav_codec_real_roundtrip():
         M.media_from_documents(ray.data.from_arrow(docs_tbl)),
         strict=True).to_pandas()
     assert len(out) == 3  # strict mode: real decode, no raise
+
+
+def test_clean_corpus_prefix_dedup_and_quality():
+    """clean_corpus drops low-quality docs and keeps one survivor (min
+    doc_id) per first-3-token boilerplate prefix; tokenize_batch counts
+    match whitespace token counts."""
+    from rookray.ops.corpus import clean_corpus, tokenize_batch
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the bank " * 3),
+        (2, "The quick brown fox naps by the warm fire in the den " * 3),
+        (5, "A different lead sentence with many plain words and the usual "
+            "calm tone of this corpus " * 2),
+        (9, "!!! ??? ... ,,, ;;; :::"),  # punctuation-only → low quality
+    ]
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    out = (clean_corpus(ray.data.from_arrow(tbl))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # docs 1 and 2 share the 3-token prefix "The quick brown" → doc 2
+    # deduped; doc 9 dies on quality; 1 (min id) and 5 survive
+    assert list(out["doc_id"]) == [1, 5]
+
+    # exact same prefix → min doc survives
+    rows2 = [(7, "Subscribe to our newsletter for updates " * 4),
+             (3, "Subscribe to our newsletter and win prizes " * 4)]
+    tbl2 = pa.table({"doc_id": pa.array([r[0] for r in rows2], pa.int64()),
+                     "text": pa.array([r[1] for r in rows2], pa.string())})
+    out2 = clean_corpus(ray.data.from_arrow(tbl2)).to_pandas()
+    assert list(out2["doc_id"]) == [3]
+
+    tok = tokenize_batch(tbl)
+    assert tok.column("n_tok").to_pylist() == [
+        len(r[1].split()) for r in rows]
+    assert all(t >= 0 for t in tok.column("tokens").combine_chunks()
+               .flatten().to_pylist())
