@@ -210,19 +210,107 @@ def build_ivf_centroids(ds: "ray.data.Dataset", n_centroids: int = 16,
     return cents
 
 
+def build_ivf_centroids_distributed(ds: "ray.data.Dataset",
+                                    n_centroids: int = 16, iters: int = 5,
+                                    seed: int = 42,
+                                    vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means trained on the FULL corpus with distributed
+    Lloyd iterations — the 100-TB path the sampled builder
+    (``build_ivf_centroids``) approximates.
+
+    Per iteration: centroids broadcast once via ``ray.put``; each batch
+    assigns its vectors to the nearest centroid and emits PARTIAL
+    per-cell (sum-vector, count) rows flattened to (cell, dim, v, n) —
+    one combiner row per (cell, dim) per batch, so the shuffle carries
+    O(batches × cells × dim) tiny rows, never vectors; a distributed
+    ``groupby(cell, dim).sum`` folds them and only the (cells × dim)
+    result lands on the driver to form the next centroids.  Labels are
+    deterministic (seeded init from a bounded sample, argmax
+    tie-break-by-index), so two runs produce identical centroids."""
+    from ray.data.aggregate import Sum
+
+    # deterministic init: same bounded-sample choice as the sampled
+    # builder, so the two builders start identically
+    rows = ds.limit(max(n_centroids * 8, 256)).take_all()
+    m0 = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                              for r in rows]))
+    rng = np.random.RandomState(seed)
+    cents = m0[rng.choice(len(m0), size=min(n_centroids, len(m0)),
+                          replace=False)].copy()
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pd.DataFrame) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(np.stack(batch[vec_col].to_numpy())
+                           .astype(np.float64))
+            assign = np.argmax(m @ c.T, axis=1)
+            cells = np.unique(assign)
+            # per-batch combiner: one (cell, dim) row per present cell
+            sums = np.zeros((len(cells), dim))
+            counts = np.zeros(len(cells), dtype=np.int64)
+            for j, cell in enumerate(cells):  # ≤ n_centroids iterations
+                sel = assign == cell
+                sums[j] = m[sel].sum(axis=0)
+                counts[j] = int(sel.sum())
+            cell_rep = np.repeat(cells.astype(np.int64), dim)
+            dim_idx = np.tile(np.arange(dim, dtype=np.int64), len(cells))
+            return pa.table({
+                "cell": pa.array(cell_rep, pa.int64()),
+                "dim": pa.array(dim_idx, pa.int64()),
+                "v": pa.array(sums.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            })
+
+        agg = (ds.map_batches(partials, batch_format="pandas",
+                              batch_size=4096)
+               .groupby(["cell", "dim"])
+               .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
+               .to_pandas())  # tiny: cells × dim rows
+        new = cents.copy()
+        counts = np.zeros(len(cents), dtype=np.int64)
+        cell = agg["cell"].to_numpy()
+        dim_i = agg["dim"].to_numpy()
+        sums = np.zeros((len(cents), dim))
+        sums[cell, dim_i] = agg["v"].to_numpy()
+        first_dim = dim_i == 0
+        counts[cell[first_dim]] = (agg["n"].to_numpy()[first_dim] // 1)
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new = new / norms
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
 def ivf_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
              query_matrix: np.ndarray, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, seed: int = 42, vec_col: str = "embedding",
              id_col: str = "vec_id", exclude_self: bool = True,
-             concurrency: int = 4) -> "ray.data.Dataset":
+             concurrency: int = 4,
+             train: str = "sample") -> "ray.data.Dataset":
     """IVF cosine top-k — the inverted-file scale path alongside
     ``lsh_topk``: vectors are coarse-quantized to their nearest
     centroid; each query scores only the vectors in its ``nprobe``
     nearest cells (≈ nprobe/n_centroids of the corpus).  Centroids and
     the per-query probe lists are broadcast once via ``ray.put``;
     recall vs ``bruteforce_topk`` is the quality metric (tested);
-    ``nprobe == n_centroids`` degenerates to exhaustive search."""
-    cents = build_ivf_centroids(ds, n_centroids, seed=seed, vec_col=vec_col)
+    ``nprobe == n_centroids`` degenerates to exhaustive search.
+    ``train="distributed"`` runs full-corpus Lloyd iterations
+    (``build_ivf_centroids_distributed``) instead of the bounded-sample
+    builder — the 100-TB training path."""
+    if train == "distributed":
+        cents = build_ivf_centroids_distributed(ds, n_centroids, seed=seed,
+                                                vec_col=vec_col)
+    else:
+        cents = build_ivf_centroids(ds, n_centroids, seed=seed,
+                                    vec_col=vec_col)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     order = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
     probe_of_cell: dict[int, list[int]] = {}

@@ -892,6 +892,19 @@ def ann_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def ann_ivf_distributed_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """The DISTRIBUTED-Lloyd IVF trainer (full-corpus k-means via
+    map_batches partials + groupby fold) at the exhaustive setting —
+    again identical to brute force, so the distributed training path
+    itself is oracle-pinned."""
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.ivf_topk(ds, qids, qmat, k=10, n_centroids=16, nprobe=16,
+                     train="distributed").to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def multimodal_features(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import multimodal as M
     media = M.media_from_documents(_read(sf_dir, "documents"))
@@ -1215,6 +1228,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_lsh_exhaustive": ann_lsh_exhaustive,
     "ann_ivf_exhaustive": ann_ivf_exhaustive,
+    "ann_ivf_distributed_exhaustive": ann_ivf_distributed_exhaustive,
     # multimodal
     "multimodal_features": multimodal_features,
     # sequence packing
@@ -1257,6 +1271,7 @@ ORACLES = {
     # pinning the LSH/IVF machinery to the same SQL oracle
     "ann_lsh_exhaustive": ANN_BRUTEFORCE_SQL,
     "ann_ivf_exhaustive": ANN_BRUTEFORCE_SQL,
+    "ann_ivf_distributed_exhaustive": ANN_BRUTEFORCE_SQL,
     # full-engine flagship: DuckDB replays the same change log
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,

@@ -416,3 +416,28 @@ def test_clean_corpus_prefix_dedup_and_quality():
         len(r[1].split()) for r in rows]
     assert all(t >= 0 for t in tok.column("tokens").combine_chunks()
                .flatten().to_pylist())
+
+
+def test_ivf_distributed_training(embs):
+    """Full-corpus distributed Lloyd training: deterministic across
+    runs, centroids unit-norm, and the resulting IVF search has recall
+    >= the sampled builder at the same settings (it trains on
+    everything, not a bounded sample)."""
+    from rookray.ops import ann as A
+
+    c1 = A.build_ivf_centroids_distributed(embs, n_centroids=8, iters=4)
+    c2 = A.build_ivf_centroids_distributed(embs, n_centroids=8, iters=4)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    qids, qmat = A.make_queries(embs, 5)
+    exact = A.bruteforce_topk(embs, qids, qmat, k=5)
+    ex_tbl = pa.Table.from_pandas(exact.to_pandas())
+    dist = A.ivf_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=3,
+                      train="distributed")
+    samp = A.ivf_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=3,
+                      train="sample")
+    r_dist = A.recall_at_k(pa.Table.from_pandas(dist.to_pandas()), ex_tbl, 5)
+    r_samp = A.recall_at_k(pa.Table.from_pandas(samp.to_pandas()), ex_tbl, 5)
+    assert r_dist >= 0.5
+    assert r_dist >= r_samp - 0.2  # never materially worse
