@@ -160,3 +160,92 @@ def broadcast_join(left: "ray.data.Dataset", right_df: pd.DataFrame,
     Joiner.__name__ = f"BroadcastJoin_{on}"
     return left.map_batches(Joiner, batch_format="pandas",
                             concurrency=concurrency)
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              by: str, on: str, right_by: str, right_on: str,
+              tie_col: str | None = None, buckets: int = 64,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> "ray.data.Dataset":
+    """Distributed backward as-of join: for each left row, attach the
+    right row with the LARGEST ``right_on <= on`` among rows sharing
+    the key (``by == right_by``); equal-time ties break to the largest
+    ``tie_col``.  Left rows with no match keep typed-null right
+    payload (left-join semantics).
+
+    The reference has nothing like this (its lookups are point reads,
+    ``SynchronizationContext.loadEntity``); it exists for the
+    time-versioned enrichment step every event pipeline needs (event →
+    latest dimension state at event time).
+
+    Scale shape / partitioning assumption: both (pre-projected) sides
+    are hash-bucketed on the key and exchanged ONCE; each bucket is
+    merged with one sorted-index ``pandas.merge_asof`` (C speed) and
+    payload rows are gathered in Arrow (``Table.take``) so types never
+    round-trip through pandas.  All rows of one key land in one bucket
+    — a single hot key's rows must fit in a worker heap (same
+    assumption as ``bucketed_join``; salt upstream if violated).
+    """
+    from rookray.schema import conform as _conform, unify_additive
+
+    ls = left_schema or _arrow_schema_of(left)
+    rs = right_schema or _arrow_schema_of(right)
+    clash = set(ls.names) & set(rs.names)
+    if clash:
+        raise ValueError(f"column collision {sorted(clash)}; rename upstream")
+    target = unify_additive([ls, rs])
+
+    def prep(side: int, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            bkt = _bucket_of(batch.column(key).to_pandas(), buckets)
+            t = _conform(batch, target)
+            return (t.append_column("__bkt", pa.array(bkt, pa.int64()))
+                     .append_column("__side",
+                                    pa.array(np.full(len(t), side, np.int8))))
+        fn.__name__ = f"AsofPrep{side}"
+        return fn
+
+    both = left.map_batches(prep(0, by), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(prep(1, right_by), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    l_cols = list(ls.names)
+    r_payload = sorted(set(rs.names) - {right_by, right_on})
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pa.compute.equal(side, 0)).select(l_cols)
+        rt = g.filter(pa.compute.equal(side, 1)).select(list(rs.names))
+        # tiny index frames only; payload stays in Arrow
+        li = pd.DataFrame({"k": lt.column(by).to_pandas(),
+                           "t": lt.column(on).to_pandas(),
+                           "__li": np.arange(len(lt))}).sort_values(
+            "t", kind="mergesort")
+        r_sort = ["t", "tie"] if tie_col else ["t"]
+        ri = pd.DataFrame({"k": rt.column(right_by).to_pandas(),
+                           "t": rt.column(right_on).to_pandas(),
+                           **({"tie": rt.column(tie_col).to_pandas()}
+                              if tie_col else {}),
+                           "__ri": np.arange(len(rt))}).sort_values(
+            r_sort, kind="mergesort")
+        if len(ri):
+            # merge_asof backward: last right row (in frame order) with
+            # t <= left t within the key — stable pre-sort on (t, tie)
+            # makes "last" = max tie among equal times
+            m = pd.merge_asof(li, ri.drop(columns=["tie"], errors="ignore"),
+                              on="t", by="k", direction="backward")
+        else:
+            m = li.assign(__ri=np.nan)
+        m = m.sort_values("__li", kind="mergesort")
+        take_r = pa.array([None if pd.isna(x) else int(x)
+                           for x in m["__ri"]], pa.int64())
+        lout = lt.take(pa.array(m["__li"].to_numpy(dtype=np.int64)))
+        rout = rt.take(take_r)
+        cols = {c: lout.column(c) for c in l_cols}
+        for c in r_payload:
+            cols[c] = rout.column(c)
+        return pa.table(cols)
+
+    return both.groupby("__bkt").map_groups(merge_bucket,
+                                            batch_format="pyarrow")

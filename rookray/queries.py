@@ -578,6 +578,49 @@ GROUP BY c_mktsegment
 """
 
 
+def join_events_asof(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (rookray.ops.join.asof_join): each event is
+    enriched with the user's most recent order at event time
+    (o_orderdate <= ts; ties break to the largest orderkey).  The
+    time-versioned-dimension lookup every event pipeline needs — one
+    co-partitioning shuffle, vectorized merge_asof per bucket, no
+    driver-side data."""
+    from rookray.ops.join import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"])
+    j = asof_join(events, orders, by="user_id", on="ts",
+                  right_by="o_custkey", right_on="o_orderdate",
+                  tie_col="o_orderkey", buckets=64)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ok = pc.fill_null(batch.column("o_orderkey"), -1)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "asof_orderkey": ok})
+
+    out = (j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+JOIN_EVENTS_ASOF_SQL = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT e.event_id, e.user_id,
+       CAST(coalesce(m.o_orderkey, -1) AS BIGINT) AS asof_orderkey
+FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM m WHERE rn = 1) m
+  USING (event_id)
+ORDER BY event_id
+"""
+
+
 def topk_orders_per_status(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k (window-function analog): the 3 highest-value
     orders per order status — per-batch top-k combiner shrinks the
@@ -1208,6 +1251,7 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "join_customer_nation": join_customer_nation,
     "join_orders_segment": join_orders_segment,
+    "join_events_asof": join_events_asof,
     "topk_customers": topk_customers,
     "topk_orders_per_status": topk_orders_per_status,
     "distinct_order_status": distinct_order_status,
@@ -1257,6 +1301,7 @@ ORACLES = {
     "q3_top_orders": Q3_SQL,
     "join_customer_nation": JOIN_CUSTOMER_NATION_SQL,
     "join_orders_segment": JOIN_ORDERS_SEGMENT_SQL,
+    "join_events_asof": JOIN_EVENTS_ASOF_SQL,
     "topk_customers": TOPK_CUSTOMERS_SQL,
     "topk_orders_per_status": TOPK_ORDERS_PER_STATUS_SQL,
     "distinct_order_status": DISTINCT_ORDER_STATUS_SQL,

@@ -84,3 +84,58 @@ def test_broadcast_join_modes():
     semi = (broadcast_join(_left(), small[["k"]], on="k", how="semi")
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert semi["k"].tolist() == [2, 4] and "w" not in semi.columns
+
+
+def test_asof_join_backward_ties_and_nulls():
+    """Backward as-of: max right_on <= on per key, equal-time ties to
+    the largest tie_col, unmatched left rows keep typed-null payload."""
+    from rookray.ops.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([5, 10, 20, 7, 4], pa.int64()),
+        "eid": pa.array([100, 101, 102, 103, 104], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "rt": pa.array([4, 10, 10, 15, 9], pa.int64()),
+        "oid": pa.array([7, 8, 9, 6, 5], pa.int64()),
+    }))
+    out = (asof_join(left, right, by="k", on="t", right_by="rk",
+                     right_on="rt", tie_col="oid", buckets=8)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    # eid=100 (t=5): only rt=4 qualifies -> oid 7
+    # eid=101 (t=10): rt in {4,10,10}; max rt=10, tie oid max(8,9)=9
+    # eid=102 (t=20): max rt=15 -> oid 6
+    # eid=103 (k=2,t=7): right rt=9 > 7 -> no match (null)
+    # eid=104 (k=3): no right rows -> null
+    assert out["eid"].tolist() == [100, 101, 102, 103, 104]
+    got = [None if pd.isna(x) else int(x) for x in out["oid"]]
+    assert got == [7, 9, 6, None, None]
+    # left row count preserved exactly (left-join semantics)
+    assert len(out) == 5
+
+
+def test_asof_join_many_buckets_matches_single_bucket():
+    """Result is bucket-count invariant (pure co-partitioning)."""
+    from rookray.ops.join import asof_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 20, 200)
+    lt = rng.integers(0, 1000, 200)
+    rk = rng.integers(0, 20, 300)
+    rt = rng.integers(0, 1000, 300)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()), "t": pa.array(lt, pa.int64()),
+        "eid": pa.array(np.arange(200), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(rk, pa.int64()), "rt": pa.array(rt, pa.int64()),
+        "oid": pa.array(np.arange(300), pa.int64())}))
+
+    def run(buckets):
+        return (asof_join(left, right, by="k", on="t", right_by="rk",
+                          right_on="rt", tie_col="oid", buckets=buckets)
+                .to_pandas().sort_values("eid").reset_index(drop=True))
+
+    a, b = run(1), run(32)
+    assert a["oid"].fillna(-1).tolist() == b["oid"].fillna(-1).tolist()
