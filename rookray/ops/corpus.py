@@ -176,3 +176,32 @@ def clean_pack(ds: "ray.data.Dataset", context_len: int = 128,
     tokenized = cleaned.map_batches(tokenize_batch, batch_format="pyarrow",
                                     zero_copy_batch=True)
     return pack_sequences(tokenized, context_len=context_len)
+
+
+def stratified_sample(ds: "ray.data.Dataset", key_col: str,
+                      strata_col: str, rates_permille: dict[str, int],
+                      default_permille: int = 500) -> "ray.data.Dataset":
+    """Deterministic per-stratum downsampling — the domain-mixture
+    rebalancing step of a training-data pipeline (keep src A at 100 %,
+    src B at 5 %, everything else at the default rate).
+
+    Keep decision: ``((key % 1000003) * 2654435761) % 1000 <
+    rate_permille[stratum]``.  The hash is written in modular
+    arithmetic that stays below 2**63 so numpy int64 and a SQL BIGINT
+    oracle compute the identical value (a plain ``key * C`` wraps in
+    numpy but overflows DuckDB — the cdc_sampled_stats lesson).
+    Stateless, embarrassingly parallel, no shuffle; rates ship inside
+    the closure (a few entries), not per batch.
+    """
+    items = tuple(sorted(rates_permille.items()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k % 1000003) * 2654435761) % 1000
+        s = batch.column(strata_col).to_pandas()
+        rate = np.full(len(batch), default_permille, dtype=np.int64)
+        for name, r in items:
+            rate[(s == name).to_numpy()] = r
+        return batch.filter(pa.array(h < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -184,6 +184,54 @@ class LangId:
         )
 
 
+# default PII-style scrub patterns (RE2 dialect — the same engine
+# pyarrow.compute and DuckDB regexp_replace both use, so a SQL oracle
+# applies the identical patterns)
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d+", "<NUM>"),
+)
+
+
+def redact_batch(batch: pa.Table, col: str = "text",
+                 patterns: tuple[tuple[str, str], ...] = REDACT_PATTERNS,
+                 out_col: str | None = None) -> pa.Table:
+    """Scrub ``patterns`` (ordered (regex, replacement) pairs) from one
+    string column — the PII-redaction pass of a training-data pipeline.
+    Pure ``pc.replace_substring_regex`` chain: vectorized, zero-copy in,
+    RE2 semantics identical to the DuckDB oracle's regexp_replace."""
+    s = batch.column(col)
+    for pat, repl in patterns:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    name = out_col or f"{col}_redacted"
+    return batch.append_column(name, s)
+
+
+def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document: total words,
+    distinct words, and the modal word's count (top_word_n / n_words is
+    the 'fraction in the most common word' filter).  Vectorized via one
+    split + explode + two grouped reductions per batch; a document is a
+    single row so the whole computation is batch-local.  Documents with
+    zero words are dropped (no denominator — mirrors the SQL oracle's
+    inner unnest)."""
+    s = batch.column(col).to_pandas()
+    ids = batch.column("doc_id").to_pandas()
+    words = s.str.split()
+    ex = words.explode().dropna()
+    c = ex.groupby([ex.index, ex.rename("w")]).size()
+    per_row = c.groupby(level=0)
+    out = pd.DataFrame({
+        "n_words": per_row.sum(),
+        "n_distinct": per_row.size(),
+        "top_word_n": per_row.max(),
+    })
+    out.insert(0, "doc_id", ids.loc[out.index].to_numpy())
+    return pa.Table.from_pandas(out.astype(
+        {"n_words": np.int64, "n_distinct": np.int64,
+         "top_word_n": np.int64}), preserve_index=False)
+
+
 # ---------------------------------------------------------------- datasets
 
 
@@ -197,6 +245,19 @@ def quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact(ds: "ray.data.Dataset", col: str = "text",
+           patterns: tuple[tuple[str, str], ...] = REDACT_PATTERNS,
+           out_col: str | None = None) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda b: redact_batch(b, col, patterns, out_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(lambda b: repetition_batch(b, col),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lang_id(ds: "ray.data.Dataset", profiles: dict[str, set[str]],

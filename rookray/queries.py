@@ -740,6 +740,81 @@ def text_langid(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "pred_lang"]]
 
 
+def text_redact(sf_dir: str) -> pd.DataFrame:
+    """PII-style scrub (rookray.ops.text.redact): emails then digit
+    runs replaced in the events props payload (the JSON-ish column —
+    the documents text is digit-free).  Also counts the digit-run hits
+    on the ORIGINAL string so the oracle checks the match positions,
+    not just the rewrite."""
+    from rookray.ops import text as T
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = T.redact(ds, col="props")
+
+    def hits(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("props"), pattern=r"\d+")
+        return pa.table({"event_id": batch.column("event_id"),
+                         "props_redacted": batch.column("props_redacted"),
+                         "n_num_hits": pc.cast(n, pa.int64())})
+
+    return (out.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+TEXT_REDACT_SQL = r"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\d+', '<NUM>', 'g') AS props_redacted,
+       len(regexp_extract_all(props, '\d+')) AS n_num_hits
+FROM events ORDER BY event_id
+"""
+
+
+def text_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals (rookray.ops.text.repetition):
+    words / distinct words / modal-word count per document — the
+    'fraction in most common word' quality filter's inputs."""
+    from rookray.ops import text as T
+    out = T.repetition(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TEXT_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+  FROM documents),
+wc AS (SELECT doc_id, word, count(*) AS c
+       FROM w WHERE word <> '' GROUP BY doc_id, word)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_word_n
+FROM wc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Deterministic domain-mixture sampling
+    (rookray.ops.corpus.stratified_sample): keep src0 at 100 %, drop
+    src1, src2 at 90 %, src3 at 10 %, everything else at 50 % — by a
+    modular hash both numpy int64 and DuckDB BIGINT compute exactly."""
+    from rookray.ops.corpus import stratified_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(ds, key_col="doc_id", strata_col="source",
+                            rates_permille={"src0": 1000, "src1": 0,
+                                            "src2": 900, "src3": 100},
+                            default_permille=500)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+      CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 0
+                  WHEN 'src2' THEN 900 WHEN 'src3' THEN 100 ELSE 500 END
+ORDER BY doc_id
+"""
+
+
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import dedup as D
     return D.exact_groups(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
@@ -1260,6 +1335,9 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_langid": text_langid,
+    "text_redact": text_redact,
+    "text_repetition": text_repetition,
+    "sample_stratified": sample_stratified,
     # dedup
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1308,6 +1386,9 @@ ORACLES = {
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_redact": TEXT_REDACT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,

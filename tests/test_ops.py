@@ -441,3 +441,59 @@ def test_ivf_distributed_training(embs):
     r_samp = A.recall_at_k(pa.Table.from_pandas(samp.to_pandas()), ex_tbl, 5)
     assert r_dist >= 0.5
     assert r_dist >= r_samp - 0.2  # never materially worse
+
+
+def test_redact_batch_patterns_and_order():
+    from rookray.ops.text import redact_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["mail a1b2@ex-a.com now", "no pii here",
+                          "ids 123 and 4567"], pa.string()),
+    })
+    out = redact_batch(t, col="text")
+    got = out.column("text_redacted").to_pylist()
+    # email pattern runs BEFORE the digit pattern (a digit-first pass
+    # would shred the address into 'a<NUM>b<NUM>@...')
+    assert got == ["mail <EMAIL> now", "no pii here",
+                   "ids <NUM> and <NUM>"]
+
+
+def test_repetition_batch_counts():
+    from rookray.ops.text import repetition_batch
+
+    t = pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array(["a a a b c", "x y", ""], pa.string()),
+    })
+    out = repetition_batch(t).to_pandas().sort_values("doc_id")
+    # empty doc (9) dropped — no denominator
+    assert out["doc_id"].tolist() == [7, 8]
+    assert out["n_words"].tolist() == [5, 2]
+    assert out["n_distinct"].tolist() == [3, 2]
+    assert out["top_word_n"].tolist() == [3, 1]
+
+
+def test_stratified_sample_rates():
+    from rookray.ops.corpus import stratified_sample
+
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array(["all", "none", "half", "other"] * (n // 4),
+                           pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = stratified_sample(ds, "doc_id", "source",
+                            {"all": 1000, "none": 0, "half": 500},
+                            default_permille=250).to_pandas()
+    by = out["source"].value_counts()
+    assert by.get("all", 0) == n // 4          # rate 1000 keeps everything
+    assert by.get("none", 0) == 0              # rate 0 drops everything
+    assert 0 < by.get("half", 0) < n // 4      # partial strata in between
+    assert 0 < by.get("other", 0) < by["half"]  # default 250 < 500
+    # deterministic: same call, same rows
+    out2 = stratified_sample(ds, "doc_id", "source",
+                             {"all": 1000, "none": 0, "half": 500},
+                             default_permille=250).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
