@@ -610,3 +610,89 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
              "cosine": pa.array(sim[iu][mask].astype(np.float64), pa.float64())})
 
     return ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")
+
+
+# ------------------------------------------- duplicated n-gram spans
+
+
+def _flat_ngrams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word n-grams of a batch as two flat arrays (row index,
+    ngram string) — one explode + n-1 shifted elementwise concats, no
+    per-document loop.  Documents shorter than n words emit nothing."""
+    words = texts.str.split()
+    ex = words.explode().dropna()
+    W = ex.to_numpy(dtype=object)
+    rows = ex.index.to_numpy()
+    m = len(W)
+    if m < n:
+        return np.zeros(0, np.int64), np.zeros(0, object)
+    valid = rows[: m - n + 1] == rows[n - 1:]
+    idx = np.nonzero(valid)[0]
+    ng = W[idx].copy()
+    for k in range(1, n):
+        ng = ng + " " + W[idx + k]
+    return rows[idx], ng
+
+
+def dup_ngram_stats(ds: "ray.data.Dataset", n: int = 3, col: str = "text",
+                    id_col: str = "doc_id",
+                    buckets: int = 64) -> "ray.data.Dataset":
+    """Per-document duplicated-ngram statistics — the measurement pass
+    of exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, how many of its word n-gram positions carry an
+    n-gram that also appears in ANOTHER document.
+
+    Returns a Dataset of (id_col, n_ngrams, n_dup_ngrams).
+
+    Scale shape: one vectorized flat-ngram pass per batch combines to
+    (h1, h2, doc, n_pos) rows (a 2×64-bit exact-equality key — the
+    ngram STRING never shuffles); one coarse-bucket groupby flags
+    cross-document keys with an in-bucket C-speed pandas pass (no
+    per-ngram Python groups); one final per-doc sum.  Two shuffles of
+    small fixed-width rows total.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pandas()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rows, ng = _flat_ngrams(texts, n)
+        if len(ng) == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        nga = pa.array(ng, pa.string())
+        h1 = hash_strings(nga, 0).astype(np.int64)
+        h2 = hash_strings(nga, 1).astype(np.int64)
+        df = pd.DataFrame({"h1": h1, "h2": h2, id_col: ids[rows]})
+        g = (df.groupby(["h1", "h2", id_col], sort=False).size()
+             .rename("n_pos").reset_index())
+        g["bkt"] = (g["h1"].to_numpy().astype(np.uint64)
+                    % np.uint64(buckets)).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grams = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def flag_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        # one row per (ngram, doc) globally (a document is one input
+        # row), so the group size IS the ngram's distinct-doc count
+        nd = df.groupby(["h1", "h2"], sort=False)["n_pos"].transform("size")
+        dup = np.where(nd.to_numpy() > 1, df["n_pos"].to_numpy(), 0)
+        out = pd.DataFrame({id_col: df[id_col],
+                            "n_ngrams": df["n_pos"].to_numpy(),
+                            "n_dup_ngrams": dup})
+        p = out.groupby(id_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            p.astype({"n_ngrams": np.int64, "n_dup_ngrams": np.int64}),
+            preserve_index=False)
+
+    return (grams.groupby("bkt").map_groups(flag_bucket,
+                                            batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("n_ngrams", alias_name="n_ngrams"),
+                       Sum("n_dup_ngrams", alias_name="n_dup_ngrams")))

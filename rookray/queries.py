@@ -815,6 +815,32 @@ ORDER BY doc_id
 """
 
 
+def dedup_ngram_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring dedup measurement (rookray.ops.dedup.
+    dup_ngram_stats): per document, total word-3-gram positions and
+    how many carry a 3-gram that appears in another document — the
+    Lee-et-al duplicated-span statistic, two small-row shuffles, the
+    ngram strings themselves never leave the map stage."""
+    from rookray.ops.dedup import dup_ngram_stats
+    out = dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_NGRAM_SPANS_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+              FROM documents),
+g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ng
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+c AS (SELECT ng, count(DISTINCT doc_id) AS nd FROM g GROUP BY ng)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ngrams
+FROM g JOIN c USING (ng)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import dedup as D
     return D.exact_groups(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
@@ -1340,6 +1366,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     # dedup
     "dedup_exact": dedup_exact,
+    "dedup_ngram_spans": dedup_ngram_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1390,6 +1417,7 @@ ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_spans": DEDUP_NGRAM_SPANS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,

@@ -497,3 +497,24 @@ def test_stratified_sample_rates():
                              {"all": 1000, "none": 0, "half": 500},
                              default_permille=250).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_dup_ngram_stats_planted():
+    from rookray.ops.dedup import dup_ngram_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",      # grams: abg bgd
+            "zzz alpha beta gamma qq",     # shares 'alpha beta gamma'
+            "rep rep rep rep",             # 'rep rep rep' twice, but only in THIS doc
+            "xy",                          # < 3 words -> no grams, no row
+        ], pa.string()),
+    })
+    out = (dup_ngram_stats(ray.data.from_arrow(t), n=3, buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_ngrams"].tolist() == [2, 3, 2]
+    # only the cross-document gram counts as duplicated: doc1 pos 1,
+    # doc2 pos 2; doc3's internal repetition is NOT cross-doc
+    assert out["n_dup_ngrams"].tolist() == [1, 1, 0]
