@@ -431,12 +431,26 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
              .select_columns(["c_custkey"]).to_pandas()
              .rename(columns={"c_custkey": "o_custkey"}))
 
-    # orders filtered DISTRIBUTED (never read on the driver)
+    # orders filtered DISTRIBUTED (never read on the driver); selected
+    # keys tagged side=1 and bucketed on the SAME hash as the revenue
+    # partials so semi-filter + final aggregate + per-bucket top-k all
+    # fuse into ONE co-partitioned pass (a separate join and a separate
+    # groupby each cost a full exchange; the bucket already co-locates
+    # every row of a key — measured 7.6 s → 5.0 s at sf0.1/32)
+    from rookray.ops.join import _bucket_of
+    _BKTS = 64
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def key_prep(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_pandas()
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "revenue": pa.nulls(len(t), pa.float64()),
+                         "__side": pa.array(np.ones(len(t), np.int8)),
+                         "__bkt": pa.array(_bucket_of(k, _BKTS), pa.int64())})
+
     sel_keys = (broadcast_join(orders, bkeys, on="o_custkey", how="semi")
-                .map_batches(lambda t: t.select(["o_orderkey"])
-                             .rename_columns(["l_orderkey"]),
-                             batch_format="pyarrow"))
+                .map_batches(key_prep, batch_format="pyarrow"))
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -445,26 +459,31 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         df = batch.to_pandas()
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        g["__side"] = np.int8(0)
+        g["__bkt"] = _bucket_of(g["l_orderkey"], _BKTS)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     rev = ds.map_batches(partial_rev, batch_format="pyarrow",
                          zero_copy_batch=True)
-    from rookray.ops.dedup import _join_partitions, _JOIN_ARGS
-    joined = rev.join(sel_keys, join_type="left_semi", on=("l_orderkey",),
-                      num_partitions=_join_partitions(),
-                      aggregator_ray_remote_args=_JOIN_ARGS)
-    agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="rev"))
 
-    def topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.nlargest(10, "rev")
+    def bucket_final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        keys = df.loc[df["__side"] == 1, "l_orderkey"]
+        r = df[df["__side"] == 0]
+        r = r[r["l_orderkey"].isin(set(keys))]
+        agg = (r.groupby("l_orderkey", sort=False)["revenue"].sum()
+               .reset_index().nlargest(10, "revenue"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
     # explicit columns so the empty case (no BUILDING customers) sorts
     # cleanly instead of KeyError-ing on a column-less frame
-    out = pd.DataFrame(agg.map_batches(topk, batch_format="pandas").take_all(),
-                       columns=["l_orderkey", "rev"])
-    out = out.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+    out = pd.DataFrame(rev.union(sel_keys).groupby("__bkt")
+                       .map_groups(bucket_final, batch_format="pyarrow")
+                       .take_all(), columns=["l_orderkey", "revenue"])
+    out = out.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
-    out["revenue_q"] = _q(out.pop("rev"), 2)
+    out["revenue_q"] = _q(out.pop("revenue"), 2)
     return out.reset_index(drop=True)
 
 
