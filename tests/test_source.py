@@ -270,3 +270,68 @@ def test_shard_stream_idle_timeout_and_composition(tmp_path):
                       idle_timeout_s=1.5))
     batch = ops_per_table(ray.data.read_parquet(meta["files"]))
     assert streamed.equals(batch)
+
+
+def test_tumbling_stream_incremental_emission(tmp_path):
+    """Streaming windowed aggregate: windows close and EMIT while the
+    producer is still writing (watermark-driven, not end-of-input), each
+    (window, key) exactly once, and the union equals the batch groupby."""
+    import threading
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import tumbling_stream
+
+    cfg = GenConfig(n_docs=30, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+    live = tmp_path / "live"
+    live.mkdir()
+    writer_done = threading.Event()
+
+    def writer():
+        for f in meta["files"]:
+            shutil.copy(f, live / os.path.basename(f))
+            time.sleep(0.5)
+        (live / "_STREAM_EOF").touch()
+        writer_done.set()
+
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    # sized to the PARTIAL rows (~50 B each), not the raw shards: the
+    # fused read->partial task buffers output to this boundary, so a
+    # 16 KB target would hold every partial until EOF (see
+    # tumbling_stream docstring)
+    ctx.target_max_block_size = 256
+    try:
+        threading.Thread(target=writer, daemon=True).start()
+        ds = stream_events(str(live), parallelism=2)
+        emitted = []
+        early = False
+        for tbl in tumbling_stream(ds, window=100, ts_col="gtid",
+                                   key_col="table", n_sources=2):
+            if not writer_done.is_set():
+                early = True
+            emitted.append(tbl)
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (pa.concat_tables(emitted).to_pandas()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    # exactly-once per (window, key)
+    assert not got.duplicated(["window_start", "table"]).any()
+    assert early, "no window closed before the producer finished"
+
+    import pandas as pd
+    batch = pd.concat([pa.concat_tables([__import__("pyarrow.parquet",
+        fromlist=["read_table"]).read_table(f)]).to_pandas()
+        for f in meta["files"]])
+    batch["window_start"] = (batch["gtid"] // 100) * 100
+    exp = (batch.groupby(["window_start", "table"]).agg(
+        n_events=("gtid", "size")).reset_index()
+        .sort_values(["window_start", "table"]).reset_index(drop=True))
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    assert got["table"].tolist() == exp["table"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
