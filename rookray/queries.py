@@ -1101,7 +1101,9 @@ def flagship_stream() -> dict:
     out = FLAGSHIP_DIR
     meta_path = os.path.join(out, "meta.json")
     clog = os.path.join(out, "changelog.parquet")
-    if not (os.path.exists(meta_path) and os.path.exists(clog)):
+    stale = (os.path.exists(clog)
+             and "lang" not in _pq.read_schema(clog).names)
+    if not (os.path.exists(meta_path) and os.path.exists(clog)) or stale:
         n_events = FLAGSHIP_EVENTS
         cfg = GenConfig(n_docs=max(200, n_events // 20), n_events=n_events,
                         noise_pct=5, evolve_at=n_events // 2 + 1, zipf_a=1.2)
@@ -1118,6 +1120,9 @@ def flagship_stream() -> dict:
             "tokens": after.field("tokens"),
             "n_tok": after.field("n_tok"),
             "source": after.field("source"),
+            # evolved payload column: NULL before cfg.evolve_at — the
+            # flat dump mirrors the stream's additive schema evolution
+            "lang": after.field("lang"),
         })
         _pq.write_table(changelog, clog)
     import json
@@ -1136,12 +1141,12 @@ def _flagship_shards(sf_dir: str, n_events: int = FLAGSHIP_EVENTS) -> dict:
 #: the key, ignore-listed servers/tables are filtered first
 _FLAGSHIP_LWW_CTE = f"""
 ev AS (
-  SELECT gtid, op, doc_id, tokens, n_tok, source
+  SELECT gtid, op, doc_id, tokens, n_tok, source, lang
   FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
   WHERE "table" = 'sequences' AND server_id <> 999
 ),
 win AS (
-  SELECT doc_id, tokens, n_tok, source
+  SELECT gtid, doc_id, tokens, n_tok, source, lang
   FROM ev
   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
      AND op <> 2
@@ -1351,6 +1356,233 @@ GROUP BY t.name, t.kind
 
 
 # =====================================================================
+# lineage / skew / schema-evolution — north-rule features pinned to SQL
+# =====================================================================
+
+# --- the engine's exact string hash (util.hash_strings) in SQL -------
+# Polynomial byte hash with FNV-prime powers + splitmix64 finalizer,
+# all in mod-2^64 arithmetic.  DuckDB HUGEINT cannot hold a 64x64-bit
+# product, so each multiply is split into 32-bit halves:
+#   a*c mod 2^64 = ((a_hi*c_lo + a_lo*c_hi) mod 2^32)*2^32 + a_lo*c_lo
+# xor/shift run on UBIGINT (bit-exact for values in [0, 2^64)).
+_H_BASE = 1099511628211
+_H_SALT = 0x9E3779B97F4A7C15
+_H_C1 = 0xBF58476D1CE4E5B9
+_H_C2 = 0x94D049BB133111EB
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def _hash_pow_tab() -> str:
+    return "[" + ",".join(str(pow(_H_BASE, i, _M64)) for i in range(64)) + "]"
+
+
+def _mulmod64(a: str, c: int) -> str:
+    ch, cl = divmod(c, _M32)
+    return (f"((((({a}) // {_M32}) * {cl} + (({a}) % {_M32}) * {ch}) % {_M32})"
+            f" * {_M32} + (({a}) % {_M32}) * {cl}) % {_M64}::HUGEINT")
+
+
+def _xorshift64(a: str, s: int) -> str:
+    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({a} AS UBIGINT) >> {s}) AS HUGEINT)"
+
+
+def hash_strings_ctes(src: str, col: str, keep: str, out: str = "hh") -> str:
+    """CTE chain text computing ``out`` = ``util.hash_strings(col)``
+    (as HUGEINT in [0, 2^64)) for every row of CTE ``src``, carrying
+    the ``keep`` columns through.  Verified bit-exact against the
+    numpy implementation in tests (same constants, same finalizer)."""
+    poly = (f"(coalesce(list_aggregate(list_transform("
+            f"range(1, length({col})+1), "
+            f"i -> (ascii(substr({col}, i, 1))::HUGEINT"
+            f" * hpw.p[length({col}) - i + 1]) % {_M64}::HUGEINT), 'sum'),"
+            f" 0::HUGEINT)"
+            f" + (length({col})::HUGEINT * {_H_SALT}::HUGEINT)"
+            f" % {_M64}::HUGEINT) % {_M64}::HUGEINT")
+    return f"""
+hpw AS (SELECT {_hash_pow_tab()}::HUGEINT[] AS p),
+hs0 AS (SELECT {keep}, {poly} AS z0 FROM {src} CROSS JOIN hpw),
+hs1 AS (SELECT {keep}, {_mulmod64(_xorshift64('z0', 30), _H_C1)} AS z2 FROM hs0),
+hs2 AS (SELECT {keep}, {_mulmod64(_xorshift64('z2', 27), _H_C2)} AS z4 FROM hs1),
+hashed AS (SELECT {keep}, {_xorshift64('z4', 31)} AS {out} FROM hs2)
+"""
+
+
+_LINEAGE_PARTS = 16
+
+
+def cdc_lineage_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-partition checkpointed lineage after a full flagship replay
+    (two overlapping delta epochs + compaction): the committed
+    manifest's ``(partition, gtid_watermark, rows)`` — the resume
+    state the north rule requires — joined with a per-partition token
+    checksum (sum of each surviving row's token sum, mod 2^64)
+    computed DISTRIBUTED over the committed state.  The oracle
+    recomputes all four columns from the flat change log using the
+    engine's exact partition hash expressed in SQL — so the driver
+    check pins watermark bookkeeping, per-partition row counts, AND
+    hash-partition placement itself (rook keeps no resume state at
+    all: binlog position lives inside BinaryLogClient, SURVEY.md §4.1).
+    """
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.util import partition_of
+    meta = _flagship_shards(sf_dir)
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    P = _LINEAGE_PARTS
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=P,
+        write_mode="delta",
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    lake.apply(meta["files"][half:])  # overlap: watermark-skip dedup
+    lake.compact()
+    m = lake.manifest()
+    lin = pd.DataFrame(
+        [{"partition": int(pid),
+          "gtid_watermark": int(p["gtid_watermark"]),
+          "rows": int(p["rows"])}
+         for pid, p in m["partitions"].items()])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        part = partition_of(batch.column("doc_id"), P)
+        toks = batch.column("tokens").combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[np.uint64(0)], np.cumsum(flat, dtype=np.uint64)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        row_sums = cum[bounds[1:]] - cum[bounds[:-1]]
+        acc = np.zeros(P, dtype=np.uint64)
+        np.add.at(acc, part, row_sums)  # uint64 wraparound = mod 2^64
+        nz = np.flatnonzero(acc)
+        return pa.table({"partition": pa.array(nz, pa.int64()),
+                         "partial": pa.array(acc[nz].view(np.int64))})
+
+    def fold(g: pa.Table) -> pa.Table:
+        s = g.column("partial").to_numpy(zero_copy_only=False) \
+             .astype(np.int64).view(np.uint64).sum()  # wraps mod 2^64
+        return pa.table({
+            "partition": pa.array([g.column("partition")[0].as_py()], pa.int64()),
+            "tok_checksum": pa.array(np.array([s], np.uint64).view(np.int64))})
+
+    chk = (lake.read()
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("partition")
+           .map_groups(fold, batch_format="pyarrow")
+           .to_pandas())
+    out = lin.merge(chk, on="partition", how="left")
+    out["tok_checksum"] = out["tok_checksum"].fillna(0).astype(np.int64)
+    return out.sort_values("partition").reset_index(drop=True)
+
+
+def _lineage_sql() -> str:
+    # partitions that saw events but whose every key was deleted keep a
+    # lineage record with rows=0 — hence the LEFT JOIN from ev-side
+    return f"""
+WITH {_FLAGSHIP_LWW_CTE},
+ids AS (SELECT DISTINCT doc_id FROM ev),
+{hash_strings_ctes('ids', 'doc_id', 'doc_id')},
+idp AS (SELECT doc_id, CAST(hh % {_LINEAGE_PARTS} AS BIGINT) AS partition
+        FROM hashed),
+agg_ev AS (
+  SELECT p.partition, max(e.gtid) AS gtid_watermark
+  FROM ev e JOIN idp p USING (doc_id) GROUP BY 1
+),
+agg_win AS (
+  SELECT p.partition,
+         count(*) AS rows,
+         sum(coalesce(list_aggregate(w.tokens, 'sum'), 0)::HUGEINT)
+           % {_M64}::HUGEINT AS uchk
+  FROM win w JOIN idp p USING (doc_id) GROUP BY 1
+)
+SELECT e.partition,
+       e.gtid_watermark,
+       CAST(coalesce(w.rows, 0) AS BIGINT) AS rows,
+       CAST(CASE WHEN coalesce(w.uchk, 0::HUGEINT)
+                      >= 9223372036854775808::HUGEINT
+                 THEN w.uchk - {_M64}::HUGEINT
+                 ELSE coalesce(w.uchk, 0::HUGEINT) END AS BIGINT)
+         AS tok_checksum
+FROM agg_ev e LEFT JOIN agg_win w USING (partition)
+"""
+
+
+CDC_LINEAGE_METRICS_SQL = _lineage_sql()
+
+
+def cdc_salted_replay(sf_dir: str) -> pd.DataFrame:
+    """Flagship replay through the HOT-KEY SALTING path: the same
+    Zipf(1.2)-skewed stream applied with ``salt=8`` — each partition's
+    stream splits into 8 gtid-hash sub-buckets, pre-merges each
+    independently, then the normal per-partition pass re-merges the
+    at-most-8 partials per key (argmax over partial argmaxes == global
+    argmax).  Oracle-identical to ``cdc_replay_sequences``: salting
+    must not change a single byte of final state (north rule: "skewed
+    hot doc_id keys are salted and re-merged in a second
+    groupby-aggregate pass")."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = _flagship_shards(sf_dir)
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        salt=8,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(meta["files"])
+    state = lake.state_table()
+    toks = state.column("tokens").combine_chunks()
+    sums = np.zeros(len(state), dtype=np.int64)
+    if len(state):
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(flat)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = cum[bounds[1:]] - cum[bounds[:-1]]
+    return pd.DataFrame({
+        "doc_id": state.column("doc_id").to_pylist(),
+        "n_tok": np.asarray(state.column("n_tok").to_pylist(), dtype=np.int64),
+        "source": state.column("source").to_pylist(),
+        "token_sum": sums,
+    })
+
+
+def cdc_schema_evolution(sf_dir: str) -> pd.DataFrame:
+    """Additive schema evolution pinned to the driver oracle: the
+    flagship stream's ``lang`` column appears mid-stream (shards before
+    ``evolve_at`` do not carry the field at all), the engine unions the
+    schemas additively, and each winner's ``lang`` is NULL iff its
+    last write predates the evolution point.  Returns every winner's
+    ``(doc_id, lang)``; the oracle replays the same LWW rule over the
+    flat change log (rook has no schema evolution story at all — the
+    cache/fti targets see whatever columns the row image carries)."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = _flagship_shards(sf_dir)
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(meta["files"])
+    state = lake.state_table()
+    lang = (state.column("lang").to_pylist()
+            if "lang" in state.column_names else [None] * len(state))
+    return pd.DataFrame({
+        "doc_id": state.column("doc_id").to_pylist(),
+        "lang": pd.array(lang, dtype="object"),
+    })
+
+
+CDC_SCHEMA_EVOLUTION_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE}
+SELECT doc_id, lang FROM win
+"""
+
+
+# =====================================================================
 # catalog
 # =====================================================================
 
@@ -1408,6 +1640,10 @@ QUERIES = {
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
+    # north-rule features: lineage checkpoint, skew salting, evolution
+    "cdc_lineage_metrics": cdc_lineage_metrics,
+    "cdc_salted_replay": cdc_salted_replay,
+    "cdc_schema_evolution": cdc_schema_evolution,
 }
 
 ORACLES = {
@@ -1453,6 +1689,12 @@ ORACLES = {
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,
     "corpus_clean_pack": CORPUS_CLEAN_PACK_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
+    # lineage checkpoint state recomputed from the change log with the
+    # engine's partition hash expressed in SQL; salting must replay to
+    # the exact flagship state; evolved-column winners match the log
+    "cdc_lineage_metrics": CDC_LINEAGE_METRICS_SQL,
+    "cdc_salted_replay": CDC_REPLAY_SEQUENCES_SQL,
+    "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,
     # multimodal_features, cdc_evictions

@@ -86,3 +86,30 @@ def test_entry_smoke():
     out = __ray_entry__.entry()
     assert len(out) > 0
     assert list(out.columns) == ["doc_id", "n_tok", "source", "token_sum"]
+
+
+def test_sql_hash_matches_engine_hash():
+    """hash_strings_ctes must reproduce util.hash_strings bit-exactly —
+    the lineage oracle's partition placement rides on it."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from rookray.queries import hash_strings_ctes
+    from rookray.util import hash_strings, partition_of
+
+    rng = np.random.default_rng(7)
+    ids = (["", "a", "doc-00000000", "doc-99999999", "doc-" + "0" * 8]
+           + ["".join(chr(c) for c in rng.integers(33, 127, size=n))
+              for n in (1, 2, 7, 12, 31, 63) for _ in range(20)])
+    c = duckdb.connect()
+    c.register("ids_t", pa.table({"doc_id": pa.array(ids)}))
+    sql = (f"WITH src AS (SELECT doc_id FROM ids_t),\n"
+           f"{hash_strings_ctes('src', 'doc_id', 'doc_id')}\n"
+           f"SELECT doc_id, CAST(hh AS HUGEINT) AS h,"
+           f" CAST(hh % 16 AS BIGINT) AS part FROM hashed")
+    got = {r[0]: (r[1], r[2]) for r in c.execute(sql).fetchall()}
+    want_h = hash_strings(pa.array(ids))
+    want_p = partition_of(pa.array(ids), 16)
+    for s, h, p in zip(ids, want_h, want_p):
+        assert got[s] == (int(h), int(p)), s
