@@ -205,3 +205,139 @@ def stratified_sample(ds: "ray.data.Dataset", key_col: str,
         return batch.filter(pa.array(h < rate))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- shuffle
+
+#: splitmix64 constants (same finalizer as util.hash_strings)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = (z ^ (z >> np.uint64(30))) * _SM_C1
+    z = (z ^ (z >> np.uint64(27))) * _SM_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def shuffle_key(doc_id: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic 64-bit shuffle key of an int key column:
+    splitmix64(doc_id + golden_gamma * (seed+1)) — a seeded total
+    order over the corpus, identical across processes/machines."""
+    # python-int modular product: np.uint64*np.uint64 would emit an
+    # overflow RuntimeWarning for the intentional mod-2^64 wrap
+    gamma = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) % (1 << 64))
+    return _splitmix64(doc_id.astype(np.uint64) + gamma)
+
+
+def deterministic_shuffle(ds: "ray.data.Dataset", key_col: str,
+                          seed: int = 42,
+                          n_buckets: int = 1024) -> "ray.data.Dataset":
+    """Global deterministic training-order shuffle with an explicit
+    rank column — the "shuffle the corpus once per epoch, same order
+    on every re-run" step of a training-data pipeline.
+
+    No global sort barrier: the key space is range-bucketed by its top
+    bits (buckets are already in key order), per-bucket counts fold to
+    a tiny driver cumsum (≤ ``n_buckets`` rows — bounded regardless of
+    corpus size), the bucket base offsets broadcast once via
+    ``ray.put``, and each bucket ranks its own rows with one
+    vectorized argsort.  At 10¹⁰ docs each of the 1024 buckets holds
+    ~10⁷ rows — one in-memory argsort per group task.
+
+    Returns (key_col, rank) — rank is the global 0-based position in
+    the seeded order, ties broken by key value (keys are unique per
+    doc, collisions of the 64-bit hash break by doc id).
+    """
+    import ray
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = np.uint64(64 - int(n_buckets - 1).bit_length())
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = shuffle_key(k, seed)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "skey": pa.array(h.view(np.int64)),
+            "bucket": pa.array((h >> shift).astype(np.int64)),
+        })
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # pass 1: per-bucket counts → driver cumsum → broadcast bases
+    from ray.data.aggregate import Count
+    counts = keyed.groupby("bucket").aggregate(Count(alias_name="n")) \
+                  .to_pandas().sort_values("bucket")
+    bases = np.zeros(n_buckets, dtype=np.int64)
+    b = counts["bucket"].to_numpy()
+    n = counts["n"].to_numpy()
+    starts = np.concatenate([[0], np.cumsum(n[:-1])])
+    bases[b] = starts
+    bases_ref = ray.put(bases)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)
+        sk = group.column("skey").to_numpy(zero_copy_only=False).view(np.uint64)
+        ks = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ks, sk))
+        rank = np.empty(len(sk), dtype=np.int64)
+        bid = int(group.column("bucket")[0].as_py())
+        rank[order] = base[bid] + np.arange(len(sk), dtype=np.int64)
+        return pa.table({key_col: group.column(key_col),
+                         "rank": pa.array(rank)})
+
+    return keyed.groupby("bucket").map_groups(rank_bucket,
+                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- decontamination
+
+def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
+                  text_col: str = "text",
+                  max_snippets: int = 100_000) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag every corpus doc containing any
+    of the benchmark ``snippets`` as an exact substring — the "remove
+    eval-set leakage before training" pass.
+
+    The snippet list is the BENCHMARK side (eval sets are thousands of
+    prompts, not corpus-sized) — broadcast once via ``ray.put``, never
+    re-shipped per batch; each batch runs one vectorized Arrow
+    ``match_substring`` kernel per snippet (O(rows × snippets) inside
+    the kernel, zero Python per row).  Raises if the snippet list
+    exceeds ``max_snippets`` — at that size build an Aho-Corasick
+    automaton instead of a kernel sweep.
+
+    Returns (doc_id, n_hits): docs containing ≥1 distinct snippet and
+    how many.
+    """
+    import ray
+
+    uniq = sorted(set(s for s in snippets if s))
+    if len(uniq) > max_snippets:
+        raise ValueError(
+            f"{len(uniq)} snippets > max_snippets={max_snippets}; "
+            "use an Aho-Corasick automaton stage for benchmark sets "
+            "this large")
+    snip_ref = ray.put(uniq)
+
+    class Scan:
+        def __init__(self):
+            self.snips = ray.get(snip_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            text = batch.column(text_col)
+            hits = np.zeros(len(batch), dtype=np.int64)
+            for s in self.snips:
+                m = pc.match_substring(text, s)
+                hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = hits > 0
+            return pa.table({
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep]),
+            })
+
+    return ds.map_batches(Scan, batch_format="pyarrow",
+                          concurrency=(1, 8))

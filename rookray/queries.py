@@ -48,6 +48,58 @@ def _q(x, d: int):
 
 
 # =====================================================================
+# the engine's exact 64-bit hashes in SQL
+# =====================================================================
+# Polynomial byte hash with FNV-prime powers + splitmix64 finalizer
+# (util.hash_strings), all in mod-2^64 arithmetic.  DuckDB HUGEINT
+# cannot hold a 64x64-bit product, so each multiply is split into
+# 32-bit halves:
+#   a*c mod 2^64 = ((a_hi*c_lo + a_lo*c_hi) mod 2^32)*2^32 + a_lo*c_lo
+# xor/shift run on UBIGINT (bit-exact for values in [0, 2^64)).
+_H_BASE = 1099511628211
+_H_SALT = 0x9E3779B97F4A7C15
+_H_C1 = 0xBF58476D1CE4E5B9
+_H_C2 = 0x94D049BB133111EB
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def _hash_pow_tab() -> str:
+    return "[" + ",".join(str(pow(_H_BASE, i, _M64)) for i in range(64)) + "]"
+
+
+def _mulmod64(a: str, c: int) -> str:
+    ch, cl = divmod(c, _M32)
+    return (f"((((({a}) // {_M32}) * {cl} + (({a}) % {_M32}) * {ch}) % {_M32})"
+            f" * {_M32} + (({a}) % {_M32}) * {cl}) % {_M64}::HUGEINT")
+
+
+def _xorshift64(a: str, s: int) -> str:
+    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({a} AS UBIGINT) >> {s}) AS HUGEINT)"
+
+
+def hash_strings_ctes(src: str, col: str, keep: str, out: str = "hh") -> str:
+    """CTE chain text computing ``out`` = ``util.hash_strings(col)``
+    (as HUGEINT in [0, 2^64)) for every row of CTE ``src``, carrying
+    the ``keep`` columns through.  Verified bit-exact against the
+    numpy implementation in tests (same constants, same finalizer)."""
+    poly = (f"(coalesce(list_aggregate(list_transform("
+            f"range(1, length({col})+1), "
+            f"i -> (ascii(substr({col}, i, 1))::HUGEINT"
+            f" * hpw.p[length({col}) - i + 1]) % {_M64}::HUGEINT), 'sum'),"
+            f" 0::HUGEINT)"
+            f" + (length({col})::HUGEINT * {_H_SALT}::HUGEINT)"
+            f" % {_M64}::HUGEINT) % {_M64}::HUGEINT")
+    return f"""
+hpw AS (SELECT {_hash_pow_tab()}::HUGEINT[] AS p),
+hs0 AS (SELECT {keep}, {poly} AS z0 FROM {src} CROSS JOIN hpw),
+hs1 AS (SELECT {keep}, {_mulmod64(_xorshift64('z0', 30), _H_C1)} AS z2 FROM hs0),
+hs2 AS (SELECT {keep}, {_mulmod64(_xorshift64('z2', 27), _H_C2)} AS z4 FROM hs1),
+hashed AS (SELECT {keep}, {_xorshift64('z4', 31)} AS {out} FROM hs2)
+"""
+
+
+# =====================================================================
 # CDC queries over the events change log
 # =====================================================================
 
@@ -987,6 +1039,87 @@ FROM blocks b CROSS JOIN tot t LEFT JOIN starts ON starts.pack_id = b.pack_id
 """
 
 
+def shuffle_training_order(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded training-order shuffle of the corpus with
+    an explicit global rank — bucketed by the key's top bits so rank
+    assignment needs no global sort barrier (per-bucket counts → tiny
+    driver cumsum → broadcast bases → one vectorized argsort per
+    bucket).  The oracle recomputes the identical splitmix64 key in
+    SQL and ranks with ``row_number()``."""
+    from rookray.ops.corpus import deterministic_shuffle
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = deterministic_shuffle(ds, "doc_id", seed=42).to_pandas()
+    return out.rename(columns={"rank": "shuffle_rank"})
+
+
+def _splitmix64_sql(src: str, z0: str, keep: str, out: str = "hh") -> str:
+    """CTE chain: ``out`` = splitmix64(z0) for each row of ``src``
+    (z0 a HUGEINT expression already reduced mod 2^64)."""
+    return f"""
+ss0 AS (SELECT {keep}, {z0} AS z0 FROM {src}),
+ss1 AS (SELECT {keep}, {_mulmod64(_xorshift64('z0', 30), _H_C1)} AS z2 FROM ss0),
+ss2 AS (SELECT {keep}, {_mulmod64(_xorshift64('z2', 27), _H_C2)} AS z4 FROM ss1),
+smixed AS (SELECT {keep}, {_xorshift64('z4', 31)} AS {out} FROM ss2)
+"""
+
+
+def _shuffle_sql() -> str:
+    gamma = (0x9E3779B97F4A7C15 * 43) % _M64  # seed=42 → (seed+1)·γ
+    z0 = f"(doc_id::HUGEINT + {gamma}::HUGEINT) % {_M64}::HUGEINT"
+    return f"""
+WITH src AS (SELECT doc_id FROM documents),
+{_splitmix64_sql('src', z0, 'doc_id', 'skey')}
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT)
+         AS shuffle_rank
+FROM smixed
+"""
+
+
+SHUFFLE_TRAINING_ORDER_SQL = _shuffle_sql()
+
+
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs containing any benchmark
+    snippet (first 16 chars of each doc with ``doc_id % 23 == 5`` —
+    the stand-in eval set) as an exact substring.  The snippet list is
+    collected once (bounded by the eval-set size, not the corpus),
+    broadcast via ``ray.put``, and matched with vectorized Arrow
+    ``match_substring`` kernels."""
+    from rookray.ops.corpus import decontaminate
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_snippets(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = (d % 23) == 5
+        t = batch.column("text").filter(pa.array(sel))
+        return pa.table({"snippet": pc.utf8_slice_codeunits(t, 0, 16)})
+
+    snips = [r["snippet"] for r in
+             ds.map_batches(bench_snippets, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()]
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d % 23) != 5))
+
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return decontaminate(corpus, snips).to_pandas()
+
+
+DECONTAMINATE_DOCS_SQL = """
+WITH bench AS (
+  SELECT DISTINCT substr(text, 1, 16) AS snippet
+  FROM documents WHERE doc_id % 23 = 5
+)
+SELECT d.doc_id, count(*) AS n_hits
+FROM documents d JOIN bench b ON contains(d.text, b.snippet)
+WHERE d.doc_id % 23 <> 5
+GROUP BY 1
+"""
+
+
 def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import ann as A
     ds = _read(sf_dir, "embeddings")
@@ -1359,55 +1492,6 @@ GROUP BY t.name, t.kind
 # lineage / skew / schema-evolution — north-rule features pinned to SQL
 # =====================================================================
 
-# --- the engine's exact string hash (util.hash_strings) in SQL -------
-# Polynomial byte hash with FNV-prime powers + splitmix64 finalizer,
-# all in mod-2^64 arithmetic.  DuckDB HUGEINT cannot hold a 64x64-bit
-# product, so each multiply is split into 32-bit halves:
-#   a*c mod 2^64 = ((a_hi*c_lo + a_lo*c_hi) mod 2^32)*2^32 + a_lo*c_lo
-# xor/shift run on UBIGINT (bit-exact for values in [0, 2^64)).
-_H_BASE = 1099511628211
-_H_SALT = 0x9E3779B97F4A7C15
-_H_C1 = 0xBF58476D1CE4E5B9
-_H_C2 = 0x94D049BB133111EB
-_M64 = 1 << 64
-_M32 = 1 << 32
-
-
-def _hash_pow_tab() -> str:
-    return "[" + ",".join(str(pow(_H_BASE, i, _M64)) for i in range(64)) + "]"
-
-
-def _mulmod64(a: str, c: int) -> str:
-    ch, cl = divmod(c, _M32)
-    return (f"((((({a}) // {_M32}) * {cl} + (({a}) % {_M32}) * {ch}) % {_M32})"
-            f" * {_M32} + (({a}) % {_M32}) * {cl}) % {_M64}::HUGEINT")
-
-
-def _xorshift64(a: str, s: int) -> str:
-    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({a} AS UBIGINT) >> {s}) AS HUGEINT)"
-
-
-def hash_strings_ctes(src: str, col: str, keep: str, out: str = "hh") -> str:
-    """CTE chain text computing ``out`` = ``util.hash_strings(col)``
-    (as HUGEINT in [0, 2^64)) for every row of CTE ``src``, carrying
-    the ``keep`` columns through.  Verified bit-exact against the
-    numpy implementation in tests (same constants, same finalizer)."""
-    poly = (f"(coalesce(list_aggregate(list_transform("
-            f"range(1, length({col})+1), "
-            f"i -> (ascii(substr({col}, i, 1))::HUGEINT"
-            f" * hpw.p[length({col}) - i + 1]) % {_M64}::HUGEINT), 'sum'),"
-            f" 0::HUGEINT)"
-            f" + (length({col})::HUGEINT * {_H_SALT}::HUGEINT)"
-            f" % {_M64}::HUGEINT) % {_M64}::HUGEINT")
-    return f"""
-hpw AS (SELECT {_hash_pow_tab()}::HUGEINT[] AS p),
-hs0 AS (SELECT {keep}, {poly} AS z0 FROM {src} CROSS JOIN hpw),
-hs1 AS (SELECT {keep}, {_mulmod64(_xorshift64('z0', 30), _H_C1)} AS z2 FROM hs0),
-hs2 AS (SELECT {keep}, {_mulmod64(_xorshift64('z2', 27), _H_C2)} AS z4 FROM hs1),
-hashed AS (SELECT {keep}, {_xorshift64('z4', 31)} AS {out} FROM hs2)
-"""
-
-
 _LINEAGE_PARTS = 16
 
 
@@ -1636,6 +1720,8 @@ QUERIES = {
     "pack_split_chunks": pack_split_chunks,
     # composed end-to-end corpus pipeline
     "corpus_clean_pack": corpus_clean_pack,
+    "shuffle_training_order": shuffle_training_order,
+    "decontaminate_docs": decontaminate_docs,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -1688,6 +1774,8 @@ ORACLES = {
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,
     "corpus_clean_pack": CORPUS_CLEAN_PACK_SQL,
+    "shuffle_training_order": SHUFFLE_TRAINING_ORDER_SQL,
+    "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to

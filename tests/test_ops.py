@@ -518,3 +518,46 @@ def test_dup_ngram_stats_planted():
     # only the cross-document gram counts as duplicated: doc1 pos 1,
     # doc2 pos 2; doc3's internal repetition is NOT cross-doc
     assert out["n_dup_ngrams"].tolist() == [1, 1, 0]
+
+
+def test_deterministic_shuffle_rank_properties():
+    """Rank is a permutation, invariant under repartition, and seed-
+    sensitive (different seed -> different order)."""
+    from rookray.ops.corpus import deterministic_shuffle
+
+    ids = list(range(0, 500, 3))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def run(seed, nparts):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        df = deterministic_shuffle(ds, "doc_id", seed=seed).to_pandas()
+        return df.sort_values("doc_id")["rank"].tolist()
+
+    r1 = run(42, 2)
+    r2 = run(42, 7)
+    assert r1 == r2  # partition-layout invariant
+    assert sorted(r1) == list(range(len(ids)))  # exact permutation
+    r3 = run(7, 2)
+    assert r1 != r3  # seeded
+
+
+def test_decontaminate_hits_and_budget():
+    from rookray.ops.corpus import decontaminate
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox",
+            "nothing to see here",
+            "a quick brown cat and SECRET PROMPT inside",
+        ]),
+    })
+    ds = ray.data.from_arrow(t)
+    out = (decontaminate(ds, ["quick brown", "SECRET PROMPT"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_hits"].tolist() == [1, 2]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decontaminate(ds, [f"s{i}" for i in range(10)], max_snippets=5)
