@@ -154,6 +154,31 @@ def run_bench() -> dict:
             best = min(best, time.perf_counter() - t0)
         qtimes[name] = round(best, 3)
 
+    # ------------- streaming ingest (in-executor unbounded tail) -------
+    # pre-staged shards + EOF sentinel: the stream drains at full speed,
+    # so this measures the streaming machinery's sustained throughput
+    # (ShardStreamDatasource read tasks -> per-batch window partials ->
+    # bounded-state aggregator), not producer latency
+    from rookray.source import stream_events
+    from rookray.streaming import tumbling_stream
+
+    stream_sec = float("inf")
+    n_windows = 0
+    for _ in range(2):
+        sdir = tempfile.mkdtemp(prefix="rookray_bench_stream_")
+        for f in meta["files"]:
+            os.symlink(f, os.path.join(sdir, os.path.basename(f)))
+        open(os.path.join(sdir, "_STREAM_EOF"), "w").close()
+        t0 = time.perf_counter()
+        ds = stream_events(sdir, parallelism=8, idle_timeout_s=120.0)
+        n_windows = 0
+        for tbl in tumbling_stream(ds, window=max(1, n_events // 100),
+                                   ts_col="gtid", key_col="table",
+                                   n_sources=8):
+            n_windows += len(tbl)
+        stream_sec = min(stream_sec, time.perf_counter() - t0)
+        shutil.rmtree(sdir, ignore_errors=True)
+
     total = round(apply_sec + sum(qtimes.values()), 3)
     result = {
         "metric": "cdc replay + query suite wall time",
@@ -166,6 +191,12 @@ def run_bench() -> dict:
             "events": n_events,
             "apply_sec": round(apply_sec, 3),
             "events_per_sec": round(n_events / apply_sec, 1),
+        },
+        "streaming": {
+            "events": n_events,
+            "sec": round(stream_sec, 3),
+            "events_per_sec": round(n_events / stream_sec, 1),
+            "windows_closed": n_windows,
         },
     }
     ray.shutdown()
