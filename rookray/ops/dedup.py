@@ -696,3 +696,41 @@ def dup_ngram_stats(ds: "ray.data.Dataset", n: int = 3, col: str = "text",
             .groupby(id_col)
             .aggregate(Sum("n_ngrams", alias_name="n_ngrams"),
                        Sum("n_dup_ngrams", alias_name="n_dup_ngrams")))
+
+
+def incremental_new_docs(arriving: "ray.data.Dataset",
+                         seen: "ray.data.Dataset",
+                         col: str = "text", key: str = "doc_id",
+                         prefix: int | None = None,
+                         num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Incremental-ingest dedup: the rows of ``arriving`` whose content
+    fingerprint never appears in ``seen`` (the already-committed lake
+    state) — a native left_anti hash-shuffle join on the vectorized
+    64-bit content hash, so neither side ever lands on the driver.
+
+    ``prefix`` fingerprints only the first N chars (boilerplate
+    lead-in dedup, the cross-epoch analog of ``clean_corpus``'s prefix
+    pass); ``None`` hashes the full text.  A single 64-bit hash is the
+    SQL-checkable variant (the oracle computes the identical hash in
+    mod-2^64 SQL); pair it with ``variant=1`` for an effective 128-bit
+    key at 10^10-doc scale, as ``exact_groups`` does."""
+    from rookray.util import hash_strings
+
+    def fp(batch: pa.Table, keep_key: bool) -> pa.Table:
+        t = batch.column(col).combine_chunks()
+        if prefix is not None:
+            t = pc.utf8_slice_codeunits(t, 0, prefix)
+        h = hash_strings(t).view(np.int64)
+        cols: dict = {"fp": pa.array(h)}
+        if keep_key:
+            cols[key] = batch.column(key)
+        return pa.table(cols)
+
+    seen_fp = seen.map_batches(fp, fn_kwargs=dict(keep_key=False),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    arr_fp = arriving.map_batches(fp, fn_kwargs=dict(keep_key=True),
+                                  batch_format="pyarrow", zero_copy_batch=True)
+    P = num_partitions or _join_partitions()
+    return arr_fp.join(seen_fp, join_type="left_anti", on=("fp",),
+                       num_partitions=P,
+                       aggregator_ray_remote_args=_JOIN_ARGS)

@@ -266,3 +266,41 @@ def lang_id(ds: "ray.data.Dataset", profiles: dict[str, set[str]],
         LangId, fn_constructor_args=(profiles,), batch_format="pandas",
         batch_size=2048, concurrency=(1, concurrency),
     )
+
+
+def vocab_topk(ds: "ray.data.Dataset", k: int = 32,
+               col: str = "text") -> pd.DataFrame:
+    """Corpus vocabulary: the global top-``k`` tokens by frequency
+    (count desc, token asc on ties) — the vocab-building sweep of a
+    training-data pipeline.
+
+    Scale shape: per-batch ``value_counts`` collapses each batch to
+    its distinct tokens BEFORE the shuffle (the combiner pattern — a
+    100-TB corpus ships ~vocab-sized partials per block, not one row
+    per word occurrence), ``groupby(token)`` sums the partials, and
+    the final top-k collects only ``k`` rows per block to the driver
+    (bounded regardless of vocabulary size)."""
+    from ray.data.aggregate import Sum
+    from rookray.ops.corpus import _split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kept, _, _ = _split_words(batch.column(col).combine_chunks())
+        vc = pc.value_counts(kept)
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        tok = batch.column("token").to_pandas()
+        order = np.lexsort((tok.to_numpy(), -n))[:k]
+        return batch.take(pa.array(order))
+
+    rows = (totals.map_batches(block_topk, batch_format="pyarrow")
+            .take_all())  # ≤ k rows per block — bounded driver collect
+    df = pd.DataFrame(rows, columns=["token", "n"])
+    df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True).astype({"n": np.int64})

@@ -1120,6 +1120,61 @@ GROUP BY 1
 """
 
 
+def vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Global top-32 vocabulary by corpus token frequency (combiner →
+    groupby-sum → bounded per-block top-k)."""
+    from rookray.ops.text import vocab_topk as _vt
+    ds = _read(sf_dir, "documents", ["text"])
+    return _vt(ds, k=32)
+
+
+VOCAB_TOPK_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT 32
+"""
+
+
+def dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup: arriving docs (odd doc_id) surviving a
+    left_anti fingerprint join against the already-committed set (even
+    doc_id); fingerprint = 64-bit hash of the first 24 chars (the
+    boilerplate lead-in).  The oracle recomputes the identical hash
+    with mod-2^64 SQL arithmetic."""
+    from rookray.ops.dedup import incremental_new_docs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(batch: pa.Table, want: int) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d % 2) == want))
+
+    seen = ds.map_batches(parity, fn_kwargs=dict(want=0),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    arriving = ds.map_batches(parity, fn_kwargs=dict(want=1),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    out = incremental_new_docs(arriving, seen, prefix=24).to_pandas()
+    return out[["doc_id", "fp"]]
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+WITH u AS (SELECT doc_id, substr(text, 1, 24) AS pfx,
+                  (doc_id % 2 = 0) AS is_seen
+           FROM documents),
+{hash_strings_ctes('u', 'pfx', 'doc_id, is_seen')}
+SELECT a.doc_id,
+       CAST(CASE WHEN a.hh >= 9223372036854775808::HUGEINT
+                 THEN a.hh - {_M64}::HUGEINT ELSE a.hh END AS BIGINT) AS fp
+FROM hashed a
+WHERE NOT a.is_seen
+  AND NOT EXISTS (SELECT 1 FROM hashed s WHERE s.is_seen AND s.hh = a.hh)
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()
+
+
 def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import ann as A
     ds = _read(sf_dir, "embeddings")
@@ -1722,6 +1777,8 @@ QUERIES = {
     "corpus_clean_pack": corpus_clean_pack,
     "shuffle_training_order": shuffle_training_order,
     "decontaminate_docs": decontaminate_docs,
+    "vocab_topk": vocab_topk,
+    "dedup_incremental": dedup_incremental,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -1776,6 +1833,8 @@ ORACLES = {
     "corpus_clean_pack": CORPUS_CLEAN_PACK_SQL,
     "shuffle_training_order": SHUFFLE_TRAINING_ORDER_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to
