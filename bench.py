@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "pack_training_chunks",
     "text_token_counts",
     "text_quality",
+    # round-3 additions: LLM-pipeline + join coverage
+    "join_events_asof",
+    "vocab_topk",
+    "shuffle_training_order",
+    "decontaminate_docs",
+    "dedup_incremental",
+    "corpus_clean_pack",
 ]
 
 
