@@ -331,6 +331,82 @@ class _MergeOnRead:
                 if len(outs) > 1 else outs[0])
 
 
+_CHANGEFEED_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("change", pa.string()),
+     ("gtid_a", pa.int64()), ("gtid_b", pa.int64()),
+     ("n_tok_a", pa.int64()), ("n_tok_b", pa.int64())]
+)
+
+
+class _ChangeFeed:
+    """Per-partition snapshot-diff task — the changefeed kernel.
+
+    Hash placement by ``doc_id`` is stable across epochs, so the diff
+    between two snapshots is partition-local: resolve each side's
+    state (base + deltas) and outer-join on ``doc_id`` vectorized.  A
+    key present only in B is an insert, only in A a delete; present in
+    both with a different winning ``_gtid`` an update; same ``_gtid``
+    rows are unchanged and emit nothing."""
+
+    def __init__(self, root: str, frags_a: dict, frags_b: dict):
+        self.root = root
+        self.frags_a = frags_a
+        self.frags_b = frags_b
+
+    @staticmethod
+    def _side(state: pa.Table | None, suf: str):
+        import pandas as pd
+        if state is None or len(state) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=object),
+                f"gtid_{suf}": pd.Series([], dtype=np.int64),
+                f"n_tok_{suf}": pd.Series([], dtype=np.int64),
+            })
+        n_tok = (state.column("n_tok").to_numpy(zero_copy_only=False)
+                 .astype(np.int64) if "n_tok" in state.column_names
+                 else np.full(len(state), -1, dtype=np.int64))
+        return pd.DataFrame({
+            "doc_id": state.column("doc_id").to_numpy(zero_copy_only=False),
+            f"gtid_{suf}": state.column("_gtid")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64),
+            f"n_tok_{suf}": n_tok,
+        })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("part").to_pylist():
+            p = int(part)
+            a = _resolve_partition(self.root, *self.frags_a.get(p, (None, [])))
+            b = _resolve_partition(self.root, *self.frags_b.get(p, (None, [])))
+            mg = self._side(a, "a").merge(self._side(b, "b"),
+                                          on="doc_id", how="outer")
+            ga = mg["gtid_a"].to_numpy(dtype=np.float64, na_value=np.nan)
+            gb = mg["gtid_b"].to_numpy(dtype=np.float64, na_value=np.nan)
+            ins, dele = np.isnan(ga), np.isnan(gb)
+            keep = ins | dele | (ga != gb)
+            if not keep.any():
+                continue
+            mg = mg[keep]
+            change = np.where(ins[keep], "insert",
+                              np.where(dele[keep], "delete", "update"))
+            outs.append(pa.table({
+                "doc_id": pa.array(mg["doc_id"].to_numpy(dtype=object)),
+                "change": pa.array(change.astype(object)),
+                "gtid_a": pa.array(np.nan_to_num(
+                    ga[keep], nan=-1.0).astype(np.int64)),
+                "gtid_b": pa.array(np.nan_to_num(
+                    gb[keep], nan=-1.0).astype(np.int64)),
+                "n_tok_a": pa.array(mg["n_tok_a"].to_numpy(
+                    dtype=np.float64, na_value=-1.0).astype(np.int64)),
+                "n_tok_b": pa.array(mg["n_tok_b"].to_numpy(
+                    dtype=np.float64, na_value=-1.0).astype(np.int64)),
+            }, schema=_CHANGEFEED_SCHEMA))
+        if not outs:
+            return pa.Table.from_pylist([], schema=_CHANGEFEED_SCHEMA)
+        return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+
 _COMPACT_SCHEMA = pa.schema(
     [("partition", pa.int32()), ("file", pa.string()),
      ("rows", pa.int64()), ("content_hash", pa.string())]
@@ -400,13 +476,96 @@ class LakeTable:
     def manifest(self) -> dict | None:
         return sink.read_manifest(self.root)
 
+    # --------------------------------------------------- time travel
+
+    def epochs(self) -> list[int]:
+        """Committed epochs with an archived snapshot manifest —
+        readable via ``read(as_of=...)`` until their state files are
+        garbage-collected (``sink.gc_uncommitted`` keeps the trailing
+        ``keep_epochs``)."""
+        d = os.path.join(self.root, "manifests")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                try:
+                    out.append(int(name[6:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def manifest_at(self, epoch: int) -> dict:
+        """The archived manifest of a committed epoch (snapshot
+        isolation: every state file it references is immutable —
+        epoch-tagged names — so the snapshot stays byte-stable until
+        GC'd)."""
+        path = os.path.join(self.root, "manifests", f"epoch-{epoch:06d}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"no committed epoch {epoch} at {self.root}; "
+                f"available: {self.epochs()}")
+        import json as _json
+        with open(path) as f:
+            return _json.load(f)
+
+    def _snapshot_manifest(self, as_of: int | None) -> dict | None:
+        """Current manifest, or a validated historical one."""
+        if as_of is None:
+            return self.manifest()
+        m = self.manifest_at(as_of)
+        missing = []
+        for p in m["partitions"].values():
+            rels = ([p["file"]] if p.get("file") else []) \
+                + list(p.get("delta_files", ()))
+            missing += [r for r in rels
+                        if not os.path.exists(os.path.join(self.root, r))]
+        if missing:
+            raise ValueError(
+                f"snapshot epoch {as_of} is no longer readable: "
+                f"{len(missing)} state file(s) were garbage-collected "
+                f"(e.g. {missing[0]}); raise gc keep_epochs to retain "
+                f"older snapshots")
+        return m
+
+    def changes_between(self, epoch_a: int, epoch_b: int) -> "ray.data.Dataset":
+        """Row-level changefeed between two committed snapshots — CDC
+        *out* of the lake (the Delta-CDF / Hudi incremental-query
+        analog; rook itself is CDC *in* only,
+        MySQLReplicationStream.java:161-179).
+
+        Returns a Dataset of ``(doc_id, change, gtid_a, gtid_b,
+        n_tok_a, n_tok_b)`` with ``change`` ∈ insert/update/delete and
+        ``-1`` sentinels on the absent side.  The diff is
+        partition-local (hash placement is stable across epochs), so
+        no shuffle — one task per partition.  Both snapshots must
+        share a partition count; diffing across a ``repartition()``
+        boundary is refused."""
+        ma = self._snapshot_manifest(epoch_a)
+        mb = self._snapshot_manifest(epoch_b)
+        if int(ma["num_partitions"]) != int(mb["num_partitions"]):
+            raise ValueError(
+                f"snapshots straddle a repartition boundary "
+                f"({ma['num_partitions']} vs {mb['num_partitions']} "
+                f"partitions); changefeed requires a stable key placement")
+        fa = self._partition_fragments(ma)
+        fb = self._partition_fragments(mb)
+        parts = sorted(set(fa) | set(fb))
+        if not parts:
+            return ray.data.from_arrow(
+                pa.Table.from_pylist([], schema=_CHANGEFEED_SCHEMA))
+        feed = _ChangeFeed(self.root, fa, fb)
+        return (ray.data.from_items([{"part": p} for p in parts])
+                .repartition(len(parts))
+                .map_batches(feed, batch_format="pyarrow", batch_size=1))
+
     def _has_deltas(self, m: dict | None = None) -> bool:
         m = m or self.manifest()
         return bool(m) and any(p.get("delta_files") for p in m["partitions"].values())
 
-    def committed_files(self) -> list[str]:
+    def committed_files(self, m: dict | None = None) -> list[str]:
         """Base state files only — valid as-is when no deltas exist."""
-        m = self.manifest()
+        m = m if m is not None else self.manifest()
         if not m:
             return []
         return [os.path.join(self.root, p["file"]) for p in m["partitions"].values()
@@ -418,10 +577,13 @@ class LakeTable:
             out[int(pid)] = (p.get("file"), list(p.get("delta_files", ())))
         return out
 
-    def read(self, include_meta: bool = False) -> "ray.data.Dataset":
-        m = self.manifest()
+    def read(self, include_meta: bool = False,
+             as_of: int | None = None) -> "ray.data.Dataset":
+        """Committed state as a Dataset; ``as_of`` reads a historical
+        epoch's snapshot (time travel) instead of the head."""
+        m = self._snapshot_manifest(as_of)
         if not self._has_deltas(m):
-            files = self.committed_files()
+            files = self.committed_files(m)
             if not files:
                 return ray.data.from_arrow(self._empty_state())
             ds = ray.data.read_parquet(files)
@@ -436,9 +598,10 @@ class LakeTable:
         ).repartition(len(frags))
         return parts_ds.map_batches(reader, batch_format="pyarrow", batch_size=1)
 
-    def state_table(self, include_meta: bool = False) -> pa.Table:
+    def state_table(self, include_meta: bool = False,
+                    as_of: int | None = None) -> pa.Table:
         """Full committed state as one in-memory table (tests/small only)."""
-        m = self.manifest()
+        m = self._snapshot_manifest(as_of)
         if self._has_deltas(m):
             frags = self._partition_fragments(m)
             reader = _MergeOnRead(self.root, frags, include_meta)
@@ -448,7 +611,7 @@ class LakeTable:
             ]
             tables = [t for t in tables if len(t)]
         else:
-            files = self.committed_files()
+            files = self.committed_files(m)
             if not files:
                 return self._empty_state()
             tables = [pq.read_table(f) for f in files]

@@ -1721,6 +1721,160 @@ SELECT doc_id, lang FROM win
 """
 
 
+# ---------------------------------------------------------------------
+# time travel + changefeed (snapshot isolation over the epoch history)
+# ---------------------------------------------------------------------
+
+#: flagship shard geometry: 20000 events in 16 contiguous 1250-gtid
+#: shards (gen.write_shards linspace bounds) — epoch boundaries land on
+#: exact gtid multiples, so the SQL oracle can restate the engine's
+#: tx-closed watermark from the change log alone
+_TT_BOUNDS = (7500, 13750, 20000)
+
+#: per-tx gtid span over the FULL log (noise included — tx closure
+#: counts every member, exactly like rookray.txn._tx_partials)
+_TT_TXSPAN = f"""
+txspan AS (
+  SELECT tx_id, MIN(gtid) AS mn, MAX(gtid) AS mx
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  GROUP BY tx_id
+)
+"""
+
+
+def _tt_wm_sql(b: int) -> str:
+    """Closed watermark at presented-prefix boundary ``b``: the largest
+    g ≤ b such that no tx with an event ≤ g extends past b (the SQL
+    restatement of txn._watermark_from_agg)."""
+    return (f"(SELECT LEAST({b}, COALESCE(MIN(mn) - 1, {b})) "
+            f"FROM txspan WHERE mn <= {b} AND mx > {b})")
+
+
+def _three_epoch_lake():
+    """Flagship stream applied in three epochs (one-shard overlap at
+    each boundary re-presents held-back open-tx events, as ShardTailer
+    would); returns the lake and the three committed epoch ids."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    files = meta["files"]
+    eps = [lake.apply(files[:6])["epoch"],
+           lake.apply(files[5:11])["epoch"],
+           lake.apply(files[10:])["epoch"]]
+    return lake, eps
+
+
+def cdc_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-isolation time travel: the flagship stream applied in
+    THREE epochs, then each historical epoch read back via
+    ``read(as_of=epoch)`` from its archived manifest (state files are
+    immutable and epoch-tagged, so snapshots stay byte-stable until
+    GC).  The oracle recomputes each epoch's state from the change log
+    with the engine's tx-closed watermark restated in SQL — pinning
+    both the snapshot machinery AND the holdback math (rook has no
+    historical reads at all; the lake's epoch history is what the
+    north rule's resumable lineage buys us)."""
+    lake, eps = _three_epoch_lake()
+    frames = []
+    for label, ep in enumerate(eps, start=1):
+        state = lake.state_table(as_of=ep)
+        toks = state.column("tokens").combine_chunks()
+        sums = np.zeros(len(state), dtype=np.int64)
+        if len(state):
+            flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(flat)])
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            sums = cum[bounds[1:]] - cum[bounds[:-1]]
+        frames.append(pd.DataFrame({
+            "epoch": np.full(len(state), label, dtype=np.int64),
+            "doc_id": state.column("doc_id").to_pylist(),
+            "n_tok": np.asarray(state.column("n_tok").to_pylist(),
+                                dtype=np.int64),
+            "token_sum": sums,
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _tt_win_sql(epoch: int, b: int) -> str:
+    return f"""
+  SELECT {epoch} AS epoch, gtid, op, doc_id, tokens, n_tok
+  FROM ev WHERE gtid <= {_tt_wm_sql(b)}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2"""
+
+
+CDC_TIME_TRAVEL_SQL = f"""
+WITH {_TT_TXSPAN},
+ev AS (
+  SELECT gtid, op, doc_id, tokens, n_tok
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+),
+win AS ({" UNION ALL ".join(_tt_win_sql(e, b)
+                            for e, b in enumerate(_TT_BOUNDS, start=1))})
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(coalesce(list_aggregate(tokens, 'sum'), 0) AS BIGINT) AS token_sum
+FROM win
+"""
+
+
+def cdc_changefeed(sf_dir: str) -> pd.DataFrame:
+    """CDC *out* of the lake: the row-level changefeed between the
+    first and the last committed snapshot (``changes_between`` — the
+    Delta-CDF / Hudi incremental-query analog).  The diff is
+    partition-local (stable hash placement), one task per partition,
+    no shuffle; the oracle full-outer-joins the two epochs' LWW states
+    recomputed from the change log."""
+    lake, eps = _three_epoch_lake()
+    tbl = (lake.changes_between(eps[0], eps[-1])
+           .take_all())
+    df = pd.DataFrame(tbl, columns=["doc_id", "change", "gtid_a",
+                                    "gtid_b", "n_tok_a", "n_tok_b"])
+    for c in df.columns[2:]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+CDC_CHANGEFEED_SQL = f"""
+WITH {_TT_TXSPAN},
+ev AS (
+  SELECT gtid, op, doc_id, n_tok
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+),
+win1 AS (
+  SELECT doc_id, gtid, n_tok FROM ev
+  WHERE gtid <= {_tt_wm_sql(_TT_BOUNDS[0])}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2
+),
+win3 AS (
+  SELECT doc_id, gtid, n_tok FROM ev
+  WHERE gtid <= {_TT_BOUNDS[-1]}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'insert'
+            WHEN b.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       CAST(COALESCE(a.gtid, -1) AS BIGINT) AS gtid_a,
+       CAST(COALESCE(b.gtid, -1) AS BIGINT) AS gtid_b,
+       CAST(COALESCE(a.n_tok, -1) AS BIGINT) AS n_tok_a,
+       CAST(COALESCE(b.n_tok, -1) AS BIGINT) AS n_tok_b
+FROM win1 a FULL JOIN win3 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.gtid <> b.gtid
+"""
+
+
 # =====================================================================
 # catalog
 # =====================================================================
@@ -1787,6 +1941,9 @@ QUERIES = {
     "cdc_lineage_metrics": cdc_lineage_metrics,
     "cdc_salted_replay": cdc_salted_replay,
     "cdc_schema_evolution": cdc_schema_evolution,
+    # snapshot isolation over the epoch history
+    "cdc_time_travel": cdc_time_travel,
+    "cdc_changefeed": cdc_changefeed,
 }
 
 ORACLES = {
@@ -1842,6 +1999,12 @@ ORACLES = {
     "cdc_lineage_metrics": CDC_LINEAGE_METRICS_SQL,
     "cdc_salted_replay": CDC_REPLAY_SEQUENCES_SQL,
     "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_SQL,
+    # time travel: each epoch's snapshot vs the change log replayed to
+    # that epoch's tx-closed watermark (watermark math restated in SQL);
+    # changefeed: the engine's partition-local snapshot diff vs a full
+    # outer join of the two recomputed states
+    "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
+    "cdc_changefeed": CDC_CHANGEFEED_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,
     # multimodal_features, cdc_evictions
