@@ -225,6 +225,43 @@ def stratified_sample(ds: "ray.data.Dataset", key_col: str,
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mixture_resample(ds: "ray.data.Dataset", key_col: str,
+                     strata_col: str, weights_permille: dict[str, int],
+                     default_permille: int = 1000) -> "ray.data.Dataset":
+    """Domain-mixture resampling WITH upsampling — the "mix domain A
+    at 2.5 epochs, domain B at 0.5" step of assembling a training
+    corpus (stratified_sample only downsamples).
+
+    Weight ``w`` permille ⇒ each row emits ``w // 1000`` full repeats
+    plus one more iff ``hash(key) < w % 1000``, with the same
+    overflow-safe modular hash as ``stratified_sample`` (identical in
+    numpy int64 and SQL BIGINT).  Expected multiplicity = w/1000
+    exactly; the decision is per-key deterministic, so re-runs emit
+    the identical mixture.  Output rows carry ``rep`` (0-based repeat
+    index) so a downstream ``deterministic_shuffle`` can interleave
+    the epochs.  Stateless map — no shuffle; weights ride in the
+    closure."""
+    items = tuple(sorted(weights_permille.items()))
+
+    def rep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k % 1000003) * 2654435761) % 1000
+        s = batch.column(strata_col).to_pandas()
+        w = np.full(len(batch), default_permille, dtype=np.int64)
+        for name, r in items:
+            w[(s == name).to_numpy()] = r
+        reps = w // 1000 + (h < (w % 1000))
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        starts = np.concatenate([[0], np.cumsum(reps[:-1])]) \
+            if len(reps) else np.zeros(0, dtype=np.int64)
+        pos = (np.arange(int(reps.sum()), dtype=np.int64)
+               - np.repeat(starts, reps))
+        out = batch.take(pa.array(idx))
+        return out.append_column("rep", pa.array(pos))
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- shuffle
 
 #: splitmix64 constants (same finalizer as util.hash_strings)
@@ -313,32 +350,105 @@ def deterministic_shuffle(ds: "ray.data.Dataset", key_col: str,
 
 # ---------------------------------------------------------- decontamination
 
+class _AhoCorasick:
+    """Byte-level Aho-Corasick automaton: one pass over the text finds
+    every pattern occurrence regardless of pattern count — the classic
+    multi-pattern scale path (Aho & Corasick 1975).
+
+    Build: byte trie (``goto``: dict per state), BFS failure links,
+    and per-state *merged* output sets (each state's outputs include
+    its whole fail chain's, resolved at build time so the scan never
+    walks fail chains for output collection)."""
+
+    def __init__(self, patterns: list[str]):
+        self.goto: list[dict[int, int]] = [{}]
+        self.out: list[frozenset[int]] = [frozenset()]
+        raw_out: list[set[int]] = [set()]
+        for idx, p in enumerate(patterns):
+            s = 0
+            for ch in p.encode("utf-8"):
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[s][ch] = nxt
+                    self.goto.append({})
+                    raw_out.append(set())
+                s = nxt
+            raw_out[s].add(idx)
+        from collections import deque
+        self.fail = [0] * len(self.goto)
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            s = q.popleft()
+            for ch, t in self.goto[s].items():
+                q.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                # depth-1 states are seeded with fail=0 and never
+                # reassigned; here t is depth ≥ 2, so goto[f][ch] ≠ t
+                self.fail[t] = self.goto[f].get(ch, 0)
+                raw_out[t] |= raw_out[self.fail[t]]
+        self.out = [frozenset(o) for o in raw_out]
+
+    def distinct_hits(self, text: str) -> int:
+        """Number of DISTINCT patterns occurring in ``text``."""
+        goto, fail, out = self.goto, self.fail, self.out
+        s = 0
+        seen: set[int] = set()
+        for ch in text.encode("utf-8"):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                seen |= out[s]
+        return len(seen)
+
+
 def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
                   text_col: str = "text",
-                  max_snippets: int = 100_000) -> "ray.data.Dataset":
+                  max_snippets: int = 100_000,
+                  method: str = "auto") -> "ray.data.Dataset":
     """Benchmark decontamination: flag every corpus doc containing any
     of the benchmark ``snippets`` as an exact substring — the "remove
     eval-set leakage before training" pass.
 
     The snippet list is the BENCHMARK side (eval sets are thousands of
     prompts, not corpus-sized) — broadcast once via ``ray.put``, never
-    re-shipped per batch; each batch runs one vectorized Arrow
-    ``match_substring`` kernel per snippet (O(rows × snippets) inside
-    the kernel, zero Python per row).  Raises if the snippet list
-    exceeds ``max_snippets`` — at that size build an Aho-Corasick
-    automaton instead of a kernel sweep.
+    re-shipped per batch.  Two scan engines:
+
+    * ``kernels`` — one vectorized Arrow ``match_substring`` kernel
+      per snippet (O(rows × snippets) inside C++, zero Python per
+      row).  Fastest for small snippet lists.
+    * ``aho`` — an Aho-Corasick automaton compiled ONCE per actor in
+      ``__init__``; each doc is one O(bytes) pass independent of the
+      snippet count.  The per-byte loop is Python (no codec libs in
+      scope) so its constant is worse, but it is the asymptotic scale
+      path for 10⁵⁺-snippet benchmark suites, and actor-pool
+      parallelism hides the constant.
+
+    ``method="auto"`` picks kernels at or below ``max_snippets`` and
+    switches to the automaton above it; ``method="kernels"`` raises
+    above the budget instead (the pre-automaton behavior).
 
     Returns (doc_id, n_hits): docs containing ≥1 distinct snippet and
-    how many.
+    how many distinct snippets each contains (identical under both
+    engines — tested).
     """
     import ray
 
     uniq = sorted(set(s for s in snippets if s))
-    if len(uniq) > max_snippets:
+    if method not in ("auto", "kernels", "aho"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "kernels" and len(uniq) > max_snippets:
         raise ValueError(
             f"{len(uniq)} snippets > max_snippets={max_snippets}; "
-            "use an Aho-Corasick automaton stage for benchmark sets "
-            "this large")
+            "use method='aho' (Aho-Corasick automaton stage) for "
+            "benchmark sets this large")
+    use_aho = method == "aho" or (method == "auto"
+                                  and len(uniq) > max_snippets)
     snip_ref = ray.put(uniq)
 
     class Scan:
@@ -357,5 +467,20 @@ def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
                 "n_hits": pa.array(hits[keep]),
             })
 
-    return ds.map_batches(Scan, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    class ACScan:
+        def __init__(self):
+            self.ac = _AhoCorasick(ray.get(snip_ref))  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            hits = np.fromiter((self.ac.distinct_hits(t or "")
+                                for t in texts), dtype=np.int64,
+                               count=len(texts))
+            keep = hits > 0
+            return pa.table({
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep]),
+            })
+
+    return ds.map_batches(ACScan if use_aho else Scan,
+                          batch_format="pyarrow", concurrency=(1, 8))

@@ -205,8 +205,12 @@ def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         payload = pc.cast(text, pa.binary()).to_pylist()
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
         rate = 8000
-        t = np.arange(rate // 4, dtype=np.float64) / rate  # 250 ms
+        # audio length is doc-dependent (2000 + doc_id % 1000 samples
+        # at 8 kHz) — closed-form per doc, so a SQL oracle can verify
+        # what the REAL wave-parse decode recovers (multimodal_wav_meta)
+        n_audio = 2000 + (doc % 1000)
         for i in np.flatnonzero(doc % 3 == 1):
+            t = np.arange(int(n_audio[i]), dtype=np.float64) / rate
             freq = 110.0 + float(doc[i] % 880)  # deterministic pitch
             payload[i] = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
         return pa.table(
@@ -220,12 +224,53 @@ def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                 "width": pa.array((doc % 640 + 32).astype(np.int32)),
                 "height": pa.array((doc % 480 + 32).astype(np.int32)),
                 "duration_ms": pa.array(
-                    np.where(doc % 3 == 1, 250, doc % 5000 + 100)
+                    np.where(doc % 3 == 1, n_audio // 8, doc % 5000 + 100)
                     .astype(np.int32)),
             }
         )
 
     return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class DecodeWavMeta:
+    """Actor-pool stage: REAL WAV header/frame parse of audio rows →
+    (media_id, sample_rate, n_samples, duration_ms).  Nothing stubbed:
+    every value comes out of the stdlib ``wave`` parser, so an oracle
+    that knows the synthesis rule can verify the decode end-to-end."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        rows = {"media_id": [], "sample_rate": [],
+                "n_samples": [], "duration_ms": []}
+        for mid, payload, mtype in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("media_type").to_pylist()):
+            if mtype != "audio" or not is_wav(payload):
+                continue
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(w.getframerate())
+                rows["n_samples"].append(w.getnframes())
+                rows["duration_ms"].append(
+                    w.getnframes() * 1000 // w.getframerate())
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int64()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
+        })
+
+
+def wav_meta(media: "ray.data.Dataset",
+             concurrency: int = 4) -> "ray.data.Dataset":
+    """Parsed WAV metadata of every audio row (real decode)."""
+    return media.map_batches(
+        DecodeWavMeta, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, concurrency),
+    )
 
 
 def decode_features(media: "ray.data.Dataset", concurrency: int = 4,

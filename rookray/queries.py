@@ -1265,6 +1265,60 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
     return out[["media_id", "media_type", "payload_bytes", "feature_norm_q"]]
 
 
+def multimodal_wav_meta(sf_dir: str) -> pd.DataFrame:
+    """REAL codec oracle row: audio payloads are stdlib-encoded WAVs
+    whose length is a closed form of the doc id (2000 + doc_id % 1000
+    samples at 8 kHz); the engine actor-pool stage parses every header
+    and frame count back with the ``wave`` module, and the oracle
+    recomputes the metadata from the synthesis rule — pinning the
+    decode path (the image/video stubs stay rows-only by design)."""
+    from rookray.ops import multimodal as M
+    media = M.media_from_documents(_read(sf_dir, "documents"))
+    df = M.wav_meta(media).to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+MULTIMODAL_WAV_META_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(2000 + doc_id % 1000 AS BIGINT) AS n_samples,
+       CAST((2000 + doc_id % 1000) // 8 AS BIGINT) AS duration_ms
+FROM documents
+WHERE doc_id % 3 = 1
+ORDER BY media_id
+"""
+
+
+def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture resampling with UPSAMPLING: src0 at 2.5 epochs,
+    src1 at 0.5, everything else at 1.0 — per-key deterministic repeat
+    counts via the overflow-safe modular hash (identical in numpy and
+    SQL), each output row tagged with its repeat index."""
+    from rookray.ops.corpus import mixture_resample
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mixture_resample(ds, "doc_id", "source",
+                           {"src0": 2500, "src1": 500}).to_pandas()
+    return (out.sort_values(["doc_id", "rep"]).reset_index(drop=True)
+            .astype({"doc_id": np.int64, "rep": np.int64}))
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         ((doc_id % 1000003) * 2654435761) % 1000 AS h,
+         CASE source WHEN 'src0' THEN 2500
+                     WHEN 'src1' THEN 500
+                     ELSE 1000 END AS w
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(unnest(range(w // 1000 + CASE WHEN h < w % 1000
+                                          THEN 1 ELSE 0 END)) AS BIGINT) AS rep
+FROM d
+ORDER BY doc_id, rep
+"""
+
+
 # =====================================================================
 # Full-engine CDC replay (rows-only; no SQL view over generated shards)
 # =====================================================================
@@ -1924,6 +1978,9 @@ QUERIES = {
     "ann_ivf_distributed_exhaustive": ann_ivf_distributed_exhaustive,
     # multimodal
     "multimodal_features": multimodal_features,
+    "multimodal_wav_meta": multimodal_wav_meta,
+    # domain mixing
+    "mixture_resample_docs": mixture_resample_docs,
     # sequence packing
     "pack_training_chunks": pack_training_chunks,
     "pack_split_chunks": pack_split_chunks,
@@ -1971,6 +2028,10 @@ ORACLES = {
     "text_redact": TEXT_REDACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    # real WAV decode pinned to the closed-form synthesis rule;
+    # mixture resampling recomputed via LATERAL range-unnest
+    "multimodal_wav_meta": MULTIMODAL_WAV_META_SQL,
+    "mixture_resample_docs": MIXTURE_RESAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_spans": DEDUP_NGRAM_SPANS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

@@ -560,4 +560,78 @@ def test_decontaminate_hits_and_budget():
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        decontaminate(ds, [f"s{i}" for i in range(10)], max_snippets=5)
+        decontaminate(ds, [f"s{i}" for i in range(10)], max_snippets=5,
+                      method="kernels")
+
+
+def test_mixture_resample_repeats_and_determinism():
+    """Upsampling emits floor(w/1000) repeats plus a hash-decided
+    extra; rep indexes are 0..k-1; reruns are identical; weight 1000
+    is the identity."""
+    from rookray.ops.corpus import mixture_resample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "source": pa.array((["a"] * 20) + (["b"] * 20)),
+    })
+    ds = ray.data.from_arrow(t)
+    out = (mixture_resample(ds, "doc_id", "source",
+                            {"a": 3000, "b": 500})
+           .to_pandas().sort_values(["doc_id", "rep"]))
+    per = out.groupby("doc_id").size()
+    # 'a' rows repeat exactly 3x (no fractional part)
+    assert (per.reindex(range(20), fill_value=0) == 3).all()
+    # 'b' rows appear 0 or 1 times, about half
+    bcnt = per.reindex(range(20, 40), fill_value=0)
+    assert set(bcnt.unique()) <= {0, 1} and 3 <= bcnt.sum() <= 17
+    # rep indexes are dense per key
+    for _, g in out.groupby("doc_id"):
+        assert g["rep"].tolist() == list(range(len(g)))
+    # deterministic
+    out2 = (mixture_resample(ds, "doc_id", "source",
+                             {"a": 3000, "b": 500})
+            .to_pandas().sort_values(["doc_id", "rep"]))
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+    # identity weight
+    ident = mixture_resample(ds, "doc_id", "source", {}).to_pandas()
+    assert len(ident) == 40 and (ident["rep"] == 0).all()
+
+
+def test_decontaminate_aho_matches_kernels():
+    """The Aho-Corasick engine must produce byte-identical (doc_id,
+    n_hits) to the kernel sweep — including overlapping patterns,
+    patterns nested inside each other, and repeated occurrences
+    (counted once per distinct pattern)."""
+    from rookray.ops.corpus import _AhoCorasick, decontaminate
+
+    pats = ["ab", "abc", "bc", "c", "quick brown", "own f", "zz"]
+    texts = [
+        "the quick brown fox",          # quick brown, own f
+        "abcabc",                        # ab, abc, bc, c
+        "no hits at all",                # none... ("c" hits nothing? no 'c')
+        "cc",                            # c (once, distinct)
+        "",                              # empty
+        "ab",                            # ab only
+    ]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    })
+    ds = ray.data.from_arrow(t)
+
+    def run(method, **kw):
+        df = (decontaminate(ds, pats, method=method, **kw)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        return list(zip(df["doc_id"], df["n_hits"]))
+
+    kern = run("kernels")
+    aho = run("aho")
+    assert kern == aho
+    # auto switches to the automaton above the budget, same answer
+    assert run("auto", max_snippets=3) == kern
+
+    # direct automaton checks: distinct counting, not occurrences
+    ac = _AhoCorasick(pats)
+    assert ac.distinct_hits("abcabcabc") == 4      # ab abc bc c
+    assert ac.distinct_hits("zzz") == 1            # zz twice -> 1 distinct
+    assert ac.distinct_hits("") == 0
