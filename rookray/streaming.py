@@ -96,6 +96,188 @@ def _closed_table(rows: list[tuple], key_col: str) -> pa.Table:
                    "n_events": np.int64}), preserve_index=False)
 
 
+@ray.remote
+class _SessionState:
+    """Open-session store for gap-based session windows.
+
+    Per key it holds the open sessions as (start, end, sum, count)
+    intervals kept ≥ ``gap`` apart; an arriving fragment merges every
+    session within ``gap`` of it (interval union under the gap
+    metric).  The watermark is the min over sources of the largest
+    fragment START consumed (starts, not ends — session windows are
+    unaligned, see the partial-stage comment); a session closes
+    exactly once, STRICTLY when ``end + gap < watermark - lateness``,
+    after which no on-time fragment can reach back into it.  State is
+    bounded by the OPEN sessions only; the close scan is O(open
+    sessions) per update call (update calls are per partial block,
+    not per event — at larger open-key counts an end-time heap would
+    replace the scan)."""
+
+    def __init__(self, gap: int, lateness: int, n_sources: int):
+        self.gap = int(gap)
+        self.lateness = int(lateness)
+        self.n_sources = int(n_sources)
+        self.open: dict = {}          # key -> [[start, end, sum, cnt], ...]
+        self.src_max: dict[str, int] = {}
+        self.late_dropped = 0
+
+    def _watermark(self) -> int:
+        if len(self.src_max) < self.n_sources:
+            return -(1 << 62)
+        return min(self.src_max.values())
+
+    def _threshold(self) -> int:
+        return self._watermark() - self.lateness
+
+    def _close_ready(self) -> list[tuple]:
+        thr = self._threshold()
+        out = []
+        for k in sorted(self.open):
+            lst = self.open[k]
+            keep = []
+            for s in lst:
+                if s[1] + self.gap < thr:
+                    out.append((k, s[0], s[1], s[2], s[3]))
+                else:
+                    keep.append(s)
+            if keep:
+                self.open[k] = keep
+            else:
+                del self.open[k]
+        return out
+
+    def update(self, keys, starts, ends, sums, counts, max_t, src):
+        thr = self._threshold()
+        for k, fs, fe, s, c in zip(keys, starts, ends, sums, counts):
+            if fe + self.gap < thr:
+                # out-of-contract fragment (on-time ones start at or
+                # after the watermark): its session already closed
+                self.late_dropped += int(c)
+                continue
+            lst = self.open.setdefault(k, [])
+            lo, hi, tot, cnt = int(fs), int(fe), float(s), int(c)
+            keep = []
+            for sess in lst:
+                if sess[1] < lo - self.gap or sess[0] > hi + self.gap:
+                    keep.append(sess)
+                else:  # within gap → merge
+                    lo = min(lo, sess[0])
+                    hi = max(hi, sess[1])
+                    tot += sess[2]
+                    cnt += sess[3]
+            keep.append([lo, hi, tot, cnt])
+            keep.sort()
+            self.open[k] = keep
+        self.src_max[src] = max(self.src_max.get(src, -(1 << 62)),
+                                int(max_t))
+        return self._close_ready()
+
+    def flush(self):
+        out = [(k, s[0], s[1], s[2], s[3])
+               for k in sorted(self.open) for s in sorted(self.open[k])]
+        self.open.clear()
+        return out, self.late_dropped
+
+
+def _session_table(rows: list[tuple], key_col: str) -> pa.Table:
+    df = pd.DataFrame(rows, columns=[key_col, "session_start",
+                                     "session_end", "sum_value",
+                                     "n_events"])
+    return pa.Table.from_pandas(
+        df.astype({"session_start": np.int64, "session_end": np.int64,
+                   "sum_value": np.float64, "n_events": np.int64}),
+        preserve_index=False)
+
+
+def session_stream(ds: "ray.data.Dataset", gap: int, ts_col: str,
+                   key_col: str, value_col: str | None = None,
+                   lateness: int = 0,
+                   n_sources: int = 1) -> Iterator[pa.Table]:
+    """Incremental gap-based SESSION windows over an unbounded stream:
+    yield one Arrow table of (key, session_start, session_end,
+    sum_value, n_events) rows per batch of closed sessions, as soon as
+    the watermark passes ``session_end + gap`` — the streaming
+    counterpart of the batch ``cdc_session_windows`` query (same gap
+    semantics; equality tested end-to-end).
+
+    Scale shape mirrors ``tumbling_stream``: each fused read→partial
+    task pre-merges its batch into per-key session FRAGMENTS (sorted
+    ts, gap-split — thousands of rows collapse to a handful of
+    intervals before crossing the network); a single small aggregator
+    actor holds only the open sessions and emits each exactly once.
+    Fragments arriving after their session closed are dropped loudly
+    (allowed-lateness contract)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = ray.get_runtime_context().get_task_id() or "driver"
+        t = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch.column(key_col).to_pandas().to_numpy()
+        v = (batch.column(value_col).to_numpy(zero_copy_only=False)
+             .astype(np.float64) if value_col else np.ones(len(batch)))
+        codes = pd.factorize(k)[0]  # lexsort needs a numeric key column
+        order = np.lexsort((t, codes))
+        t, k, codes, v = t[order], k[order], codes[order], v[order]
+        new_frag = np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (t[1:] - t[:-1] > gap)])
+        frag = np.cumsum(new_frag) - 1
+        df = pd.DataFrame({"k": k, "frag": frag, "t": t, "v": v})
+        g = (df.groupby("frag", sort=True)
+             .agg(k=("k", "first"), start=("t", "min"), end=("t", "max"),
+                  s=("v", "sum"), c=("v", "size")).reset_index(drop=True))
+        # per-ROW watermark stamp = the fragment START, rows sorted by
+        # it.  Two traps live here (both measured):
+        # 1. Ray splits this output table into sub-blocks consumed
+        #    piecewise, so a block-level max stamp advances the
+        #    watermark past fragments still pending in later
+        #    sub-blocks and drops them as late (9% of events lost);
+        # 2. session windows are UNALIGNED, so the stamp must bound
+        #    future fragment STARTS: an end-sorted stamp lets a
+        #    session close while a later long fragment — whose start
+        #    reaches back within ``gap`` of it — is still pending,
+        #    splitting sessions the batch semantics would merge
+        #    (115 sessions where the oracle has 95).
+        # With start-sorted start-stamps, every pending fragment of a
+        # source starts at or after everything it has reported, so a
+        # closed session (end + gap < watermark) can never have an
+        # on-time mergeable fragment outstanding.
+        g = g.sort_values("start").reset_index(drop=True)
+        g["max_t"] = g["start"]
+        g["src"] = src
+        return pa.Table.from_pandas(
+            g.astype({"start": np.int64, "end": np.int64,
+                      "s": np.float64, "c": np.int64,
+                      "max_t": np.int64}), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    state = _SessionState.remote(gap, lateness, n_sources)
+    try:
+        for b in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            for src in pa.compute.unique(b.column("src")).to_pylist():
+                sb = b.filter(pa.compute.equal(b.column("src"), src))
+                closed = ray.get(state.update.remote(
+                    sb.column("k").to_pylist(),
+                    sb.column("start").to_pylist(),
+                    sb.column("end").to_pylist(),
+                    sb.column("s").to_pylist(),
+                    sb.column("c").to_pylist(),
+                    int(pa.compute.max(sb.column("max_t")).as_py()),
+                    src))
+                if closed:
+                    yield _session_table(closed, key_col)
+        rest, late = ray.get(state.flush.remote())
+        if late:
+            import logging
+            logging.getLogger("ray").warning(
+                "session_stream: dropped %d late rows (session already "
+                "closed under lateness=%d)", late, lateness)
+        if rest:
+            yield _session_table(rest, key_col)
+    finally:
+        ray.kill(state, no_restart=True)
+
+
 def tumbling_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
                     key_col: str, value_col: str | None = None,
                     lateness: int = 0,
@@ -137,9 +319,16 @@ def tumbling_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
                   else np.ones(len(batch))),
         })
         df["w"] = (df["t"] // window) * window
-        g = (df.groupby(["w", "k"], sort=False)["v"]
-             .agg(["sum", "size"]).reset_index())
-        g["max_t"] = df["t"].max()
+        g = (df.groupby(["w", "k"], sort=False)
+             .agg(**{"sum": ("v", "sum"), "size": ("v", "size"),
+                     "max_t": ("t", "max")}).reset_index())
+        # per-GROUP watermark stamp, rows sorted by it (not the block
+        # max): this table splits into sub-blocks consumed piecewise,
+        # and a block-level stamp lets the watermark overtake pending
+        # partials in later sub-blocks, dropping them as late.  A
+        # group's max_t is < its window end, so a window can never
+        # close while its own source still has partials for it pending.
+        g = g.sort_values("max_t").reset_index(drop=True)
         g["src"] = src
         return pa.Table.from_pandas(
             g.rename(columns={"sum": "s", "size": "c"}).astype(

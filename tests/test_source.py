@@ -335,3 +335,66 @@ def test_tumbling_stream_incremental_emission(tmp_path):
     assert got["window_start"].tolist() == exp["window_start"].tolist()
     assert got["table"].tolist() == exp["table"].tolist()
     assert got["n_events"].tolist() == exp["n_events"].tolist()
+
+
+def test_session_stream_incremental_emission(tmp_path):
+    """Streaming SESSION windows: gap-merged sessions close and emit
+    while the producer still writes; each session exactly once; the
+    union equals a batch gap-split reference."""
+    import threading
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import session_stream
+
+    cfg = GenConfig(n_docs=20, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+    live = tmp_path / "live"
+    live.mkdir()
+    writer_done = threading.Event()
+
+    def writer():
+        for f in meta["files"]:
+            shutil.copy(f, live / os.path.basename(f))
+            time.sleep(0.5)
+        (live / "_STREAM_EOF").touch()
+        writer_done.set()
+
+    GAP = 40
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 256  # partial rows, see tumbling test
+    try:
+        threading.Thread(target=writer, daemon=True).start()
+        ds = stream_events(str(live), parallelism=2)
+        emitted = []
+        early = False
+        for tbl in session_stream(ds, gap=GAP, ts_col="gtid",
+                                  key_col="key", n_sources=2):
+            if not writer_done.is_set():
+                early = True
+            emitted.append(tbl)
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (pa.concat_tables(emitted).to_pandas()
+           .sort_values(["key", "session_start"]).reset_index(drop=True))
+    assert not got.duplicated(["key", "session_start"]).any()
+    assert early, "no session closed before the producer finished"
+
+    batch = pd.concat([pq.read_table(f).to_pandas() for f in meta["files"]])
+    batch = batch.sort_values(["key", "gtid"])
+    newf = (batch["key"].ne(batch["key"].shift())
+            | batch["gtid"].diff().gt(GAP))
+    batch["sess"] = newf.cumsum()
+    exp = (batch.groupby("sess").agg(
+        key=("key", "first"), session_start=("gtid", "min"),
+        session_end=("gtid", "max"), n_events=("gtid", "size"))
+        .sort_values(["key", "session_start"]).reset_index(drop=True))
+    for col in ("key", "session_start", "session_end", "n_events"):
+        assert got[col].tolist() == exp[col].tolist(), col
