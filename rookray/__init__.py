@@ -16,7 +16,9 @@ binlog CDC toolkit, see /root/reference) as an idiomatic Ray Data engine:
 * Idempotent two-phase exactly-once Parquet sink with per-partition
   GTID watermarks and checkpointed lineage (rook is at-most-once on
   listener failure: MySQLReplicationStream.java:167-176 — we upgrade).
-* Additive schema evolution (rook leaves this as a TODO:
+* Additive + lossless-widening schema evolution (appended nullable
+  columns; int8→…→int64 / float32→float64 / int→float numeric widening
+  through list and struct — rook leaves this as a TODO:
   MySQLReplicationStream.java:212).
 * Target (sink) analogs: keyed cache invalidation
   (SecondLevelCacheSynchronizer/QueryCacheSynchronizer) and derived

@@ -176,6 +176,50 @@ class MergeWrite:
 import ray as _ray
 
 
+class _ConformStructs:
+    """map_batches stage: cast a shard group's before/after structs to
+    the unified (widened) payload.  Ray's block batcher aligns struct
+    field NAMES across blocks but not child TYPES, so shards on either
+    side of a type-widening evolution boundary cannot share one
+    read_parquet — each schema group is read separately, conformed
+    here, and unioned (see ``_read_shards_conformed``)."""
+
+    def __init__(self, payload: pa.Schema):
+        self.payload = payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rookray.events import _conform_struct
+        for col in ("before", "after"):
+            if col in batch.column_names:
+                conformed = _conform_struct(batch.column(col), self.payload)
+                batch = batch.set_column(
+                    batch.column_names.index(col), col, conformed
+                )
+        return batch
+
+
+def _read_shards_conformed(files: list, shard_schemas: list,
+                           columns: list | None) -> "ray.data.Dataset":
+    """``read_parquet`` over shards whose payload struct types disagree
+    (type-widening schema evolution): one read per distinct file
+    schema, each conformed to the unified payload before the union."""
+    from rookray.events import payload_schema_of, unified_payload
+
+    payload = unified_payload(shard_schemas)
+    groups: dict[str, list] = {}
+    for f, s in zip(files, shard_schemas):
+        groups.setdefault(str(s), []).append(f)
+    parts = []
+    for key, fs in groups.items():
+        ds = ray.data.read_parquet(fs, columns=columns)
+        sig = next(s for f, s in zip(files, shard_schemas) if str(s) == key)
+        if not payload_schema_of(sig).equals(payload):
+            ds = ds.map_batches(_ConformStructs(payload),
+                                batch_format="pyarrow")
+        parts.append(ds)
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
 class ShuffleWriter:
     """map_batches stage: normalize+partition a batch, then write each
     partition's slice as an Arrow IPC partial under the epoch's shuffle
@@ -300,8 +344,15 @@ def _resolve_partition(root: str, base_rel: str | None,
     if not delta_rels:
         return base
     deltas = [pq.read_table(os.path.join(root, r)) for r in delta_rels]
-    events = (pa.concat_tables(deltas, promote_options="default")
-              if len(deltas) > 1 else deltas[0])
+    if len(deltas) > 1:
+        # deltas written across a type-widening evolution boundary
+        # disagree on column width; conform to the union before concat
+        from rookray.schema import conform, unify_additive
+        u = unify_additive([d.schema for d in deltas])
+        events = pa.concat_tables([conform(d, u) for d in deltas],
+                                  promote_options="none")
+    else:
+        events = deltas[0]
     return merge.merge_state(base, merge.keep_last(events))
 
 
@@ -789,13 +840,22 @@ class LakeTable:
                 # prune at the read: the merge path never needs the
                 # before struct / db / tx bookkeeping columns (watermark
                 # uses footer stats or its own pruned scan)
-                raw = ray.data.read_parquet(
-                    list(events),
-                    columns=["gtid", "tx_id", "server_id", "table", "op",
-                             "key", "after"],
-                )
+                read_cols = ["gtid", "tx_id", "server_id", "table", "op",
+                             "key", "after"]
             else:
-                raw = ray.data.read_parquet(list(events))
+                read_cols = None
+            # widened payload types across shards need grouped
+            # conform-reads; purely-additive differences do not
+            shard_union = unified_payload(shard_schemas)
+            widened = any(
+                f.type != shard_union.field(f.name).type
+                for s in shard_schemas for f in payload_schema_of(s)
+            )
+            if widened:
+                raw = _read_shards_conformed(list(events), shard_schemas,
+                                             read_cols)
+            else:
+                raw = ray.data.read_parquet(list(events), columns=read_cols)
             if cfg.tx_atomic:
                 # footer-statistics fast path: O(#shards) + one row read;
                 # falls back to the scanning path on unusable stats

@@ -11,10 +11,13 @@ One row here = one single-row mutation; multi-row statements become
 multiple rows sharing ``tx_id`` (rook groups them inside one event:
 MySQLReplicationStream.java:255-274).
 
-Schema evolution is additive-only: rook punts on schema changes
-("todo: do something about schema changes",
+Schema evolution is additive + lossless-widening: rook punts on schema
+changes ("todo: do something about schema changes",
 MySQLReplicationStream.java:212); per the north rule we accept appended
-nullable columns and reject type changes / drops.
+nullable columns and lossless numeric type widening (int8→…→int64,
+float32→float64, int→float where the mantissa holds every value,
+element-wise through list/struct), and reject everything else
+(narrowing, int64→float64, type-class changes, drops).
 """
 
 from __future__ import annotations
@@ -110,13 +113,82 @@ def is_additive(old: pa.Schema, new: pa.Schema) -> bool:
     return not old_by_name  # every old column must still exist
 
 
-def unify_additive(schemas: list[pa.Schema]) -> pa.Schema:
-    """Union of schemas under the additive-only policy.
+#: float mantissa bits — an integer type widens into a float iff every
+#: representable integer fits the mantissa exactly (lossless).
+_FLOAT_MANTISSA = {16: 11, 32: 24, 64: 53}
 
-    Column order: first-seen order. Raises ``SchemaEvolutionError`` on a
-    type change or a dropped column relative to the running union
-    (dropping is detected as: a later schema missing a column is FINE —
-    absent columns are filled with nulls — only type conflicts raise).
+
+def widen_type(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """Smallest lossless common supertype of ``a`` and ``b``, or None.
+
+    The lattice (mirrors Delta Lake / Iceberg type-widening rules):
+    signed ints widen up (int8→int16→int32→int64), unsigned likewise;
+    mixed sign widens to the next signed int that holds both (int64 vs
+    uint64 has none); floats widen up (float16→float32→float64); an
+    int widens into the smallest float whose mantissa holds every value
+    (so int64↔float64 is rejected as lossy).  Recurses through list
+    and struct (struct unions fields additively, widening per field).
+    """
+    if a.equals(b):
+        return a
+    if pa.types.is_list(a) and pa.types.is_list(b):
+        w = widen_type(a.value_type, b.value_type)
+        return pa.list_(w) if w is not None else None
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        try:
+            u = unify_additive([pa.schema(list(a)), pa.schema(list(b))])
+        except SchemaEvolutionError:
+            return None
+        return pa.struct(list(u))
+
+    def _num(t: pa.DataType) -> tuple[str, int] | None:
+        if pa.types.is_signed_integer(t):
+            return "i", t.bit_width
+        if pa.types.is_unsigned_integer(t):
+            return "u", t.bit_width
+        if pa.types.is_floating(t):
+            return "f", t.bit_width
+        return None
+
+    ka, kb = _num(a), _num(b)
+    if ka is None or kb is None:
+        return None
+    # value bits an integer type needs (sign bit excluded)
+    def _value_bits(k: tuple[str, int]) -> int:
+        return k[1] - 1 if k[0] == "i" else k[1]
+
+    kinds = {ka[0], kb[0]}
+    if kinds == {"i"} or kinds == {"u"}:
+        cls, bits = ka[0], max(ka[1], kb[1])
+    elif kinds == {"i", "u"}:
+        # next signed width holding both: > unsigned bits and >= signed bits
+        need = max(_value_bits(ka), _value_bits(kb))
+        bits = next((w for w in (16, 32, 64) if w - 1 >= need), None)
+        if bits is None:
+            return None  # uint64 has no lossless signed home
+        cls = "i"
+    elif kinds == {"f"}:
+        cls, bits = "f", max(ka[1], kb[1])
+    else:  # one int-ish, one float
+        fk = ka if ka[0] == "f" else kb
+        ik = kb if ka[0] == "f" else ka
+        need = _value_bits(ik)
+        bits = next((w for w in (16, 32, 64)
+                     if w >= fk[1] and _FLOAT_MANTISSA[w] >= need), None)
+        if bits is None:
+            return None  # e.g. int64/uint64 into any float is lossy
+        cls = "f"
+    ctor = {"i": "int", "u": "uint", "f": "float"}[cls]
+    return getattr(pa, f"{ctor}{bits}")()
+
+
+def unify_additive(schemas: list[pa.Schema]) -> pa.Schema:
+    """Union of schemas under the additive + lossless-widening policy.
+
+    Column order: first-seen order. A later schema missing a column is
+    FINE (absent columns fill with nulls); a type conflict widens via
+    :func:`widen_type` when lossless and raises
+    ``SchemaEvolutionError`` otherwise.
     """
     seen: dict[str, pa.Field] = {}
     for s in schemas:
@@ -125,10 +197,13 @@ def unify_additive(schemas: list[pa.Schema]) -> pa.Schema:
             if g is None:
                 seen[f.name] = f
             elif g.type != f.type:
-                raise SchemaEvolutionError(
-                    f"non-additive schema change on column {f.name!r}: "
-                    f"{g.type} -> {f.type}"
-                )
+                w = widen_type(g.type, f.type)
+                if w is None:
+                    raise SchemaEvolutionError(
+                        f"non-additive schema change on column {f.name!r}: "
+                        f"{g.type} -> {f.type}"
+                    )
+                seen[f.name] = pa.field(f.name, w)
     return pa.schema(list(seen.values()))
 
 

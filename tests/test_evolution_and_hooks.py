@@ -14,6 +14,7 @@ from rookray.schema import (
     conform,
     is_additive,
     unify_additive,
+    widen_type,
 )
 
 
@@ -31,6 +32,79 @@ def test_type_change_rejected():
     assert not is_additive(a, b)
     with pytest.raises(SchemaEvolutionError):
         unify_additive([a, b])
+
+
+def test_widening_lattice():
+    # same-class widening, order-independent
+    assert widen_type(pa.int32(), pa.int64()) == pa.int64()
+    assert widen_type(pa.int64(), pa.int8()) == pa.int64()
+    assert widen_type(pa.uint8(), pa.uint32()) == pa.uint32()
+    assert widen_type(pa.float32(), pa.float64()) == pa.float64()
+    # mixed sign → next signed width holding both
+    assert widen_type(pa.uint8(), pa.int8()) == pa.int16()
+    assert widen_type(pa.uint32(), pa.int32()) == pa.int64()
+    assert widen_type(pa.uint64(), pa.int64()) is None  # no lossless home
+    # int → smallest float whose mantissa is exact
+    assert widen_type(pa.int16(), pa.float32()) == pa.float32()
+    assert widen_type(pa.int32(), pa.float32()) == pa.float64()
+    assert widen_type(pa.int64(), pa.float64()) is None  # lossy
+    # nested
+    assert widen_type(pa.list_(pa.int32()), pa.list_(pa.int64())) == pa.list_(pa.int64())
+    s1 = pa.struct([("a", pa.int32())])
+    s2 = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    assert widen_type(s1, s2) == pa.struct([("a", pa.int64()), ("b", pa.string())])
+    # non-numeric conflicts stay rejected
+    assert widen_type(pa.string(), pa.int64()) is None
+    assert widen_type(pa.list_(pa.string()), pa.list_(pa.int64())) is None
+
+
+def test_unify_widens_and_conform_casts():
+    a = pa.schema([("x", pa.int32()), ("t", pa.list_(pa.int32()))])
+    b = pa.schema([("x", pa.int64()), ("t", pa.list_(pa.int64())), ("y", pa.string())])
+    u = unify_additive([a, b])
+    assert u.field("x").type == pa.int64()
+    assert u.field("t").type == pa.list_(pa.int64())
+    t = conform(pa.table({"x": pa.array([1, 2], pa.int32()),
+                          "t": pa.array([[1], [2, 3]], pa.list_(pa.int32()))}), u)
+    assert t.schema == u
+    assert t.column("x").to_pylist() == [1, 2]
+    assert t.column("y").null_count == 2
+
+
+def test_pipeline_widens_type_mid_stream(tmp_path, tmp_lake):
+    """A shard that widens payload types (n_tok int32→int64, tokens
+    list<int32>→list<int64>) applies cleanly: the committed state
+    carries the widened schema and the exact serial-replay values."""
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    lake = LakeTable(tmp_lake, CDCConfig(num_partitions=2))
+    lake.apply(meta["files"][:2])
+
+    wide = {"n_tok": pa.int64(), "tokens": pa.list_(pa.int64())}
+    tbl = pq.read_table(meta["files"][2])
+    for col in ("before", "after"):
+        st = tbl.column(col).combine_chunks()
+        target = pa.struct([
+            pa.field(f.name, wide.get(f.name, f.type)) for f in st.type
+        ])
+        tbl = tbl.set_column(tbl.column_names.index(col), col, st.cast(target))
+    p = str(tmp_path / "wide.parquet")
+    pq.write_table(tbl, p)
+    # re-present the prior shard alongside (the tail's overlap protocol:
+    # the tx spanning the shard boundary needs both halves to close)
+    lake.apply([meta["files"][1], p])
+
+    st = lake.state_table()
+    assert st.schema.field("n_tok").type == pa.int64()
+    assert st.schema.field("tokens").type == pa.list_(pa.int64())
+    exp = final_state(cfg).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = st.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["n_tok"]) == list(exp["n_tok"])
+    assert [list(x) for x in got["tokens"]] == [list(x) for x in exp["tokens"]]
 
 
 def test_dropped_column_tolerated_as_nulls():
@@ -69,6 +143,44 @@ def test_pipeline_rejects_type_change(tmp_path, tmp_lake):
     pq.write_table(bad, p)
     with pytest.raises(SchemaEvolutionError):
         lake.apply([p])
+
+
+def test_delta_mode_widens_across_epochs(tmp_path, tmp_lake):
+    """Delta (merge-on-read) mode: deltas written before and after a
+    widening boundary mix int32/int64 widths; resolution and compaction
+    must conform to the union instead of failing the concat."""
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    lake = LakeTable(tmp_lake, CDCConfig(num_partitions=2, write_mode="delta"))
+    lake.apply(meta["files"][:1])
+    lake.apply(meta["files"][:2])
+
+    wide = {"n_tok": pa.int64(), "tokens": pa.list_(pa.int64())}
+    tbl = pq.read_table(meta["files"][2])
+    for col in ("before", "after"):
+        st = tbl.column(col).combine_chunks()
+        target = pa.struct([
+            pa.field(f.name, wide.get(f.name, f.type)) for f in st.type
+        ])
+        tbl = tbl.set_column(tbl.column_names.index(col), col, st.cast(target))
+    p = str(tmp_path / "wide.parquet")
+    pq.write_table(tbl, p)
+    lake.apply([meta["files"][1], p])
+
+    exp = final_state(cfg).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def check(st):
+        assert st.schema.field("n_tok").type == pa.int64()
+        got = st.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert list(got["n_tok"]) == list(exp["n_tok"])
+
+    check(lake.state_table())          # merge-on-read across the boundary
+    assert lake.compact()["compacted"] > 0
+    check(lake.state_table())          # compacted bases carry the wide type
 
 
 def test_derive_hook_skip_and_remove(tmp_path):
