@@ -912,6 +912,53 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def chunk_content_defined(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking (rookray.ops.chunk.content_chunks):
+    rolling-hash Rabin boundaries, so chunk-level exact dedup survives
+    shifted/edited near-duplicates.  Stateless map_batches — no
+    shuffle, no driver state.  The oracle recomputes every rolling
+    hash in mod-2^64 HUGEINT SQL (32-bit gear values keep each product
+    inside 128 bits) and must reproduce every boundary exactly."""
+    from rookray.ops.chunk import content_chunks
+    out = content_chunks(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         window=16, mask_bits=6).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+
+def _chunk_sql() -> str:
+    from rookray.ops.chunk import gear_table, _BASE
+    gear = "[" + ",".join(str(g) for g in gear_table()) + "]"
+    pows = "[" + ",".join(str(pow(_BASE, k, _M64)) for k in range(16)) + "]"
+    return f"""
+WITH gear AS (SELECT {gear}::HUGEINT[] AS g),
+bpw AS (SELECT {pows}::HUGEINT[] AS p),
+d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+cuts AS (
+  SELECT doc_id, n, t.cp
+  FROM d CROSS JOIN gear CROSS JOIN bpw, UNNEST(range(16, n)) AS t(cp)
+  WHERE (list_aggregate(list_transform(range(0, 16), k ->
+           (gear.g[ascii(substr(text, CAST(t.cp - k AS INT), 1)) + 1]
+            * bpw.p[k + 1]) % {_M64}::HUGEINT), 'sum')
+         % {_M64}::HUGEINT) % 64 = 0),
+starts AS (
+  SELECT doc_id, n, CAST(1 AS BIGINT) AS s FROM d
+  UNION ALL
+  SELECT doc_id, n, CAST(cp + 1 AS BIGINT) FROM cuts),
+chunks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id,
+         s,
+         coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s), n + 1) - s
+           AS chunk_len
+  FROM starts)
+SELECT doc_id, chunk_id, s - 1 AS chunk_start, chunk_len
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+CHUNK_CONTENT_DEFINED_SQL = _chunk_sql()
+
+
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import dedup as D
     return D.exact_groups(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
@@ -1990,6 +2037,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
     "dedup_incremental": dedup_incremental,
+    "chunk_content_defined": chunk_content_defined,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -2053,6 +2101,7 @@ ORACLES = {
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "chunk_content_defined": CHUNK_CONTENT_DEFINED_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to
