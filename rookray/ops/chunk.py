@@ -175,6 +175,105 @@ def _enforce_sizes(cut_doc: np.ndarray, cut_pos: np.ndarray,
             np.array(out_pos, dtype=np.int64))
 
 
+def chunk_strings(texts: pa.Array | pa.ChunkedArray, window: int = 16,
+                  mask_bits: int = 6):
+    """(chunk substrings, chunk doc row) for a batch of texts.
+
+    Chunks tile each document, so the chunk string array REUSES the
+    batch's value buffer zero-copy — only a new offsets vector is
+    built; no substring bytes are materialized."""
+    data, starts, lens = _flat_utf8(texts)
+    n = len(lens)
+    if n and not np.array_equal(starts[1:], starts[:-1] + lens[:-1]):
+        # non-contiguous values (sliced input): compact once
+        total = int(lens.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens[:-1])]), lens)
+        data = data[np.repeat(starts, lens) + pos]
+        starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+    cut_doc, cut_pos = chunk_boundaries(texts, window, mask_bits)
+    n_cuts = np.bincount(cut_doc, minlength=n).astype(np.int64)
+    n_chunks = n_cuts + 1
+    offs = np.concatenate([[0], np.cumsum(n_chunks)])
+    total_chunks = int(offs[-1])
+    local_start = np.zeros(total_chunks, dtype=np.int64)
+    if len(cut_doc):
+        cut_ord = np.arange(len(cut_doc), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_cuts[:-1])]), n_cuts)
+        local_start[offs[cut_doc] + 1 + cut_ord] = cut_pos + 1
+    docrow = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    if n == 0:
+        return pa.array([], pa.string()), docrow
+    abs_start = starts[docrow] + local_start
+    end = int(starts[-1] + lens[-1])
+    offsets = np.concatenate([abs_start, [end]])
+    base = int(offsets[0])
+    off32 = (offsets - base).astype(np.int32)
+    chunk_arr = pa.StringArray.from_buffers(
+        total_chunks, pa.py_buffer(off32), pa.py_buffer(data[base:end]))
+    return chunk_arr, docrow
+
+
+def dup_chunk_stats(ds, window: int = 16, mask_bits: int = 6,
+                    col: str = "text", id_col: str = "doc_id",
+                    buckets: int = 64):
+    """Per-document duplicated-CHUNK statistics: for each document, its
+    content-defined chunk count and how many of those chunks also
+    appear in ANOTHER document — the shift-robust analog of
+    ``ops.dedup.dup_ngram_stats`` (an inserted prefix no longer makes
+    every fixed-width shingle unique).
+
+    Returns (id_col, n_chunks, n_dup_chunks).  Scale shape mirrors
+    dup_ngram_stats: chunks hash to a 2x64-bit key per batch (the
+    chunk STRING never shuffles), one coarse-bucket groupby flags
+    cross-document keys, one per-doc sum.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from rookray.util import hash_strings
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        chunks, docrow = chunk_strings(batch.column(col), window, mask_bits)
+        if len(chunks) == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        h1 = hash_strings(chunks, 0).astype(np.int64)
+        h2 = hash_strings(chunks, 1).astype(np.int64)
+        df = pd.DataFrame({"h1": h1, "h2": h2, id_col: ids[docrow]})
+        g = (df.groupby(["h1", "h2", id_col], sort=False).size()
+             .rename("n_pos").reset_index())
+        g["bkt"] = (g["h1"].to_numpy().astype(np.uint64)
+                    % np.uint64(buckets)).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hashed = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def flag_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        # one row per (chunk, doc) globally (a document is one input
+        # row), so group size IS the chunk's distinct-doc count
+        nd = df.groupby(["h1", "h2"], sort=False)["n_pos"].transform("size")
+        dup = np.where(nd.to_numpy() > 1, df["n_pos"].to_numpy(), 0)
+        out = pd.DataFrame({id_col: df[id_col],
+                            "n_chunks": df["n_pos"].to_numpy(),
+                            "n_dup_chunks": dup})
+        p = out.groupby(id_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            p.astype({"n_chunks": np.int64, "n_dup_chunks": np.int64}),
+            preserve_index=False)
+
+    return (hashed.groupby("bkt").map_groups(flag_bucket,
+                                             batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                       Sum("n_dup_chunks", alias_name="n_dup_chunks")))
+
+
 class _ChunkBatch:
     def __init__(self, text_col, id_col, window, mask_bits, min_size, max_size):
         self.text_col, self.id_col = text_col, id_col

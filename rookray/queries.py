@@ -925,7 +925,11 @@ def chunk_content_defined(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
 
 
-def _chunk_sql() -> str:
+def _chunk_ctes() -> str:
+    """WITH-body recomputing the engine's content-defined chunk table
+    (ops.chunk) in SQL, ending at CTE ``chunks``
+    (doc_id, text, n, chunk_id, s [1-based], chunk_len).  Gear values
+    are 32-bit so each gear*power product fits HUGEINT."""
     from rookray.ops.chunk import gear_table, _BASE
     gear = "[" + ",".join(str(g) for g in gear_table()) + "]"
     pows = "[" + ",".join(str(pow(_BASE, k, _M64)) for k in range(16)) + "]"
@@ -945,18 +949,45 @@ starts AS (
   UNION ALL
   SELECT doc_id, n, CAST(cp + 1 AS BIGINT) FROM cuts),
 chunks AS (
-  SELECT doc_id,
-         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id,
+  SELECT starts.doc_id,
+         row_number() OVER (PARTITION BY starts.doc_id ORDER BY s) - 1
+           AS chunk_id,
          s,
-         coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s), n + 1) - s
-           AS chunk_len
-  FROM starts)
+         coalesce(lead(s) OVER (PARTITION BY starts.doc_id ORDER BY s),
+                  starts.n + 1) - s AS chunk_len,
+         d.text
+  FROM starts JOIN d USING (doc_id))
+"""
+
+
+CHUNK_CONTENT_DEFINED_SQL = _chunk_ctes() + """
 SELECT doc_id, chunk_id, s - 1 AS chunk_start, chunk_len
 FROM chunks ORDER BY doc_id, chunk_id
 """
 
+DEDUP_CHUNK_SPANS_SQL = _chunk_ctes() + """
+, g AS (SELECT doc_id,
+               substr(text, CAST(s AS INT), CAST(chunk_len AS INT)) AS ck
+        FROM chunks),
+c AS (SELECT ck, count(DISTINCT doc_id) AS nd FROM g GROUP BY ck)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM g JOIN c USING (ck)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
 
-CHUNK_CONTENT_DEFINED_SQL = _chunk_sql()
+
+def dedup_chunk_spans(sf_dir: str) -> pd.DataFrame:
+    """Duplicated-chunk measurement (rookray.ops.chunk.dup_chunk_stats):
+    per document, content-defined chunk count and how many chunks also
+    appear in another document — exact-substring dedup that survives
+    shifted/edited near-duplicates (dedup_ngram_spans' fixed shingles
+    do not).  Chunk strings never shuffle; only 2x64-bit hash rows do."""
+    from rookray.ops.chunk import dup_chunk_stats
+    out = dup_chunk_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          window=16, mask_bits=6).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
@@ -2038,6 +2069,7 @@ QUERIES = {
     "vocab_topk": vocab_topk,
     "dedup_incremental": dedup_incremental,
     "chunk_content_defined": chunk_content_defined,
+    "dedup_chunk_spans": dedup_chunk_spans,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -2102,6 +2134,7 @@ ORACLES = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "chunk_content_defined": CHUNK_CONTENT_DEFINED_SQL,
+    "dedup_chunk_spans": DEDUP_CHUNK_SPANS_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to

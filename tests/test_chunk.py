@@ -106,6 +106,45 @@ def test_min_max_enforcement():
     assert got_cuts == exp
 
 
+def test_chunk_strings_tile_docs():
+    rng = random.Random(17)
+    texts = ["".join(rng.choice("abcdef gh") for _ in range(rng.randint(0, 200)))
+             for _ in range(25)] + ["", "tiny"]
+    from rookray.ops.chunk import chunk_strings
+    # sliced input exercises the non-contiguous compaction path
+    arr = pa.array(["IGNORED"] + texts).slice(1)
+    chunks, docrow = chunk_strings(arr)
+    for d, t in enumerate(texts):
+        mine = [chunks[i].as_py() for i in np.flatnonzero(docrow == d)]
+        assert "".join(mine) == t
+        cuts = ref_cuts(t)
+        exp = [t[s + 1:e + 1] for s, e in
+               zip([-1] + cuts, cuts + [len(t) - 1])] if t else [""]
+        assert mine == exp
+
+
+def test_dup_chunk_stats_planted_and_shifted():
+    """A duplicated span pasted into two docs at DIFFERENT offsets must
+    still be flagged (the property ngram-shingle dedup at fixed offsets
+    already has, content-defined chunking keeps under shifts)."""
+    rng = random.Random(23)
+    span = "".join(rng.choice("abcdefgh ") for _ in range(240))
+    uniq = ["".join(rng.choice("qrstuvwx ") for _ in range(200))
+            for _ in range(4)]
+    texts = [uniq[0] + span, "ZZ-shift " + span + uniq[1], uniq[2], uniq[3]]
+    from rookray.ops.chunk import dup_chunk_stats
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(4)),
+                                       "text": texts}))
+    out = (dup_chunk_stats(ds).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    # interior chunks of the shared span are identical in docs 0 and 1
+    assert out.loc[0, "n_dup_chunks"] > 0
+    assert out.loc[1, "n_dup_chunks"] > 0
+    assert out.loc[2, "n_dup_chunks"] == 0
+    assert out.loc[3, "n_dup_chunks"] == 0
+    assert (out["n_chunks"] > 0).all()
+
+
 def test_doc_too_long_raises():
     with pytest.raises(ValueError):
         chunk_boundaries(pa.array(["x" * 9000]))
