@@ -278,6 +278,78 @@ def session_stream(ds: "ray.data.Dataset", gap: int, ts_col: str,
         ray.kill(state, no_restart=True)
 
 
+def hopping_stream(ds: "ray.data.Dataset", window: int, hop: int,
+                   ts_col: str, key_col: str,
+                   value_col: str | None = None, lateness: int = 0,
+                   n_sources: int = 1) -> Iterator[pa.Table]:
+    """Incremental HOPPING (sliding) windows over an unbounded stream:
+    length ``window``, start every ``hop`` ticks (``window`` must be a
+    multiple of ``hop``); each event lands in ``window//hop``
+    overlapping windows — the streaming counterpart of the batch
+    ``cdc_hopping_window`` query (same double-emit semantics, no
+    clipping of pre-epoch starts).
+
+    Reuses the tumbling aggregator actor unchanged: a hopping window
+    [w, w+window) closes exactly when the watermark passes its END, and
+    the per-group stamp invariant still holds — every exploded window w
+    of an event t satisfies t < w + window, so a window can never close
+    while its own source has partials for it pending."""
+    if window % hop != 0:
+        raise ValueError("window must be a multiple of hop")
+    nw = window // hop
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = ray.get_runtime_context().get_task_id() or "driver"
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        k = batch.column(key_col).to_pandas().to_numpy()
+        v = (batch.column(value_col).to_numpy(zero_copy_only=False)
+             .astype(np.float64) if value_col
+             else np.ones(len(batch)))
+        # explode: latest start <= t, then back nw-1 hops (vectorized)
+        hi = (t // hop) * hop
+        offs = (np.arange(nw, dtype=np.int64) * hop)[:, None]
+        w = (hi[None, :] - offs).ravel()
+        df = pd.DataFrame({"w": w, "k": np.tile(k, nw),
+                           "v": np.tile(v, nw), "t": np.tile(t, nw)})
+        g = (df.groupby(["w", "k"], sort=False)
+             .agg(s=("v", "sum"), c=("v", "size"), max_t=("t", "max"))
+             .reset_index())
+        g = g.sort_values("max_t").reset_index(drop=True)  # see tumbling
+        g["src"] = src
+        return pa.Table.from_pandas(
+            g.astype({"w": np.int64, "s": np.float64, "c": np.int64,
+                      "max_t": np.int64}), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    state = _WindowState.remote(window, lateness, n_sources)
+    try:
+        for b in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            for src in pa.compute.unique(b.column("src")).to_pylist():
+                sb = b.filter(pa.compute.equal(b.column("src"), src))
+                closed = ray.get(state.update.remote(
+                    sb.column("w").to_pylist(),
+                    sb.column("k").to_pylist(),
+                    sb.column("s").to_pylist(),
+                    sb.column("c").to_pylist(),
+                    int(pa.compute.max(sb.column("max_t")).as_py()),
+                    src))
+                if closed:
+                    yield _closed_table(closed, key_col)
+        rest, late = ray.get(state.flush.remote())
+        if late:
+            import logging
+            logging.getLogger("ray").warning(
+                "hopping_stream: dropped %d late rows (> %d ticks "
+                "behind the watermark)", late, lateness)
+        if rest:
+            yield _closed_table(rest, key_col)
+    finally:
+        ray.kill(state, no_restart=True)
+
+
 def tumbling_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
                     key_col: str, value_col: str | None = None,
                     lateness: int = 0,

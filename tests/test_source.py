@@ -337,6 +337,68 @@ def test_tumbling_stream_incremental_emission(tmp_path):
     assert got["n_events"].tolist() == exp["n_events"].tolist()
 
 
+def test_hopping_stream_incremental_emission(tmp_path):
+    """Streaming HOPPING windows (window=100, hop=50: every event in
+    two windows): close/emit while the producer still writes, each
+    (window, key) exactly once, union equals the batch double-emit."""
+    import threading
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import hopping_stream
+
+    cfg = GenConfig(n_docs=30, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+    live = tmp_path / "live"
+    live.mkdir()
+    writer_done = threading.Event()
+
+    def writer():
+        for f in meta["files"]:
+            shutil.copy(f, live / os.path.basename(f))
+            time.sleep(0.5)
+        (live / "_STREAM_EOF").touch()
+        writer_done.set()
+
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 256  # partial rows, see tumbling test
+    try:
+        threading.Thread(target=writer, daemon=True).start()
+        ds = stream_events(str(live), parallelism=2)
+        emitted = []
+        early = False
+        for tbl in hopping_stream(ds, window=100, hop=50, ts_col="gtid",
+                                  key_col="table", n_sources=2):
+            if not writer_done.is_set():
+                early = True
+            emitted.append(tbl)
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (pa.concat_tables(emitted).to_pandas()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    assert not got.duplicated(["window_start", "table"]).any()
+    assert early, "no window closed before the producer finished"
+
+    batch = pd.concat([pq.read_table(f).to_pandas() for f in meta["files"]])
+    hi = (batch["gtid"] // 50) * 50
+    exp = pd.concat([
+        pd.DataFrame({"window_start": hi, "table": batch["table"]}),
+        pd.DataFrame({"window_start": hi - 50, "table": batch["table"]}),
+    ])
+    exp = (exp.groupby(["window_start", "table"]).size()
+           .rename("n_events").reset_index()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    for col in ("window_start", "table", "n_events"):
+        assert got[col].tolist() == exp[col].tolist(), col
+
+
 def test_session_stream_incremental_emission(tmp_path):
     """Streaming SESSION windows: gap-merged sessions close and emit
     while the producer still writes; each session exactly once; the
