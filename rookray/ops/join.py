@@ -162,6 +162,109 @@ def broadcast_join(left: "ray.data.Dataset", right_df: pd.DataFrame,
                             concurrency=concurrency)
 
 
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               point: str, lo: str, hi: str, bin_width: int,
+               how: str = "inner", max_bin_pairs: int = 50_000_000,
+               left_schema: pa.Schema | None = None,
+               right_schema: pa.Schema | None = None) -> "ray.data.Dataset":
+    """Distributed range (interval) join: each left row pairs with every
+    right row whose closed interval ``[lo, hi]`` contains its ``point``
+    — the band/tier-lookup join (value→price band, IP→range, time→
+    validity window) the equality-keyed joins above cannot express.
+
+    Scale shape / partitioning assumption: the value domain is
+    RANGE-binNED at ``bin_width``; a left point lands in exactly one
+    bin while a right interval replicates into every bin it overlaps
+    (replication factor ≈ interval_len/bin_width + 1), so ALL matches
+    of a point are in its bin and a single exchange suffices.  In-bin
+    matching is one vectorized candidate cross (pandas merge on the
+    bin) filtered by the containment predicate; pick ``bin_width`` near
+    the typical interval length so candidates stay near matches.  Bins
+    whose candidate cross exceeds ``max_bin_pairs`` raise LOUDLY
+    (shrink ``bin_width`` or salt) instead of silently going quadratic.
+
+    ``how``: "inner" or "left" (unmatched left rows keep typed-null
+    right payload — sound because a point's matches never span bins).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    from rookray.schema import conform as _conform, unify_additive
+
+    ls = left_schema or _arrow_schema_of(left)
+    rs = right_schema or _arrow_schema_of(right)
+    clash = set(ls.names) & set(rs.names)
+    if clash:
+        raise ValueError(f"column collision {sorted(clash)}; rename upstream")
+    target = unify_additive([ls, rs])
+    w = int(bin_width)
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        p = batch.column(point).to_numpy(zero_copy_only=False)
+        t = _conform(batch, target)
+        return (t.append_column(
+                    "__bkt", pa.array(np.floor_divide(p, w).astype(np.int64)))
+                 .append_column("__side",
+                                pa.array(np.full(len(t), 0, np.int8))))
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        lo_v = batch.column(lo).to_numpy(zero_copy_only=False)
+        hi_v = batch.column(hi).to_numpy(zero_copy_only=False)
+        b0 = np.floor_divide(lo_v, w).astype(np.int64)
+        b1 = np.floor_divide(hi_v, w).astype(np.int64)
+        reps = (b1 - b0 + 1).clip(min=0)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        # bin offset within each interval's replica run
+        off = (np.arange(int(reps.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(reps[:-1])]), reps))
+        t = _conform(batch, target).take(pa.array(idx))
+        return (t.append_column("__bkt", pa.array(b0[idx] + off))
+                 .append_column("__side",
+                                pa.array(np.full(len(t), 1, np.int8))))
+
+    both = left.map_batches(prep_left, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(prep_right, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    l_cols = list(ls.names)
+    r_cols = list(rs.names)
+    r_payload = sorted(set(rs.names))
+
+    def merge_bin(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pa.compute.equal(side, 0)).select(l_cols)
+        rt = g.filter(pa.compute.equal(side, 1)).select(r_cols)
+        if len(lt) * len(rt) > max_bin_pairs:
+            raise ValueError(
+                f"range_join bin candidate cross {len(lt)}x{len(rt)} exceeds "
+                f"max_bin_pairs={max_bin_pairs}; shrink bin_width")
+        # tiny index frames through pandas; payload gathered in Arrow
+        lp = lt.column(point).to_numpy(zero_copy_only=False)
+        m = pd.DataFrame({"__li": np.arange(len(lt))}).merge(
+            pd.DataFrame({"__ri": np.arange(len(rt))}), how="cross")
+        pv = lp[m["__li"].to_numpy()]
+        lov = rt.column(lo).to_numpy(zero_copy_only=False)[m["__ri"].to_numpy()]
+        hiv = rt.column(hi).to_numpy(zero_copy_only=False)[m["__ri"].to_numpy()]
+        m = m[(lov <= pv) & (pv <= hiv)]
+        if how == "left":
+            missing = np.setdiff1d(np.arange(len(lt)),
+                                   m["__li"].to_numpy(), assume_unique=False)
+            m = pd.concat([m, pd.DataFrame({"__li": missing,
+                                            "__ri": -1})], ignore_index=True)
+            m = m.sort_values(["__li", "__ri"], kind="mergesort")
+        lout = lt.take(pa.array(m["__li"].to_numpy(dtype=np.int64)))
+        ri = m["__ri"].to_numpy(dtype=np.int64)
+        rout = rt.take(pa.array([None if x < 0 else int(x) for x in ri],
+                                pa.int64()))
+        cols = {c: lout.column(c) for c in l_cols}
+        for c in r_payload:
+            cols[c] = rout.column(c)
+        return pa.table(cols)
+
+    return both.groupby("__bkt").map_groups(merge_bin,
+                                            batch_format="pyarrow")
+
+
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               by: str, on: str, right_by: str, right_on: str,
               tie_col: str | None = None, buckets: int = 64,

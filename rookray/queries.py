@@ -912,6 +912,60 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def join_orders_range(sf_dir: str) -> pd.DataFrame:
+    """Distributed range (interval) join (rookray.ops.join.range_join):
+    each order's price point joins every OVERLAPPING band
+    [40k, 40k+60] — band membership is a containment predicate, not an
+    equality key, so the equality joins cannot express it.  One
+    bin-replicated exchange, vectorized in-bin containment filter,
+    then a small per-band aggregate."""
+    from ray.data.aggregate import Count, Sum
+    from rookray.ops.join import range_join
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = (np.floor(batch.column("o_totalprice")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+             % 1000)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "p": pa.array(p)})
+
+    def bands(batch: pa.Table) -> pa.Table:
+        k = (batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        return pa.table({"band_id": pa.array(k), "lo": pa.array(k * 40),
+                         "hi": pa.array(k * 40 + 60)})
+
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(pts, batch_format="pyarrow", zero_copy_batch=True)
+    right = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    j = range_join(
+        left, right, point="p", lo="lo", hi="hi", bin_width=64,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("p", pa.int64())]),
+        right_schema=pa.schema([("band_id", pa.int64()),
+                                ("lo", pa.int64()), ("hi", pa.int64())]))
+    out = (j.groupby("band_id")
+           .aggregate(Count(alias_name="n"), Sum("p", alias_name="sum_p"))
+           .to_pandas())
+    return out.sort_values("band_id").reset_index(drop=True)
+
+
+JOIN_ORDERS_RANGE_SQL = """
+WITH pts AS (SELECT o_orderkey,
+                    CAST(floor(o_totalprice) AS BIGINT) % 1000 AS p
+             FROM orders),
+bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+                 CAST(n_nationkey AS BIGINT) * 40 AS lo,
+                 CAST(n_nationkey AS BIGINT) * 40 + 60 AS hi
+          FROM nation)
+SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p) AS BIGINT) AS sum_p
+FROM pts JOIN bands ON p >= lo AND p <= hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
 def chunk_content_defined(sf_dir: str) -> pd.DataFrame:
     """Content-defined chunking (rookray.ops.chunk.content_chunks):
     rolling-hash Rabin boundaries, so chunk-level exact dedup survives
@@ -2070,6 +2124,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "chunk_content_defined": chunk_content_defined,
     "dedup_chunk_spans": dedup_chunk_spans,
+    "join_orders_range": join_orders_range,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -2135,6 +2190,7 @@ ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "chunk_content_defined": CHUNK_CONTENT_DEFINED_SQL,
     "dedup_chunk_spans": DEDUP_CHUNK_SPANS_SQL,
+    "join_orders_range": JOIN_ORDERS_RANGE_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to

@@ -139,3 +139,53 @@ def test_asof_join_many_buckets_matches_single_bucket():
 
     a, b = run(1), run(32)
     assert a["oid"].fillna(-1).tolist() == b["oid"].fillna(-1).tolist()
+
+
+def test_range_join_inner_matches_reference():
+    """Every (point, interval) containment pair exactly once, including
+    intervals spanning many bins and duplicate interval replicas."""
+    from rookray.ops.join import range_join
+
+    rng = np.random.default_rng(11)
+    p = rng.integers(0, 500, 120)
+    lo = rng.integers(0, 480, 40)
+    ln = rng.integers(0, 200, 40)  # some intervals span many 32-bins
+    hi = lo + ln
+    left = ray.data.from_arrow(pa.table({
+        "pid": pa.array(np.arange(120), pa.int64()),
+        "p": pa.array(p, pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "iid": pa.array(np.arange(40), pa.int64()),
+        "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())}))
+    out = (range_join(left, right, point="p", lo="lo", hi="hi",
+                      bin_width=32).to_pandas()
+           .sort_values(["pid", "iid"]).reset_index(drop=True))
+    exp = sorted((int(i), int(j)) for i in range(120) for j in range(40)
+                 if lo[j] <= p[i] <= hi[j])
+    assert list(zip(out["pid"], out["iid"])) == exp
+    # bin-width invariance
+    out2 = (range_join(left, right, point="p", lo="lo", hi="hi",
+                       bin_width=7).to_pandas()
+            .sort_values(["pid", "iid"]).reset_index(drop=True))
+    assert list(zip(out2["pid"], out2["iid"])) == exp
+
+
+def test_range_join_left_nulls_and_guard():
+    from rookray.ops.join import range_join
+
+    left = ray.data.from_arrow(pa.table({
+        "pid": pa.array([0, 1, 2], pa.int64()),
+        "p": pa.array([5, 50, 500], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "iid": pa.array([10], pa.int64()),
+        "lo": pa.array([40], pa.int64()), "hi": pa.array([60], pa.int64())}))
+    out = (range_join(left, right, point="p", lo="lo", hi="hi",
+                      bin_width=16, how="left").to_pandas()
+           .sort_values("pid").reset_index(drop=True))
+    assert out["pid"].tolist() == [0, 1, 2]
+    got = [None if pd.isna(x) else int(x) for x in out["iid"]]
+    assert got == [None, 10, None]
+
+    with pytest.raises(Exception, match="max_bin_pairs"):
+        range_join(left, right, point="p", lo="lo", hi="hi",
+                   bin_width=16, max_bin_pairs=0).to_pandas()
