@@ -912,6 +912,29 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def cdc_rolling_window(sf_dir: str) -> pd.DataFrame:
+    """Per-user rolling 5-event sum (rookray.ops.window.
+    rolling_sum_per_key): the ROWS-BETWEEN windowed aggregate over each
+    key's ordered history — one coarse-partition shuffle, one
+    vectorized prefix-sum pass per partition (no per-key Python
+    groups)."""
+    from rookray.ops.window import rolling_sum_per_key
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = rolling_sum_per_key(ds, key_col="user_id", order_col="event_id",
+                              value_col="value", k=5).to_pandas()
+    out["roll_sum_q"] = _q(out.pop("roll_sum"), 2)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+CDC_ROLLING_WINDOW_SQL = """
+SELECT user_id, event_id,
+       CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  * 100 + 0.5) AS BIGINT) AS roll_sum_q
+FROM events ORDER BY event_id
+"""
+
+
 def join_orders_range(sf_dir: str) -> pd.DataFrame:
     """Distributed range (interval) join (rookray.ops.join.range_join):
     each order's price point joins every OVERLAPPING band
@@ -2125,6 +2148,7 @@ QUERIES = {
     "chunk_content_defined": chunk_content_defined,
     "dedup_chunk_spans": dedup_chunk_spans,
     "join_orders_range": join_orders_range,
+    "cdc_rolling_window": cdc_rolling_window,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -2191,6 +2215,7 @@ ORACLES = {
     "chunk_content_defined": CHUNK_CONTENT_DEFINED_SQL,
     "dedup_chunk_spans": DEDUP_CHUNK_SPANS_SQL,
     "join_orders_range": JOIN_ORDERS_RANGE_SQL,
+    "cdc_rolling_window": CDC_ROLLING_WINDOW_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to
