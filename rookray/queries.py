@@ -935,6 +935,30 @@ FROM events ORDER BY event_id
 """
 
 
+def stats_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact value quantiles WITHOUT a global sort (rookray.ops.stats.
+    exact_quantiles): per-batch histogram combiner, one tiny
+    distinct-value shuffle, driver cumsum bounded by the quantized
+    domain — the scale path where Dataset.sort would exchange every
+    row."""
+    from rookray.ops.stats import exact_quantiles
+    ds = _read(sf_dir, "events", ["value"])
+    return exact_quantiles(ds, "value", [1, 250, 500, 750, 999])
+
+
+STATS_QUANTILES_SQL = """
+WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+           FROM events),
+s AS (SELECT vq, row_number() OVER (ORDER BY vq) AS rn,
+             count(*) OVER () AS n
+      FROM v),
+q AS (SELECT CAST(unnest([1, 250, 500, 750, 999]) AS BIGINT) AS q_permille)
+SELECT q.q_permille, CAST(min(s.vq) AS BIGINT) AS value_q
+FROM q JOIN s ON s.rn = CAST(ceil(q.q_permille / 1000.0 * s.n) AS BIGINT)
+GROUP BY q.q_permille ORDER BY q_permille
+"""
+
+
 def join_orders_range(sf_dir: str) -> pd.DataFrame:
     """Distributed range (interval) join (rookray.ops.join.range_join):
     each order's price point joins every OVERLAPPING band
@@ -2149,6 +2173,7 @@ QUERIES = {
     "dedup_chunk_spans": dedup_chunk_spans,
     "join_orders_range": join_orders_range,
     "cdc_rolling_window": cdc_rolling_window,
+    "stats_quantiles": stats_quantiles,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -2216,6 +2241,7 @@ ORACLES = {
     "dedup_chunk_spans": DEDUP_CHUNK_SPANS_SQL,
     "join_orders_range": JOIN_ORDERS_RANGE_SQL,
     "cdc_rolling_window": CDC_ROLLING_WINDOW_SQL,
+    "stats_quantiles": STATS_QUANTILES_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to

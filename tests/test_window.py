@@ -49,3 +49,21 @@ def test_rolling_string_keys_and_short_heads():
 def test_rolling_k_validation():
     with pytest.raises(ValueError):
         rolling_sum_per_key(None, "k", "o", "v", k=0)
+
+
+def test_exact_quantiles_vs_numpy_and_guard():
+    from rookray.ops.stats import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    v = np.round(rng.exponential(50, 5000), 2)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(v)}))
+    got = exact_quantiles(ds, "value", [1, 500, 999])
+    vq = np.sort(np.floor(v * 100 + 0.5).astype(np.int64))
+    for q, val in zip(got["q_permille"], got["value_q"]):
+        rank = -((-q * len(vq)) // 1000)
+        assert val == vq[rank - 1], q
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        exact_quantiles(ds, "value", [500], max_distinct=3)
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles(ds, "value", [0])
