@@ -1,18 +1,21 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool decode/feature stages.
 
-AUDIO is decoded FOR REAL: WAV (RIFF PCM) payloads parse with the
-stdlib ``wave`` module into sample arrays and featurize as a 64-band
-magnitude spectrum (numpy rfft) — no codec library needed.  The
-image/video codec libraries are NOT in this container, so those decodes
-are stubbed two ways (clearly marked):
+AUDIO and IMAGES are decoded FOR REAL: WAV (RIFF PCM) payloads parse
+with the stdlib ``wave`` module into sample arrays and featurize as a
+64-band magnitude spectrum (numpy rfft); grayscale PNG payloads decode
+with a stdlib zlib chunk-walk + filter reconstruction (all five filter
+types) and resize with a real nearest-neighbor resample — no codec
+library needed for either.  Only VIDEO codec libraries are missing
+from this container, so that decode is stubbed two ways (clearly
+marked):
 
 * ``strict=True``  → ``NotImplementedError`` at the decode call — the
-  production integration point (swap in PIL/pyav there);
+  production integration point (swap in pyav there);
 * ``strict=False`` → a deterministic fake decoder (byte-histogram
-  features, hash-derived "dimensions"), so the Ray-side plumbing —
-  schema, small batch sizes for large payloads, actor signature,
-  output layout — is real and tested end-to-end.
+  features), so the Ray-side plumbing — schema, small batch sizes for
+  large payloads, actor signature, output layout — is real and tested
+  end-to-end.
 
 Scale notes encoded here: binary payloads dominate bytes, so stages use
 small ``batch_size`` and ``batch_format="pyarrow"`` (binary columns do
@@ -91,6 +94,113 @@ def wav_spectrum_features(samples: np.ndarray, dim: int = 64,
     return (feats / n if n > 0 else feats).astype(np.float32)
 
 
+# ------------------------------------------------------ real PNG codec
+#
+# Grayscale 8-bit PNG encode/decode in pure stdlib (zlib + struct) — a
+# REAL image codec path with no codec library, mirroring the WAV story:
+# image rows of the media table carry genuine PNG bytes end-to-end and
+# every decoded value is byte-exact against the spec.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Grayscale 8-bit PNG bytes from a (H, W) uint8 array — filter 0
+    rows, one zlib IDAT."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_png expects a (H, W) grayscale array")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img], axis=1).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(H, W) uint8 array from grayscale 8-bit PNG bytes — full chunk
+    walk + zlib inflate + filter reconstruction (all five filter types;
+    Sub is a mod-256 cumsum, Up is vectorized, Average/Paeth take the
+    spec's sequential path)."""
+    import struct
+    import zlib
+
+    if not is_png(payload):
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit grayscale PNG supported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    raw = raw.reshape(h, w + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, w), np.int64)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        up = out[y - 1] if y else np.zeros(w, np.int64)
+        if f == 0:
+            out[y] = r
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-1]  (cumsum)
+            out[y] = np.cumsum(r) % 256
+        elif f == 2:  # Up
+            out[y] = (r + up) % 256
+        elif f in (3, 4):  # Average / Paeth: left-dependent, per spec
+            for x in range(w):
+                left = out[y, x - 1] if x else 0
+                ul = out[y - 1, x - 1] if (x and y) else 0
+                if f == 3:
+                    out[y, x] = (r[x] + (left + up[x]) // 2) % 256
+                else:
+                    p = left + up[x] - ul
+                    pl, pu, pul = abs(p - left), abs(p - up[x]), abs(p - ul)
+                    pred = (left if pl <= pu and pl <= pul
+                            else up[x] if pu <= pul else ul)
+                    out[y, x] = (r[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+def is_png(payload: bytes | None) -> bool:
+    return payload is not None and payload[:8] == _PNG_SIG
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample of a (H, W) array — a real image op
+    (numpy index arithmetic, no codec library)."""
+    sy = (np.arange(h, dtype=np.int64) * img.shape[0]) // h
+    sx = (np.arange(w, dtype=np.int64) * img.shape[1]) // w
+    return img[sy][:, sx]
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -123,9 +233,16 @@ class DecodeFeatures:
             # (works in strict mode too — nothing is stubbed here)
             _, samples = decode_wav(payload)
             return wav_spectrum_features(samples, self.FEATURE_DIM)
+        if is_png(payload):
+            # REAL codec path: stdlib PNG inflate+unfilter → intensity
+            # histogram feature (works in strict mode too)
+            img = decode_png(payload)
+            counts = np.bincount(img.ravel(), minlength=256)
+            norm = counts.sum() or 1.0
+            return ((counts / norm) @ self.projection).astype(np.float32)
         if self.strict:
-            # PRODUCTION INTEGRATION POINT — no image/video codec libs
-            # in this container; plug PIL.Image.open / pyav here.
+            # PRODUCTION INTEGRATION POINT — no video codec libs in
+            # this container; plug pyav here.
             raise NotImplementedError("media decode requires codec libraries")
         counts = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
         norm = counts.sum() or 1.0
@@ -144,24 +261,41 @@ class DecodeFeatures:
         )
 
 
-class ResizeStub:
-    """Image-resize stage stub: validates plumbing (metadata rewrite +
-    payload passthrough); the real resample goes where marked."""
+class ResizeImages:
+    """Image-resize stage: PNG payloads are REALLY resampled
+    (decode_png → nearest-neighbor → encode_png, all stdlib+numpy);
+    non-PNG image payloads pass through with rewritten metadata
+    (``strict=True`` raises there instead — the integration point for
+    other formats)."""
 
     def __init__(self, width: int, height: int, strict: bool = False):
         self.w, self.h, self.strict = width, height, strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("image resize requires codec libraries")
         n = len(batch)
-        # DETERMINISTIC FAKE: payload unchanged, metadata rewritten
+        payloads = batch.column("payload").to_pylist()
+        out = []
+        for p in payloads:
+            if is_png(p):
+                out.append(encode_png(resize_nearest(decode_png(p),
+                                                     self.w, self.h)))
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-PNG image resize requires codec libraries")
+            else:
+                out.append(p)  # metadata-only fake path
         return (
-            batch.set_column(batch.column_names.index("width"), "width",
-                             pa.array(np.full(n, self.w, np.int32)))
+            batch.set_column(batch.column_names.index("payload"), "payload",
+                             pa.array(out, pa.binary()))
+            .set_column(batch.column_names.index("width"), "width",
+                        pa.array(np.full(n, self.w, np.int32)))
             .set_column(batch.column_names.index("height"), "height",
                         pa.array(np.full(n, self.h, np.int32)))
         )
+
+
+#: backwards-compat alias (the stage is no longer a stub for PNG)
+ResizeStub = ResizeImages
 
 
 class FrameSampleStub:
@@ -193,12 +327,24 @@ class FrameSampleStub:
         )
 
 
+def png_pixels_for_doc(doc: int) -> np.ndarray:
+    """Closed-form deterministic image for doc_id: width doc%32+8,
+    height doc%24+8, pixel(y, x) = (doc + 11x + 7y) mod 256 — the
+    synthesis rule the ``multimodal_png_meta`` SQL oracle recomputes,
+    so the REAL PNG decode is verified value-for-value."""
+    w, h = int(doc % 32 + 8), int(doc % 24 + 8)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    return ((doc + 11 * x[None, :] + 7 * y[:, None]) % 256).astype(np.uint8)
+
+
 def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Synthesize a media table from the documents table — test/bench
     substrate, deterministic.  AUDIO rows carry REAL WAV payloads
-    (doc_id-seeded sine tones through ``encode_wav``) so the real codec
-    path is exercised end-to-end; image/video rows carry text bytes as
-    the opaque stand-in payload."""
+    (doc_id-seeded sine tones through ``encode_wav``) and IMAGE rows
+    carry REAL PNG payloads (``png_pixels_for_doc`` through
+    ``encode_png``), so both real codec paths are exercised end-to-end;
+    video rows carry text bytes as the opaque stand-in payload."""
 
     def to_media(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -213,6 +359,8 @@ def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             t = np.arange(int(n_audio[i]), dtype=np.float64) / rate
             freq = 110.0 + float(doc[i] % 880)  # deterministic pitch
             payload[i] = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+        for i in np.flatnonzero(doc % 3 == 0):
+            payload[i] = encode_png(png_pixels_for_doc(int(doc[i])))
         return pa.table(
             {
                 "media_id": batch.column("doc_id"),
@@ -221,8 +369,8 @@ def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                     np.where(doc % 3 == 0, "image",
                              np.where(doc % 3 == 1, "audio", "video")).astype(object),
                     pa.string()),
-                "width": pa.array((doc % 640 + 32).astype(np.int32)),
-                "height": pa.array((doc % 480 + 32).astype(np.int32)),
+                "width": pa.array((doc % 32 + 8).astype(np.int32)),
+                "height": pa.array((doc % 24 + 8).astype(np.int32)),
                 "duration_ms": pa.array(
                     np.where(doc % 3 == 1, n_audio // 8, doc % 5000 + 100)
                     .astype(np.int32)),
@@ -269,6 +417,47 @@ def wav_meta(media: "ray.data.Dataset",
     """Parsed WAV metadata of every audio row (real decode)."""
     return media.map_batches(
         DecodeWavMeta, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, concurrency),
+    )
+
+
+class DecodePngMeta:
+    """Actor-pool stage: REAL PNG parse (chunk walk + zlib inflate +
+    filter reconstruction) of image rows → (media_id, width, height,
+    n_pixels, sum_intensity).  Nothing stubbed: every value comes out
+    of the decoded pixel array, so an oracle that knows the synthesis
+    rule (``png_pixels_for_doc``) verifies the codec end-to-end."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "width": [], "height": [],
+                "n_pixels": [], "sum_intensity": []}
+        for mid, payload, mtype in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("media_type").to_pylist()):
+            if mtype != "image" or not is_png(payload):
+                continue
+            img = decode_png(payload)
+            rows["media_id"].append(mid)
+            rows["height"].append(img.shape[0])
+            rows["width"].append(img.shape[1])
+            rows["n_pixels"].append(img.size)
+            rows["sum_intensity"].append(int(img.sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "n_pixels": pa.array(rows["n_pixels"], pa.int64()),
+            "sum_intensity": pa.array(rows["sum_intensity"], pa.int64()),
+        })
+
+
+def png_meta(media: "ray.data.Dataset",
+             concurrency: int = 4) -> "ray.data.Dataset":
+    """Decoded PNG metadata + intensity sum of every image row (real
+    decode)."""
+    return media.map_batches(
+        DecodePngMeta, batch_format="pyarrow", batch_size=512,
         concurrency=(1, concurrency),
     )
 

@@ -1450,7 +1450,7 @@ def multimodal_wav_meta(sf_dir: str) -> pd.DataFrame:
     samples at 8 kHz); the engine actor-pool stage parses every header
     and frame count back with the ``wave`` module, and the oracle
     recomputes the metadata from the synthesis rule — pinning the
-    decode path (the image/video stubs stay rows-only by design)."""
+    decode path (the video stand-in stays rows-only by design)."""
     from rookray.ops import multimodal as M
     media = M.media_from_documents(_read(sf_dir, "documents"))
     df = M.wav_meta(media).to_pandas()
@@ -1465,6 +1465,34 @@ SELECT doc_id AS media_id,
 FROM documents
 WHERE doc_id % 3 = 1
 ORDER BY media_id
+"""
+
+
+def multimodal_png_meta(sf_dir: str) -> pd.DataFrame:
+    """REAL image-codec oracle row: image payloads are stdlib-encoded
+    grayscale PNGs whose pixels are a closed form of the doc id
+    (rookray.ops.multimodal.png_pixels_for_doc); the engine actor-pool
+    stage walks chunks, inflates IDAT, reconstructs filters, and the
+    oracle recomputes dimensions and the intensity SUM from the
+    synthesis rule — pinning the full decode, pixel for pixel (the
+    video stand-in stays rows-only by design)."""
+    from rookray.ops import multimodal as M
+    media = M.media_from_documents(_read(sf_dir, "documents"))
+    df = M.png_meta(media).to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+MULTIMODAL_PNG_META_SQL = """
+WITH imgs AS (SELECT doc_id, doc_id % 32 + 8 AS w, doc_id % 24 + 8 AS h
+              FROM documents WHERE doc_id % 3 = 0),
+px AS (SELECT doc_id, w, h, (doc_id + 11 * t1.x + 7 * t2.y) % 256 AS v
+       FROM imgs, UNNEST(range(0, w)) AS t1(x), UNNEST(range(0, h)) AS t2(y))
+SELECT doc_id AS media_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS BIGINT) AS sum_intensity
+FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
@@ -2158,6 +2186,7 @@ QUERIES = {
     # multimodal
     "multimodal_features": multimodal_features,
     "multimodal_wav_meta": multimodal_wav_meta,
+    "multimodal_png_meta": multimodal_png_meta,
     # domain mixing
     "mixture_resample_docs": mixture_resample_docs,
     # sequence packing
@@ -2215,6 +2244,7 @@ ORACLES = {
     # real WAV decode pinned to the closed-form synthesis rule;
     # mixture resampling recomputed via LATERAL range-unnest
     "multimodal_wav_meta": MULTIMODAL_WAV_META_SQL,
+    "multimodal_png_meta": MULTIMODAL_PNG_META_SQL,
     "mixture_resample_docs": MIXTURE_RESAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_spans": DEDUP_NGRAM_SPANS_SQL,
