@@ -1,21 +1,21 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool decode/feature stages.
 
-AUDIO and IMAGES are decoded FOR REAL: WAV (RIFF PCM) payloads parse
-with the stdlib ``wave`` module into sample arrays and featurize as a
-64-band magnitude spectrum (numpy rfft); grayscale PNG payloads decode
-with a stdlib zlib chunk-walk + filter reconstruction (all five filter
-types) and resize with a real nearest-neighbor resample — no codec
-library needed for either.  Only VIDEO codec libraries are missing
-from this container, so that decode is stubbed two ways (clearly
-marked):
+ALL THREE media types are decoded FOR REAL, stdlib-only: WAV (RIFF
+PCM) audio parses with the ``wave`` module and featurizes as a 64-band
+magnitude spectrum (numpy rfft); grayscale PNG images decode with a
+zlib chunk-walk + filter reconstruction (all five filter types) and
+resize with a real nearest-neighbor resample; video is APNG (the
+public animated-PNG spec) — acTL/fcTL/fdAT chunk parse, every frame an
+independent zlib stream, real frame sampling.  No codec library is
+needed for any of them.  Payloads in OTHER formats (JPEG, H.264, …)
+hit the marked integration point:
 
-* ``strict=True``  → ``NotImplementedError`` at the decode call — the
-  production integration point (swap in pyav there);
-* ``strict=False`` → a deterministic fake decoder (byte-histogram
-  features), so the Ray-side plumbing — schema, small batch sizes for
-  large payloads, actor signature, output layout — is real and tested
-  end-to-end.
+* ``strict=True``  → ``NotImplementedError`` at the decode call (swap
+  in PIL/pyav there);
+* ``strict=False`` → a deterministic byte-histogram fallback, so the
+  Ray-side plumbing — schema, small batch sizes for large payloads,
+  actor signature, output layout — still runs end-to-end.
 
 Scale notes encoded here: binary payloads dominate bytes, so stages use
 small ``batch_size`` and ``batch_format="pyarrow"`` (binary columns do
@@ -193,6 +193,107 @@ def is_png(payload: bytes | None) -> bool:
     return payload is not None and payload[:8] == _PNG_SIG
 
 
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Animated PNG (APNG, the public animated-PNG spec) from a list of
+    same-size (H, W) uint8 grayscale frames: acTL + per-frame fcTL,
+    first frame in IDAT, the rest in fdAT — each frame an independent
+    zlib stream (full-frame replace: dispose 0, blend 0)."""
+    import struct
+    import zlib
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one size")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    out = [_PNG_SIG, _png_chunk(b"IHDR", ihdr),
+           _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))]
+    seq = 0
+
+    def fctl(i):
+        nonlocal seq
+        c = _png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 0, 0))
+        seq += 1
+        return c
+
+    for i, f in enumerate(frames):
+        img = np.ascontiguousarray(f, dtype=np.uint8)
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), img], axis=1).tobytes()
+        z = zlib.compress(raw, 6)
+        out.append(fctl(i))
+        if i == 0:
+            out.append(_png_chunk(b"IDAT", z))
+        else:
+            out.append(_png_chunk(b"fdAT", struct.pack(">I", seq) + z))
+            seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode_apng(payload: bytes) -> list[np.ndarray]:
+    """List of (H, W) uint8 frames from an APNG payload (full-frame,
+    non-blended animations as produced by ``encode_apng``; a plain PNG
+    decodes as a single frame)."""
+    import struct
+    import zlib
+
+    if not is_png(payload):
+        raise ValueError("not a PNG/APNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    streams: list[bytes] = []  # one zlib stream per frame
+    saw_fctl_before_idat = False
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit grayscale APNG supported")
+        elif ctype == b"fcTL":
+            fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
+            if (fw, fh, fx, fy) != (w, h, 0, 0):
+                raise NotImplementedError("sub-frame APNG regions")
+            saw_fctl_before_idat = True
+            streams.append(b"")
+        elif ctype == b"IDAT":
+            if not streams:  # plain PNG
+                streams.append(b"")
+            streams[-1] += data
+        elif ctype == b"fdAT":
+            streams[-1] += data[4:]  # strip the sequence number
+        elif ctype == b"IEND":
+            break
+    if w is None or not streams:
+        raise ValueError("missing IHDR/IDAT")
+    del saw_fctl_before_idat
+    frames = []
+    for z in streams:
+        raw = np.frombuffer(zlib.decompress(z), np.uint8).reshape(h, w + 1)
+        if raw[:, 0].any():
+            # reuse the full filter reconstruction via a one-frame PNG
+            import struct as _s
+            one = (_PNG_SIG
+                   + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                   + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+                   + _png_chunk(b"IEND", b""))
+            frames.append(decode_png(one))
+        else:
+            frames.append(raw[:, 1:].copy())
+    return frames
+
+
+def is_apng(payload: bytes | None) -> bool:
+    return (is_png(payload) and b"acTL" in payload[:64])
+
+
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
     """Nearest-neighbor resample of a (H, W) array — a real image op
     (numpy index arithmetic, no codec library)."""
@@ -338,13 +439,22 @@ def png_pixels_for_doc(doc: int) -> np.ndarray:
     return ((doc + 11 * x[None, :] + 7 * y[:, None]) % 256).astype(np.uint8)
 
 
+def apng_frame_for_doc(doc: int, f: int) -> np.ndarray:
+    """Closed-form frame ``f`` of doc's animation: the image rule
+    shifted by 13 per frame — the ``multimodal_apng_frames`` oracle
+    recomputes it, so the APNG decode is verified value-for-value."""
+    return ((png_pixels_for_doc(doc).astype(np.int64) + 13 * f)
+            % 256).astype(np.uint8)
+
+
 def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Synthesize a media table from the documents table — test/bench
-    substrate, deterministic.  AUDIO rows carry REAL WAV payloads
-    (doc_id-seeded sine tones through ``encode_wav``) and IMAGE rows
-    carry REAL PNG payloads (``png_pixels_for_doc`` through
-    ``encode_png``), so both real codec paths are exercised end-to-end;
-    video rows carry text bytes as the opaque stand-in payload."""
+    substrate, deterministic.  ALL THREE media types carry REAL
+    payloads: AUDIO rows are stdlib-encoded WAVs (doc_id-seeded sine
+    tones), IMAGE rows are real grayscale PNGs
+    (``png_pixels_for_doc``), VIDEO rows are real APNG animations
+    (``apng_frame_for_doc``, doc%4+2 frames) — every codec path is
+    exercised end-to-end with no fake bytes."""
 
     def to_media(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -361,6 +471,10 @@ def media_from_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             payload[i] = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
         for i in np.flatnonzero(doc % 3 == 0):
             payload[i] = encode_png(png_pixels_for_doc(int(doc[i])))
+        for i in np.flatnonzero(doc % 3 == 2):
+            d = int(doc[i])
+            payload[i] = encode_apng(
+                [apng_frame_for_doc(d, f) for f in range(d % 4 + 2)])
         return pa.table(
             {
                 "media_id": batch.column("doc_id"),
@@ -458,6 +572,50 @@ def png_meta(media: "ray.data.Dataset",
     decode)."""
     return media.map_batches(
         DecodePngMeta, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, concurrency),
+    )
+
+
+class SampleApngFrames:
+    """Actor-pool flat-map stage: REAL video frame sampling — every
+    ``every``-th frame of each APNG video row is DECODED (zlib inflate
+    + filter reconstruction per frame) and emitted as one output row
+    with its intensity sum.  This replaces the round-1/2 frame-sample
+    stub: the payload is a real animation in a public format."""
+
+    def __init__(self, every: int = 1):
+        self.every = max(1, int(every))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "frame_idx": [], "n_frames": [],
+                "sum_intensity": []}
+        for mid, payload, mtype in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("media_type").to_pylist()):
+            if mtype != "video" or not is_apng(payload):
+                continue
+            frames = decode_apng(payload)
+            for f in range(0, len(frames), self.every):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(f)
+                rows["n_frames"].append(len(frames))
+                rows["sum_intensity"].append(
+                    int(frames[f].sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "frame_idx": pa.array(rows["frame_idx"], pa.int64()),
+            "n_frames": pa.array(rows["n_frames"], pa.int64()),
+            "sum_intensity": pa.array(rows["sum_intensity"], pa.int64()),
+        })
+
+
+def apng_frames(media: "ray.data.Dataset", every: int = 1,
+                concurrency: int = 4) -> "ray.data.Dataset":
+    """Decoded frame table of every video row (real APNG decode)."""
+    return media.map_batches(
+        SampleApngFrames, fn_constructor_kwargs=dict(every=every),
+        batch_format="pyarrow", batch_size=256,
         concurrency=(1, concurrency),
     )
 

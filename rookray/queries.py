@@ -1496,6 +1496,36 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def multimodal_apng_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL video-codec oracle row: video payloads are stdlib-encoded
+    APNG animations (the public animated-PNG spec) with closed-form
+    frames; the engine flat-map stage decodes every frame (zlib
+    inflate + filter reconstruction) and the oracle recomputes each
+    frame's intensity sum from the synthesis rule — the last media
+    type de-stubbed."""
+    from rookray.ops import multimodal as M
+    media = M.media_from_documents(_read(sf_dir, "documents"))
+    df = M.apng_frames(media).to_pandas()
+    return (df.sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
+MULTIMODAL_APNG_FRAMES_SQL = """
+WITH vids AS (SELECT doc_id, doc_id % 32 + 8 AS w, doc_id % 24 + 8 AS h,
+                     doc_id % 4 + 2 AS nf
+              FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT doc_id, w, h, nf, t0.f
+       FROM vids, UNNEST(range(0, nf)) AS t0(f)),
+px AS (SELECT doc_id, nf, f,
+              (doc_id + 11 * t1.x + 7 * t2.y + 13 * f) % 256 AS v
+       FROM fr, UNNEST(range(0, w)) AS t1(x), UNNEST(range(0, h)) AS t2(y))
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(any_value(nf) AS BIGINT) AS n_frames,
+       CAST(sum(v) AS BIGINT) AS sum_intensity
+FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx
+"""
+
+
 def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
     """Domain-mixture resampling with UPSAMPLING: src0 at 2.5 epochs,
     src1 at 0.5, everything else at 1.0 — per-key deterministic repeat
@@ -2187,6 +2217,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_wav_meta": multimodal_wav_meta,
     "multimodal_png_meta": multimodal_png_meta,
+    "multimodal_apng_frames": multimodal_apng_frames,
     # domain mixing
     "mixture_resample_docs": mixture_resample_docs,
     # sequence packing
@@ -2245,6 +2276,7 @@ ORACLES = {
     # mixture resampling recomputed via LATERAL range-unnest
     "multimodal_wav_meta": MULTIMODAL_WAV_META_SQL,
     "multimodal_png_meta": MULTIMODAL_PNG_META_SQL,
+    "multimodal_apng_frames": MULTIMODAL_APNG_FRAMES_SQL,
     "mixture_resample_docs": MIXTURE_RESAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_spans": DEDUP_NGRAM_SPANS_SQL,
@@ -2286,6 +2318,8 @@ ORACLES = {
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
-    # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh,
-    # multimodal_features, cdc_evictions
+    # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
+    # multimodal_features (its decode paths are oracle-pinned via the
+    # wav/png/apng meta rows; the projected feature vector itself is
+    # float-model output)
 }

@@ -697,3 +697,39 @@ def test_png_codec_real_roundtrip_and_filters():
         got = M.decode_png(p)
         exp = M.resize_nearest(M.png_pixels_for_doc(int(mid)), 8, 6)
         assert np.array_equal(got, exp)
+
+
+def test_apng_codec_roundtrip_and_frame_sampling():
+    """APNG (animated PNG) codec: encode→decode returns every frame
+    pixel-identical; a plain PNG decodes as one frame; the frame-sample
+    stage decodes real frames with the right stride."""
+    from rookray.ops import multimodal as M
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (11, 17), dtype=np.uint8)
+              for _ in range(5)]
+    payload = M.encode_apng(frames)
+    assert M.is_apng(payload) and M.is_png(payload)
+    got = M.decode_apng(payload)
+    assert len(got) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    # plain PNG → single frame; DecodeFeatures takes the real pixel
+    # path for APNG too (cover frame = frame 0)
+    single = M.decode_apng(M.encode_png(frames[0]))
+    assert len(single) == 1 and np.array_equal(single[0], frames[0])
+    assert np.array_equal(M.decode_png(payload), frames[0])
+
+    docs_tbl = pa.table({
+        "doc_id": pa.array([2, 5, 11], pa.int64()),  # all % 3 == 2 → video
+        "text": pa.array(["a", "b", "c"], pa.string()),
+    })
+    media = M.media_from_documents(ray.data.from_arrow(docs_tbl))
+    out = (M.apng_frames(media, every=2).to_pandas()
+           .sort_values(["media_id", "frame_idx"]))
+    for mid in (2, 5, 11):
+        nf = mid % 4 + 2
+        sub = out[out["media_id"] == mid]
+        assert sub["frame_idx"].tolist() == list(range(0, nf, 2))
+        for f, s in zip(sub["frame_idx"], sub["sum_intensity"]):
+            assert s == int(M.apng_frame_for_doc(mid, int(f))
+                            .sum(dtype=np.int64))
