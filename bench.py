@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "dedup_incremental",
     "corpus_clean_pack",
+    # round-3 wave 2: chunking, range join, rolling window, quantiles
+    "dedup_chunk_spans",
+    "join_orders_range",
+    "cdc_rolling_window",
+    "stats_quantiles",
 ]
 
 

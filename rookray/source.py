@@ -305,6 +305,153 @@ def stream_events(shard_dir: str, pattern: str = "events-*.parquet",
     )
 
 
+# --------------------------------------------------------------------
+# Network streaming connector — the true BinaryLogClient analog
+# --------------------------------------------------------------------
+#
+# rook tails a live MySQL server over a SOCKET (an I/O thread inside
+# BinaryLogClient, MySQLReplicationStream.java:98-120).  The directory
+# tails above are the shared-storage analog; this is the real network
+# one: a TCP endpoint streaming length-framed Arrow IPC batches of
+# change events, consumed INSIDE the Ray Data executor.  Backpressure
+# is physical: the read task's generator only reads the socket when the
+# executor pulls a block, so a fast producer blocks in send() on TCP
+# flow control — the same bound rook gets from synchronous listener
+# delivery (:161-179).
+#
+# Frame protocol: 4-byte big-endian payload length, then an Arrow IPC
+# stream holding one table of change events.  Length 0 = producer EOF.
+
+
+def _read_exact(sock, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+class ChangeStreamServer:
+    """Test/bench producer: serves tables over the frame protocol from
+    a background thread (the MySQL-server stand-in).  ``push(table)``
+    enqueues a frame; ``close()`` sends the EOF frame and stops.  One
+    consumer at a time (a binlog connection is one ordered stream)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import queue
+        import socket
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._srv = socket.create_server((host, port))
+        self.host, self.port = self._srv.getsockname()[:2]
+        self._thread = threading.Thread(target=self._serve, daemon=True,
+                                        name="rookray-stream-server")
+        self._thread.start()
+
+    def push(self, table) -> None:
+        import io
+        import pyarrow as pa
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        self._q.put(sink.getvalue())
+
+    def push_shards(self, paths: list[str]) -> None:
+        for p in paths:
+            self.push(pq.read_table(p))
+
+    def close(self) -> None:
+        self._q.put(b"")  # EOF frame
+
+    def _serve(self) -> None:
+        import struct
+        conn, _ = self._srv.accept()
+        try:
+            while True:
+                payload = self._q.get()
+                conn.sendall(struct.pack(">I", len(payload)) + payload)
+                if not payload:
+                    break
+        finally:
+            conn.close()
+            self._srv.close()
+
+
+class SocketStreamDatasource(Datasource):
+    """Unbounded change-event stream from a TCP endpoint, inside the
+    Ray Data executor.  ONE read task (a replication connection is one
+    ordered stream — rook's single binlog thread); compose
+    ``.repartition``/``map_batches`` downstream for parallelism.
+    ``connect_timeout_s`` is the ``connect(timeout)`` lifecycle analog:
+    the task retries the TCP connect until the deadline."""
+
+    def __init__(self, host: str, port: int,
+                 connect_timeout_s: float = 10.0):
+        self.host, self.port = host, port
+        self.connect_timeout_s = connect_timeout_s
+
+    def get_name(self) -> str:
+        return f"SocketStream({self.host}:{self.port})"
+
+    def estimate_inmemory_data_size(self):
+        return None  # unbounded
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        host, port, timeout = self.host, self.port, self.connect_timeout_s
+
+        def read_fn():
+            import socket
+            import struct
+            import io
+            import pyarrow as pa
+
+            deadline = time.monotonic() + timeout
+            sock = None
+            while sock is None:
+                try:
+                    sock = socket.create_connection((host, port), timeout=2.0)
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"could not connect to {host}:{port} within "
+                            f"{timeout}s")
+                    time.sleep(0.05)
+            sock.settimeout(None)  # block on recv: the stream is live
+            try:
+                while True:
+                    (ln,) = struct.unpack(">I", _read_exact(sock, 4))
+                    if ln == 0:
+                        return  # producer EOF
+                    payload = _read_exact(sock, ln)
+                    with pa.ipc.open_stream(io.BytesIO(payload)) as r:
+                        yield r.read_all()
+            finally:
+                sock.close()
+
+        meta = BlockMetadata(num_rows=None, size_bytes=None,
+                             exec_stats=None, input_files=None)
+        return [ReadTask(read_fn, meta)]
+
+
+def stream_events_socket(host: str, port: int,
+                         connect_timeout_s: float = 10.0):
+    """An UNBOUNDED ``ray.data.Dataset`` over a live TCP change stream
+    (frame protocol above) — the network counterpart of
+    ``stream_events``; ends at the producer's EOF frame."""
+    import ray.data
+
+    return ray.data.read_datasource(
+        SocketStreamDatasource(host, port, connect_timeout_s),
+        override_num_blocks=1,
+    )
+
+
 def shard_gtid_range(path: str) -> tuple[int, int]:
     """(min, max) gtid of a shard from parquet column statistics only
     (footer read — no data scan)."""

@@ -3,6 +3,8 @@
 import os
 import shutil
 
+import pytest
+
 from rookray.gen import GenConfig, final_state, write_shards
 from rookray.pipeline import CDCConfig, LakeTable
 from rookray.source import ShardTailer, shard_gtid_range, shards_above
@@ -460,3 +462,85 @@ def test_session_stream_incremental_emission(tmp_path):
         .sort_values(["key", "session_start"]).reset_index(drop=True))
     for col in ("key", "session_start", "session_end", "n_events"):
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_socket_stream_windows_and_exactly_once(tmp_path):
+    """True network connector: a TCP producer streams framed Arrow IPC
+    change batches; the in-executor read task consumes them live
+    (windows close before producer EOF), and an epoch ingest off the
+    socket lands byte-identical lake state vs applying the files."""
+    import threading
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.source import ChangeStreamServer, stream_events_socket
+    from rookray.streaming import tumbling_stream
+
+    cfg = GenConfig(n_docs=30, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+
+    # --- live windowed consumption overlapping production
+    srv = ChangeStreamServer()
+    done = threading.Event()
+
+    def producer():
+        for f in meta["files"]:
+            srv.push(pq.read_table(f))
+            time.sleep(0.5)
+        srv.close()
+        done.set()
+
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 256  # partial rows, see tumbling test
+    try:
+        threading.Thread(target=producer, daemon=True).start()
+        ds = stream_events_socket(srv.host, srv.port)
+        emitted, early = [], False
+        for tbl in tumbling_stream(ds, window=100, ts_col="gtid",
+                                   key_col="table", n_sources=1):
+            if not done.is_set():
+                early = True
+            emitted.append(tbl)
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (pa.concat_tables(emitted).to_pandas()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    assert early, "no window closed while the producer was still sending"
+    batch = pd.concat([pq.read_table(f).to_pandas() for f in meta["files"]])
+    batch["window_start"] = (batch["gtid"] // 100) * 100
+    exp = (batch.groupby(["window_start", "table"]).size()
+           .rename("n_events").reset_index()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+
+    # --- exactly-once epoch ingest off the wire
+    srv2 = ChangeStreamServer()
+    t = threading.Thread(target=lambda: (srv2.push_shards(meta["files"]),
+                                         srv2.close()), daemon=True)
+    t.start()
+    wire = stream_events_socket(srv2.host, srv2.port).materialize()
+    lake_net = LakeTable(str(tmp_path / "lake_net"),
+                         CDCConfig(num_partitions=4))
+    lake_net.apply(wire)
+    lake_ref = LakeTable(str(tmp_path / "lake_ref"),
+                         CDCConfig(num_partitions=4))
+    lake_ref.apply(meta["files"])
+    a = lake_net.state_table().to_pandas().sort_values("doc_id")
+    b = lake_ref.state_table().to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["n_tok"].tolist() == b["n_tok"].tolist()
+
+
+def test_socket_stream_connect_timeout():
+    from rookray.source import stream_events_socket
+
+    ds = stream_events_socket("127.0.0.1", 1, connect_timeout_s=0.3)
+    with pytest.raises(Exception, match="connect|Timeout"):
+        ds.materialize()
