@@ -138,6 +138,18 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point reads: only the hash-matching partitions are touched and a
+    key filter pushes into every parquet read (no Ray session needed —
+    a probe is served from the committed files directly)."""
+    from rookray.pipeline import LakeTable
+
+    t = LakeTable(args.table).lookup(args.key, as_of=args.as_of)
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rookray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +201,15 @@ def main(argv=None) -> int:
     gc.add_argument("--table", required=True)
     gc.add_argument("--keep-epochs", type=int, default=2)
     gc.set_defaults(fn=cmd_gc)
+
+    lu = sub.add_parser("lookup", help="point-read keys from the "
+                                       "committed state (partition-pruned)")
+    lu.add_argument("--table", required=True)
+    lu.add_argument("--key", action="append", required=True,
+                    help="doc_id to probe (repeatable)")
+    lu.add_argument("--as-of", type=int, default=None,
+                    help="historical epoch (time travel)")
+    lu.set_defaults(fn=cmd_lookup)
 
     show = sub.add_parser("show", help="print a lake table's manifest")
     show.add_argument("--table", required=True)

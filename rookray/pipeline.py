@@ -649,6 +649,57 @@ class LakeTable:
         ).repartition(len(frags))
         return parts_ds.map_batches(reader, batch_format="pyarrow", batch_size=1)
 
+    def lookup(self, doc_ids, as_of: int | None = None) -> pa.Table:
+        """Point reads: the current rows for the given keys, touching
+        ONLY the partitions those keys hash into and pushing a key
+        filter into every parquet read (row groups prune on doc_id
+        statistics) — O(partitions hit), not O(state).  The
+        ``SynchronizationContext.loadEntity`` analog at lake scale
+        (rook loads one entity per event; here a probe batch serves
+        straight from the committed state).  Deleted / unknown keys
+        are simply absent from the result."""
+        m = self._snapshot_manifest(as_of)
+        if not m:
+            return self._empty_state()
+        keys = sorted({str(d) for d in doc_ids})
+        if not keys:
+            return self._empty_state()
+        ids = pa.array(keys, pa.string())
+        P = self._num_partitions(m)
+        parts = partition_of(ids, P)
+        frags = self._partition_fragments(m)
+        flt = [("doc_id", "in", keys)]
+        tables = []
+        for p in sorted(set(parts.tolist())):
+            base_rel, delta_rels = frags.get(int(p), (None, []))
+            base = (pq.read_table(os.path.join(self.root, base_rel),
+                                  filters=flt)
+                    if base_rel else None)
+            if delta_rels:
+                # LWW per key is unaffected by dropping other keys, so
+                # the filter pushes below the merge
+                deltas = [pq.read_table(os.path.join(self.root, r),
+                                        filters=flt) for r in delta_rels]
+                if len(deltas) > 1:
+                    u = unify_additive([d.schema for d in deltas])
+                    from rookray.schema import conform as _c
+                    ev = pa.concat_tables([_c(d, u) for d in deltas],
+                                          promote_options="none")
+                else:
+                    ev = deltas[0]
+                t = merge.merge_state(base, merge.keep_last(ev))
+            else:
+                t = base
+            if t is not None and len(t):
+                tables.append(t.drop_columns(["_gtid", "_split"]))
+        if not tables:
+            return self._empty_state()
+        schema = unify_additive([t.schema for t in tables])
+        from rookray.schema import conform
+        return pa.concat_tables(
+            [conform(t, schema) for t in tables],
+            promote_options="none").sort_by("doc_id")
+
     def state_table(self, include_meta: bool = False,
                     as_of: int | None = None) -> pa.Table:
         """Full committed state as one in-memory table (tests/small only)."""

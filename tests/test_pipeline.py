@@ -223,3 +223,57 @@ def test_per_statement_mode_applies_open_tx(tmp_lake, tmp_path):
     lake.apply([p1])
     # EVERY event up to the cut is applied, including the open tx's head
     assert_tables_equal(lake.state_table(), replay(tbl.slice(0, cut)))
+
+
+def test_lookup_point_reads(tmp_path, tmp_lake):
+    """lookup(): key-filtered partition-pruned point reads equal the
+    full state filtered — across delta (merge-on-read) epochs, with
+    deleted and unknown keys absent, and pruned to the hash-matching
+    partitions only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rookray.gen import GenConfig, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.util import partition_of
+
+    cfg = GenConfig(n_docs=40, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(tmp_lake, CDCConfig(num_partitions=8,
+                                         write_mode="delta"))
+    lake.apply(meta["files"][:2])
+    lake.apply(meta["files"][1:])  # second epoch: deltas stack
+
+    state = lake.state_table().to_pandas().set_index("doc_id")
+    live = list(state.index)
+    probe = live[:3] + ["doc-does-not-exist"]
+    out = lake.lookup(probe).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == sorted(live[:3])
+    for d in live[:3]:
+        assert out.loc[d, "n_tok"] == state.loc[d, "n_tok"]
+
+    # single-key probe touches exactly one partition's files
+    import pyarrow as pa
+    opened = []
+    orig = pq.read_table
+
+    def spy(path, *a, **k):
+        opened.append(str(path))
+        return orig(path, *a, **k)
+
+    import rookray.pipeline as P
+    P.pq.read_table, saved = spy, P.pq.read_table
+    try:
+        one = lake.lookup([live[0]])
+    finally:
+        P.pq.read_table = saved
+    assert len(one) == 1
+    pid = int(partition_of(pa.array([live[0]]), 8)[0])
+    assert opened and all(f"-{pid:05d}-" in os.path.basename(p)
+                          for p in opened)
+
+    # after compaction the same lookups still resolve
+    lake.compact()
+    out2 = lake.lookup(probe).to_pandas().set_index("doc_id")
+    assert sorted(out2.index) == sorted(live[:3])
