@@ -62,3 +62,90 @@ def exact_quantiles(ds, value_col: str, qs_permille: list[int],
         i = int(np.searchsorted(cum, rank, side="left"))
         rows.append((int(q), int(hist["vq"].iloc[i])))
     return pd.DataFrame(rows, columns=["q_permille", "value_q"])
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str,
+                      qs_permille: list[int], quant_digits: int = 2,
+                      num_partitions: int = 16):
+    """Exact PER-KEY quantiles, still without a global sort: per-batch
+    (key, value) histogram combiner → one (key, value) shuffle → keys
+    coarse-hash-partitioned (the ``cdc_lww_state`` pattern: one Python
+    call per partition, not per key), each partition sorted once and
+    every key's rank picked in one vectorized ``searchsorted`` over the
+    global count cumsum.
+
+    Returns a Dataset of (key_col, q_permille, value_q) rows."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    for q in qs_permille:
+        if not 0 < q <= 1000:
+            raise ValueError(f"q_permille {q} outside (0, 1000]")
+    qs = sorted(int(q) for q in qs_permille)
+    scale = 10 ** quant_digits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = (batch.column(value_col).to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        vq = np.floor(v * scale + 0.5).astype(np.int64)
+        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                           "vq": vq})
+        g = (df.groupby([key_col, "vq"], sort=False).size()
+             .rename("c").reset_index())
+        return pa.Table.from_pandas(g.astype({"vq": np.int64,
+                                              "c": np.int64}),
+                                    preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([key_col, "vq"]).aggregate(Sum("c", alias_name="c")))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col)
+        if pa.types.is_integer(key.type):
+            u = key.to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = (u * np.uint64(2654435761)) % np.uint64(num_partitions)
+        else:
+            from rookray.util import hash_strings
+            part = hash_strings(key.combine_chunks()) % np.uint64(num_partitions)
+        return batch.append_column("part", pa.array(part.astype(np.int64)))
+
+    def quant_part(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["part"]).sort_by(
+            [(key_col, "ascending"), ("vq", "ascending")])
+        m = len(t)
+        if m == 0:
+            return pa.table({key_col: group.column(key_col).slice(0, 0),
+                             "q_permille": pa.array([], pa.int64()),
+                             "value_q": pa.array([], pa.int64())})
+        keys = t.column(key_col)
+        vq = t.column("vq").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        if m > 1:
+            import pyarrow.compute as pc
+            neq = (pc.not_equal(keys.slice(1), keys.slice(0, m - 1))
+                   .to_numpy(zero_copy_only=False).astype(bool))
+            new_key = np.concatenate([[True], neq])
+        else:
+            new_key = np.array([True])
+        seg_idx = np.flatnonzero(new_key)           # segment starts
+        C = np.cumsum(c)
+        base = np.concatenate([[0], C[:-1]])[seg_idx]  # count before seg
+        seg_end = np.concatenate([seg_idx[1:], [m]])
+        n_per_key = C[seg_end - 1] - base
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            ranks = -((-q * n_per_key) // 1000)     # ceil per key
+            idx = np.searchsorted(C, base + ranks, side="left")
+            out_k.append(keys.take(pa.array(seg_idx)))
+            out_q.append(np.full(len(seg_idx), q, np.int64))
+            out_v.append(vq[idx])
+        ka = pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                               else k for k in out_k])
+        return pa.table({key_col: ka,
+                         "q_permille": pa.array(np.concatenate(out_q)),
+                         "value_q": pa.array(np.concatenate(out_v).astype(np.int64))})
+
+    return (hist.map_batches(add_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("part").map_groups(quant_part, batch_format="pyarrow"))

@@ -959,6 +959,34 @@ GROUP BY q.q_permille ORDER BY q_permille
 """
 
 
+def stats_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type quantiles (rookray.ops.stats.
+    grouped_quantiles): histogram combiner → one (key, value) shuffle →
+    coarse key partitions, one vectorized rank pick per partition —
+    still no global sort."""
+    from rookray.ops.stats import grouped_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantiles(ds, "event_type", "value",
+                            [250, 500, 750]).to_pandas()
+    return (out.sort_values(["event_type", "q_permille"])
+            .reset_index(drop=True))
+
+
+STATS_GROUPED_QUANTILES_SQL = """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+           FROM events),
+s AS (SELECT event_type, vq,
+             row_number() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+q AS (SELECT CAST(unnest([250, 500, 750]) AS BIGINT) AS q_permille)
+SELECT s.event_type, q.q_permille, CAST(min(s.vq) AS BIGINT) AS value_q
+FROM q JOIN s ON s.rn = CAST(ceil(q.q_permille / 1000.0 * s.n) AS BIGINT)
+GROUP BY s.event_type, q.q_permille ORDER BY event_type, q_permille
+"""
+
+
 def join_orders_range(sf_dir: str) -> pd.DataFrame:
     """Distributed range (interval) join (rookray.ops.join.range_join):
     each order's price point joins every OVERLAPPING band
@@ -2234,6 +2262,7 @@ QUERIES = {
     "join_orders_range": join_orders_range,
     "cdc_rolling_window": cdc_rolling_window,
     "stats_quantiles": stats_quantiles,
+    "stats_grouped_quantiles": stats_grouped_quantiles,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_derived_index": cdc_derived_index,
@@ -2304,6 +2333,7 @@ ORACLES = {
     "join_orders_range": JOIN_ORDERS_RANGE_SQL,
     "cdc_rolling_window": CDC_ROLLING_WINDOW_SQL,
     "stats_quantiles": STATS_QUANTILES_SQL,
+    "stats_grouped_quantiles": STATS_GROUPED_QUANTILES_SQL,
     "cdc_evictions": CDC_EVICTIONS_SQL,
     # lineage checkpoint state recomputed from the change log with the
     # engine's partition hash expressed in SQL; salting must replay to

@@ -67,3 +67,31 @@ def test_exact_quantiles_vs_numpy_and_guard():
         exact_quantiles(ds, "value", [500], max_distinct=3)
     with pytest.raises(ValueError, match="outside"):
         exact_quantiles(ds, "value", [0])
+
+
+def test_grouped_quantiles_vs_numpy_and_partition_invariance():
+    from rookray.ops.stats import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(list("abcdefg"), 4000)
+    v = np.round(rng.normal(100, 30, 4000), 2)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys),
+                                       "value": pa.array(v)}))
+    vq_all = np.floor(v * 100 + 0.5).astype(np.int64)
+
+    def ref(q):
+        out = {}
+        for k in set(keys):
+            s = np.sort(vq_all[keys == k])
+            rank = -((-q * len(s)) // 1000)
+            out[k] = s[rank - 1]
+        return out
+
+    for parts in (1, 16):
+        got = (grouped_quantiles(ds, "k", "value", [100, 500, 900],
+                                 num_partitions=parts).to_pandas()
+               .set_index(["k", "q_permille"]))
+        for q in (100, 500, 900):
+            exp = ref(q)
+            for k in exp:
+                assert got.loc[(k, q), "value_q"] == exp[k], (k, q, parts)
