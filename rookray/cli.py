@@ -138,6 +138,20 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    """Initial-load handoff: register a consistent snapshot as epoch 0
+    at the given gtid watermark; subsequent ingest resumes from it."""
+    import ray.data
+
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    _ensure_ray(args.num_cpus)
+    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    ds = ray.data.read_parquet(args.snapshot)
+    print(json.dumps(lake.bootstrap(ds, gtid_watermark=args.watermark)))
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point reads: only the hash-matching partitions are touched and a
     key filter pushes into every parquet read (no Ray session needed —
@@ -201,6 +215,18 @@ def main(argv=None) -> int:
     gc.add_argument("--table", required=True)
     gc.add_argument("--keep-epochs", type=int, default=2)
     gc.set_defaults(fn=cmd_gc)
+
+    bs = sub.add_parser("bootstrap", help="register a consistent snapshot "
+                                          "as epoch 0 (initial-load handoff)")
+    bs.add_argument("--table", required=True)
+    bs.add_argument("--snapshot", required=True,
+                    help="parquet file/dir of payload rows")
+    bs.add_argument("--watermark", type=int, required=True,
+                    help="gtid the snapshot is consistent as of")
+    from rookray.pipeline import CDCConfig as _C2
+    bs.add_argument("--partitions", type=int, default=_C2.num_partitions)
+    bs.add_argument("--num-cpus", type=int, default=None)
+    bs.set_defaults(fn=cmd_bootstrap)
 
     lu = sub.add_parser("lookup", help="point-read keys from the "
                                        "committed state (partition-pruned)")

@@ -337,6 +337,22 @@ class FinalizeMerge:
         return pa.Table.from_pylist(out, schema=LINEAGE_SCHEMA)
 
 
+class _BootstrapWrite:
+    """Per-partition snapshot writer for ``LakeTable.bootstrap``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        t = g.drop_columns(["part"]).sort_by("doc_id")
+        path = sink.state_file(self.root, part, 0)
+        sink.atomic_write_parquet(t, path)
+        lin = lineage_for(part, os.path.relpath(path, self.root), t,
+                          prev_watermark=-1, events_applied=len(t))
+        return pa.Table.from_pylist([lin.to_dict()], schema=LINEAGE_SCHEMA)
+
+
 def _resolve_partition(root: str, base_rel: str | None,
                        delta_rels: list[str]) -> pa.Table | None:
     """base + deltas → current state table (merge-on-read kernel)."""
@@ -648,6 +664,79 @@ class LakeTable:
             [{"part": p} for p in sorted(frags)]
         ).repartition(len(frags))
         return parts_ds.map_batches(reader, batch_format="pyarrow", batch_size=1)
+
+    def bootstrap(self, snapshot, gtid_watermark: int) -> dict:
+        """Snapshot bootstrap — the initial-load→streaming handoff every
+        CDC deployment needs (Debezium's snapshot phase; rook leaves
+        initial load to the user entirely): register an existing
+        CONSISTENT-AS-OF-``gtid_watermark`` snapshot as the table's
+        epoch-0 state without replaying history.  Subsequent
+        ``apply()`` calls continue from the watermark: events at or
+        below it are skipped by the per-partition watermark, events
+        above it LWW-win against the snapshot rows (stamped
+        ``_gtid = gtid_watermark``).
+
+        ``snapshot``: a payload table/Dataset (doc_id + payload
+        columns, no meta).  Distributed: rows hash-partition and write
+        in parallel; nothing lands on the driver."""
+        if self.manifest():
+            raise ValueError("bootstrap requires an empty table")
+        if isinstance(snapshot, pa.Table):
+            snapshot = ray.data.from_arrow(snapshot)
+        cfg = self.config
+        P = cfg.num_partitions
+        payload = snapshot.schema().base_schema
+        if not isinstance(payload, pa.Schema):
+            payload = pa.schema([pa.field(n, pa.from_numpy_dtype(t))
+                                 for n, t in zip(payload.names, payload.types)])
+        bad = {"_gtid", "_split", "part"} & set(payload.names)
+        if bad:
+            raise ValueError(f"snapshot must not carry meta columns {bad}")
+        wm = int(gtid_watermark)
+
+        def add_meta(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            part = partition_of(batch.column("doc_id"), P)
+            return (batch
+                    .append_column("_gtid",
+                                   pa.array(np.full(n, wm, np.int64)))
+                    .append_column("_split",
+                                   pa.array(np.zeros(n, np.int8)))
+                    .append_column("part",
+                                   pa.array(part.astype(np.int64))))
+
+        writer = _BootstrapWrite(self.root)
+        writer.__name__ = "BootstrapWrite"  # ray's map_groups wrapper wants one
+        lineage_rows = (snapshot
+                        .map_batches(add_meta, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                        .groupby("part")
+                        .map_groups(writer, batch_format="pyarrow")
+                        .take_all())
+        partitions = {}
+        rows = 0
+        for row in lineage_rows:
+            rows += int(row["rows"])
+            partitions[str(int(row["partition"]))] = {
+                "file": row["file"],
+                "gtid_watermark": wm,
+                "rows": int(row["rows"]),
+                "content_hash": row["content_hash"],
+                "events_applied": int(row["rows"]),
+            }
+        manifest = {
+            "epoch": 0,
+            "table": cfg.table,
+            "num_partitions": P,
+            "closed_watermark": wm,
+            "max_gtid_seen": wm,
+            "partitions": partitions,
+            "payload_schema_ipc": _schema_to_b64(payload),
+            "payload_schema": [[f.name, str(f.type)] for f in payload],
+        }
+        sink.commit_manifest(self.root, manifest)
+        return {"epoch": 0, "closed_watermark": wm, "rows": rows,
+                "partitions_touched": len(partitions)}
 
     def lookup(self, doc_ids, as_of: int | None = None) -> pa.Table:
         """Point reads: the current rows for the given keys, touching

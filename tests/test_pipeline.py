@@ -277,3 +277,48 @@ def test_lookup_point_reads(tmp_path, tmp_lake):
     lake.compact()
     out2 = lake.lookup(probe).to_pandas().set_index("doc_id")
     assert sorted(out2.index) == sorted(live[:3])
+
+
+def test_bootstrap_snapshot_then_stream(tmp_path, tmp_lake):
+    """Snapshot bootstrap (initial-load -> streaming handoff): a table
+    bootstrapped from a consistent snapshot at watermark G, then fed
+    the live shards overlapping G, lands byte-identical state to a
+    full-history replay."""
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    cfg = GenConfig(n_docs=30, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+
+    # reference: full replay
+    ref = LakeTable(str(tmp_path / "ref"), CDCConfig(num_partitions=4))
+    ref.apply(meta["files"][:2])
+    snap = ref.state_table()          # consistent as of ref's watermark
+    g = ref.manifest()["closed_watermark"]
+    ref.apply(meta["files"][1:])      # finish the reference replay
+
+    boot = LakeTable(tmp_lake, CDCConfig(num_partitions=4))
+    r = boot.bootstrap(snap, gtid_watermark=g)
+    assert r["closed_watermark"] == g and r["rows"] == len(snap)
+    # handoff: stream resumes with the shards overlapping the watermark
+    boot.apply(meta["files"][1:])
+
+    a = boot.state_table().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = ref.state_table().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = final_state(cfg).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == exp["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["n_tok"].tolist() == exp["n_tok"].tolist()
+    assert [list(x) for x in a["tokens"]] == [list(x) for x in exp["tokens"]]
+
+    # bootstrap refuses a non-empty table; meta columns rejected
+    with pytest.raises(ValueError, match="empty"):
+        boot.bootstrap(snap, gtid_watermark=g)
+    fresh = LakeTable(str(tmp_path / "fresh"), CDCConfig(num_partitions=4))
+    import pyarrow as pa
+    with pytest.raises(ValueError, match="meta columns"):
+        fresh.bootstrap(snap.append_column(
+            "_gtid", pa.array([0] * len(snap), pa.int64())), gtid_watermark=g)
+
+    # point lookups work straight off the bootstrapped base
+    key = a["doc_id"].iloc[0]
+    assert boot.lookup([key]).to_pandas()["doc_id"].tolist() == [key]
