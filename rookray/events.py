@@ -76,6 +76,48 @@ def _conform_struct(col: pa.ChunkedArray | pa.StructArray, payload: pa.Schema) -
     return pa.StructArray.from_arrays(children, names=names, mask=col.is_null())
 
 
+def rename_struct(col: pa.ChunkedArray | pa.StructArray,
+                  renames: dict) -> pa.StructArray:
+    """Zero-copy rename of struct child fields (buffers untouched)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    names = [renames.get(f.name, f.name) for f in col.type]
+    children = [col.field(i) for i in range(col.type.num_fields)]
+    return pa.StructArray.from_arrays(children, names=names,
+                                      mask=col.is_null())
+
+
+def rename_event_schema(s: pa.Schema, renames: dict) -> pa.Schema:
+    """Change-event schema with before/after payload fields renamed."""
+    out = []
+    for f in s:
+        if f.name in ("before", "after") and pa.types.is_struct(f.type):
+            t = pa.struct([pa.field(renames.get(c.name, c.name), c.type)
+                           for c in f.type])
+            out.append(pa.field(f.name, t))
+        else:
+            out.append(f)
+    return pa.schema(out)
+
+
+class RenameEvents:
+    """map_batches stage: apply a source→canonical column-rename map to
+    the before/after payload structs (the Delta column-mapping analog —
+    shards written before an upstream rename keep unifying with shards
+    written after it).  Zero-copy: only field NAMES change."""
+
+    def __init__(self, renames: dict):
+        self.renames = dict(renames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for col in ("before", "after"):
+            if col in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(col), col,
+                    rename_struct(batch.column(col), self.renames))
+        return batch
+
+
 def filter_events(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
     """Ignore-list + target-table predicate (vectorized S8/S9)."""
     mask = pc.equal(batch.column("table"), pa.scalar(cfg.table))

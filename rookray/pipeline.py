@@ -77,6 +77,14 @@ class CDCConfig:
     #: multi-node cluster point this at the shared storage the lake
     #: itself lives on (or node-local disk + reducer affinity).
     shuffle_dir: str | None = None
+    #: column-rename mapping (source name → canonical name), the Delta
+    #: column-mapping analog for upstream schema renames: payload
+    #: struct fields are renamed ZERO-COPY at the read boundary, so
+    #: shards written before and after a rename unify (rook breaks on
+    #: any schema change, MySQLReplicationStream.java:212).  Renaming
+    #: the merge key (doc_id) is rejected.  Tuple of (old, new) pairs
+    #: (frozen dataclass — pass dict.items() as a tuple).
+    column_renames: tuple = ()
 
 
 class PartitionStage:
@@ -199,11 +207,14 @@ class _ConformStructs:
 
 
 def _read_shards_conformed(files: list, shard_schemas: list,
-                           columns: list | None) -> "ray.data.Dataset":
+                           columns: list | None,
+                           renames: dict | None = None) -> "ray.data.Dataset":
     """``read_parquet`` over shards whose payload struct types disagree
     (type-widening schema evolution): one read per distinct file
-    schema, each conformed to the unified payload before the union."""
-    from rookray.events import payload_schema_of, unified_payload
+    schema, each renamed (column mapping) then conformed to the
+    unified payload before the union.  ``shard_schemas`` are the
+    post-rename schemas."""
+    from rookray.events import RenameEvents, payload_schema_of, unified_payload
 
     payload = unified_payload(shard_schemas)
     groups: dict[str, list] = {}
@@ -212,6 +223,10 @@ def _read_shards_conformed(files: list, shard_schemas: list,
     parts = []
     for key, fs in groups.items():
         ds = ray.data.read_parquet(fs, columns=columns)
+        if renames:
+            ds = ds.map_batches(RenameEvents(renames),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
         sig = next(s for f, s in zip(files, shard_schemas) if str(s) == key)
         if not payload_schema_of(sig).equals(payload):
             ds = ds.map_batches(_ConformStructs(payload),
@@ -976,6 +991,13 @@ class LakeTable:
             # footer-only schema reads: additive evolution means shards
             # disagree; the unified payload must see every variant
             shard_schemas = [pq.read_schema(p) for p in events]
+            renames = dict(cfg.column_renames)
+            if renames:
+                if "doc_id" in renames or "doc_id" in renames.values():
+                    raise ValueError("cannot rename the merge key doc_id")
+                from rookray.events import rename_event_schema
+                shard_schemas = [rename_event_schema(s, renames)
+                                 for s in shard_schemas]
             if all("key" in s.names for s in shard_schemas):
                 # prune at the read: the merge path never needs the
                 # before struct / db / tx bookkeeping columns (watermark
@@ -993,9 +1015,14 @@ class LakeTable:
             )
             if widened:
                 raw = _read_shards_conformed(list(events), shard_schemas,
-                                             read_cols)
+                                             read_cols, renames)
             else:
                 raw = ray.data.read_parquet(list(events), columns=read_cols)
+                if renames:
+                    from rookray.events import RenameEvents
+                    raw = raw.map_batches(RenameEvents(renames),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
             if cfg.tx_atomic:
                 # footer-statistics fast path: O(#shards) + one row read;
                 # falls back to the scanning path on unusable stats
@@ -1009,6 +1036,13 @@ class LakeTable:
                 closed_wm, max_gtid = 2**62, -1
         else:
             raw = events
+            if cfg.column_renames:
+                if any("doc_id" in pair for pair in cfg.column_renames):
+                    raise ValueError("cannot rename the merge key doc_id")
+                from rookray.events import RenameEvents
+                raw = raw.map_batches(RenameEvents(dict(cfg.column_renames)),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
             if cfg.tx_atomic:
                 closed_wm, max_gtid = txn.closed_watermark(
                     raw.select_columns(tx_cols), floor

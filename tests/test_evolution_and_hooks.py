@@ -258,3 +258,46 @@ def test_hash_determinism_across_processes():
         for seed in (0, 1)
     }
     assert len(outs) == 1 and next(iter(outs)).strip()
+
+
+def test_column_rename_mapping_mid_stream(tmp_path, tmp_lake):
+    """Upstream column renames (n_tok→tok_count, source→src) map back
+    to the canonical names via CDCConfig.column_renames — shards from
+    before and after the rename unify and the state matches the serial
+    oracle.  Renaming the merge key is rejected."""
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    ren = (("tok_count", "n_tok"), ("src", "source"))
+    lake = LakeTable(tmp_lake, CDCConfig(num_partitions=2,
+                                         column_renames=ren))
+    lake.apply(meta["files"][:2])  # canonical-named shards: rename no-ops
+
+    # craft a shard whose payload fields carry the NEW upstream names
+    tbl = pq.read_table(meta["files"][2])
+    back = {"n_tok": "tok_count", "source": "src"}
+    for col in ("before", "after"):
+        st = tbl.column(col).combine_chunks()
+        renamed = pa.StructArray.from_arrays(
+            [st.field(i) for i in range(st.type.num_fields)],
+            names=[back.get(f.name, f.name) for f in st.type],
+            mask=st.is_null())
+        tbl = tbl.set_column(tbl.column_names.index(col), col, renamed)
+    p = str(tmp_path / "renamed.parquet")
+    pq.write_table(tbl, p)
+    lake.apply([meta["files"][1], p])
+
+    got = lake.state_table().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = final_state(cfg).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)  # canonical names kept
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+    assert got["source"].tolist() == exp["source"].tolist()
+
+    bad = LakeTable(str(tmp_path / "bad"),
+                    CDCConfig(num_partitions=2,
+                              column_renames=(("doc_id", "id"),)))
+    with pytest.raises(ValueError, match="doc_id"):
+        bad.apply([p])
