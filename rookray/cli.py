@@ -152,6 +152,13 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_restore(args) -> int:
+    from rookray.pipeline import LakeTable
+
+    print(json.dumps(LakeTable(args.table).restore(args.epoch)))
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point reads: only the hash-matching partitions are touched and a
     key filter pushes into every parquet read (no Ray session needed —
@@ -227,6 +234,12 @@ def main(argv=None) -> int:
     bs.add_argument("--partitions", type=int, default=_C2.num_partitions)
     bs.add_argument("--num-cpus", type=int, default=None)
     bs.set_defaults(fn=cmd_bootstrap)
+
+    rs = sub.add_parser("restore", help="roll the table back to a "
+                                        "committed epoch (metadata-only)")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--epoch", type=int, required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     lu = sub.add_parser("lookup", help="point-read keys from the "
                                        "committed state (partition-pruned)")

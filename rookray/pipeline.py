@@ -610,6 +610,24 @@ class LakeTable:
                 f"older snapshots")
         return m
 
+    def restore(self, epoch: int) -> dict:
+        """Roll the table back to a committed snapshot (the Delta
+        RESTORE analog): commits a NEW epoch whose partition map,
+        watermarks, and payload schema are the historical epoch's —
+        metadata-only, no data moves, and the rolled-back epochs stay
+        in history (restore of a restore works).  Subsequent
+        ``apply()`` calls resume from the restored watermark, so
+        replaying the undone shards is the normal overlap path."""
+        m = self._snapshot_manifest(epoch)   # validates files still exist
+        cur = self.manifest()
+        new_epoch = (cur["epoch"] + 1) if cur else 0
+        manifest = dict(m)
+        manifest["epoch"] = new_epoch
+        manifest["restored_from"] = int(epoch)
+        sink.commit_manifest(self.root, manifest)
+        return {"epoch": new_epoch, "restored_from": int(epoch),
+                "closed_watermark": manifest.get("closed_watermark")}
+
     def changes_between(self, epoch_a: int, epoch_b: int) -> "ray.data.Dataset":
         """Row-level changefeed between two committed snapshots — CDC
         *out* of the lake (the Delta-CDF / Hudi incremental-query

@@ -322,3 +322,41 @@ def test_bootstrap_snapshot_then_stream(tmp_path, tmp_lake):
     # point lookups work straight off the bootstrapped base
     key = a["doc_id"].iloc[0]
     assert boot.lookup([key]).to_pandas()["doc_id"].tolist() == [key]
+
+
+def test_restore_rolls_back_and_resumes(tmp_path, tmp_lake):
+    """restore(epoch): metadata-only rollback to a committed snapshot;
+    state equals the historical snapshot, GC keeps the restored files,
+    and re-applying the undone shards lands the full-replay state."""
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.sink import gc_uncommitted
+
+    cfg = GenConfig(n_docs=30, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(tmp_lake, CDCConfig(num_partitions=4))
+    lake.apply(meta["files"][:2])        # epoch 0
+    snap0 = lake.state_table().to_pandas().sort_values("doc_id")
+    wm0 = lake.manifest()["closed_watermark"]
+    lake.apply(meta["files"][1:])        # epoch 1
+
+    r = lake.restore(0)
+    assert r["epoch"] == 2 and r["restored_from"] == 0
+    assert r["closed_watermark"] == wm0
+    got = lake.state_table().to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == snap0["doc_id"].tolist()
+    assert got["n_tok"].tolist() == snap0["n_tok"].tolist()
+
+    # GC must keep the restored (old-epoch) files: they are current
+    gc_uncommitted(tmp_lake, keep_epochs=0)
+    assert len(lake.state_table()) == len(snap0)
+
+    # resume: re-applying the undone shards reaches full replay again
+    lake.apply(meta["files"][1:])
+    exp = final_state(cfg).to_pandas().sort_values("doc_id")
+    now = lake.state_table().to_pandas().sort_values("doc_id")
+    assert now["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert now["n_tok"].tolist() == exp["n_tok"].tolist()
+
+    with pytest.raises(ValueError, match="no committed epoch"):
+        lake.restore(99)
