@@ -935,6 +935,132 @@ FROM events ORDER BY event_id
 """
 
 
+def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 analog — revenue by nation for one region/year where
+    customer and supplier share a nation: the multi-way join
+    composition exercising BOTH join families at their right scales.
+    Tiny dims (region→nation slice, supplier→nation map) broadcast
+    once via ray.put; the two BIG pairs (orders⋈customer,
+    lineitem⋈orders) co-partition through ``bucketed_join``; revenue
+    partial-aggregates inside the final map before one small groupby."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+    from rookray.ops.join import bucketed_join
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rkeys = set(region[region["r_name"] == "ASIA"]["r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_keys = set(int(k) for k in nat["n_nationkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    order = np.argsort(supp["s_suppkey"].to_numpy())
+    supp_ref = _ray.put((
+        supp["s_suppkey"].to_numpy().astype(np.int64)[order],
+        supp["s_nationkey"].to_numpy().astype(np.int64)[order]))
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        t = batch.filter(pa.array(keep))
+        return pa.table({"custkey": t.column("o_custkey"),
+                         "orderkey": t.column("o_orderkey")})
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        nk = (batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        keep = np.isin(nk, list(nat_keys))
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(orders_prep, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(cust_prep, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    j1 = bucketed_join(
+        orders, cust, on="custkey", buckets=32,
+        left_schema=pa.schema([("custkey", pa.int64()),
+                               ("orderkey", pa.int64())]),
+        right_schema=pa.schema([("custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "suppkey": batch.column("l_suppkey"),
+                         "rev": pa.array(price * (1.0 - disc))})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    j2 = bucketed_join(
+        line, j1.drop_columns(["custkey"]), on="orderkey", buckets=32,
+        left_schema=pa.schema([("orderkey", pa.int64()),
+                               ("suppkey", pa.int64()),
+                               ("rev", pa.float64())]),
+        right_schema=pa.schema([("orderkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    class LocalSupplier:
+        """Broadcast supplier→nation map; keep rows whose supplier
+        shares the customer's nation; partial-sum per nation."""
+
+        def __init__(self):
+            self.skeys, self.snat = _ray.get(supp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = (batch.column("suppkey").to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+            cn = (batch.column("c_nationkey")
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+            idx = np.searchsorted(self.skeys, sk).clip(
+                max=len(self.skeys) - 1)
+            sn = np.where(self.skeys[idx] == sk, self.snat[idx], -1)
+            keep = sn == cn
+            df = pd.DataFrame({
+                "n_nationkey": cn[keep],
+                "rev": batch.column("rev").to_numpy(
+                    zero_copy_only=False)[keep]})
+            g = df.groupby("n_nationkey", sort=False)["rev"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j2.map_batches(LocalSupplier, batch_format="pyarrow",
+                          concurrency=(1, 8))
+           .groupby("n_nationkey").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())
+    name_of = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    agg["n_name"] = agg["n_nationkey"].map(name_of)
+    agg["revenue_q"] = _q(agg.pop("rev"), 2)
+    return (agg[["n_name", "revenue_q"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+            AS BIGINT) AS revenue_q
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def stats_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact value quantiles WITHOUT a global sort (rookray.ops.stats.
     exact_quantiles): per-batch histogram combiner, one tiny
@@ -2213,6 +2339,7 @@ QUERIES = {
     # relational coverage
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
+    "q5_local_supplier": q5_local_supplier,
     "join_customer_nation": join_customer_nation,
     "join_orders_segment": join_orders_segment,
     "join_events_asof": join_events_asof,
@@ -2289,6 +2416,7 @@ ORACLES = {
     "cdc_event_type_stats": CDC_EVENT_TYPE_STATS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
     "join_customer_nation": JOIN_CUSTOMER_NATION_SQL,
     "join_orders_segment": JOIN_ORDERS_SEGMENT_SQL,
     "join_events_asof": JOIN_EVENTS_ASOF_SQL,
