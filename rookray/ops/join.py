@@ -60,6 +60,7 @@ def _arrow_schema_of(ds: "ray.data.Dataset") -> pa.Schema:
 
 def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                   on: str, how: str = "inner", buckets: int = 256,
+                  salt: int = 0,
                   left_schema: pa.Schema | None = None,
                   right_schema: pa.Schema | None = None) -> "ray.data.Dataset":
     """Hash-bucketed distributed join of two Datasets on one key column.
@@ -67,6 +68,13 @@ def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     Supported ``how``: "inner", "left", "semi" (left rows whose key
     exists in right; right payload dropped).  Non-key column names must
     not collide (rename upstream — keeps the result schema explicit).
+
+    ``salt > 1`` spreads HOT keys: every bucket splits into ``salt``
+    sub-buckets, left rows scatter across them and the right side
+    replicates into all of them — a Zipf-hot left key's rows no longer
+    land in one group (the single-worker-heap assumption below), at the
+    cost of right-side replication ×salt.  Each (left, right) pair
+    still meets exactly once, so the result is salt-invariant.
 
     Pass ``left_schema``/``right_schema`` when the input is a lazy
     pipeline tail: Ray infers schemas of unexecuted map stages by
@@ -85,11 +93,20 @@ def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     # one Arrow schema for both sides (absent columns = typed nulls) so
     # the shuffle concatenates cleanly
     target = unify_additive([ls, rs])
+    s = max(1, int(salt))
 
     def prep(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             bkt = _bucket_of(batch.column(on).to_pandas(), buckets)
             t = _conform(batch, target)
+            if s > 1 and side == 0:
+                bkt = bkt * s + (np.arange(len(t), dtype=np.int64) % s)
+            elif s > 1:
+                # replicate the right side into every sub-bucket
+                idx = np.repeat(np.arange(len(t), dtype=np.int64), s)
+                t = t.take(pa.array(idx))
+                bkt = (np.repeat(bkt, s) * s
+                       + np.tile(np.arange(s, dtype=np.int64), len(bkt)))
             return (t.append_column("__bkt", pa.array(bkt, pa.int64()))
                      .append_column("__side",
                                     pa.array(np.full(len(t), side, np.int8))))

@@ -189,3 +189,28 @@ def test_range_join_left_nulls_and_guard():
     with pytest.raises(Exception, match="max_bin_pairs"):
         range_join(left, right, point="p", lo="lo", hi="hi",
                    bin_width=16, max_bin_pairs=0).to_pandas()
+
+
+def test_bucketed_join_salt_invariance():
+    """Salted joins (hot-key spreading) return exactly the unsalted
+    result for inner/left/semi — each (l, r) pair meets exactly once."""
+    rng = np.random.default_rng(5)
+    # Zipf-hot: half the left rows share one key
+    lk = np.where(rng.random(400) < 0.5, 7, rng.integers(0, 50, 400))
+    rk = rng.integers(0, 50, 120)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "lid": pa.array(np.arange(400), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()),
+        "rid": pa.array(np.arange(120), pa.int64())}))
+
+    for how in ("inner", "left", "semi"):
+        base = (bucketed_join(left, right, on="k", how=how, buckets=16)
+                .to_pandas())
+        salted = (bucketed_join(left, right, on="k", how=how, buckets=16,
+                                salt=4).to_pandas())
+        cols = [c for c in base.columns]
+        a = base.sort_values(cols).reset_index(drop=True)
+        b = salted.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_like=True)
