@@ -278,6 +278,79 @@ def session_stream(ds: "ray.data.Dataset", gap: int, ts_col: str,
         ray.kill(state, no_restart=True)
 
 
+class WindowSink:
+    """Exactly-once parquet sink for closed-window emissions, with
+    crash-resume — the tail of the end-to-end streaming story
+    (source → windowed aggregate → durable sink).
+
+    Window closes are MONOTONE in ``window_start`` (a window closes the
+    moment the watermark passes its end, and late rows for closed
+    windows are dropped), so the committed frontier is one integer: the
+    max ``window_start`` durably written.  ``write()`` drops rows at or
+    below the frontier — a restarted job replays its source from
+    scratch, re-emits every window, and the sink keeps exactly one copy
+    of each.  Two-phase per batch: the parquet file lands first, the
+    manifest (frontier + file list) swaps in after; a crash between the
+    two leaves an orphan file that is ignored (not in the manifest) and
+    overwritten-equivalent on resume.
+    """
+
+    def __init__(self, root: str):
+        import json
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            self.frontier = int(m["frontier"])
+            self.files = list(m["files"])
+        else:
+            self.frontier = -(1 << 62)
+            self.files = []
+
+    def write(self, tbl: pa.Table) -> int:
+        """Persist the yet-uncommitted rows of one emission batch;
+        returns the number of rows written (0 = replay of committed
+        windows, fully skipped)."""
+        import json
+        import os
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        ws = tbl.column("window_start")
+        keep = pc.greater(ws, pa.scalar(self.frontier, pa.int64()))
+        fresh = tbl.filter(keep)
+        if len(fresh) == 0:
+            return 0
+        hi = int(pc.max(fresh.column("window_start")).as_py())
+        name = f"windows-{len(self.files):06d}-{hi}.parquet"
+        path = os.path.join(self.root, name)
+        tmp = path + ".tmp"
+        pq.write_table(fresh, tmp)
+        os.replace(tmp, path)           # phase 1: data durable
+        self.files.append(name)
+        self.frontier = max(self.frontier, hi)
+        mtmp = self._manifest_path + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"frontier": self.frontier, "files": self.files}, f)
+        os.replace(mtmp, self._manifest_path)  # phase 2: commit
+        return len(fresh)
+
+    def read(self) -> pa.Table:
+        """All committed windows (manifest-listed files only)."""
+        import os
+        import pyarrow.parquet as pq
+
+        if not self.files:
+            return pa.table({"window_start": pa.array([], pa.int64())})
+        return pa.concat_tables(
+            [pq.read_table(os.path.join(self.root, n)) for n in self.files],
+            promote_options="default")
+
+
 def hopping_stream(ds: "ray.data.Dataset", window: int, hop: int,
                    ts_col: str, key_col: str,
                    value_col: str | None = None, lateness: int = 0,

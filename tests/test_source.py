@@ -544,3 +544,58 @@ def test_socket_stream_connect_timeout():
     ds = stream_events_socket("127.0.0.1", 1, connect_timeout_s=0.3)
     with pytest.raises(Exception, match="connect|Timeout"):
         ds.materialize()
+
+
+def test_window_sink_exactly_once_resume(tmp_path):
+    """WindowSink: commit half the emissions, 'crash', then replay the
+    WHOLE stream through a resumed sink — the committed log holds
+    exactly one row per (window, key) and equals the batch groupby."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import WindowSink, tumbling_stream
+
+    cfg = GenConfig(n_docs=30, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in meta["files"]:
+        shutil.copy(f, live / os.path.basename(f))
+    (live / "_STREAM_EOF").touch()
+
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 256
+    try:
+        def emissions():
+            ds = stream_events(str(live), parallelism=2)
+            return list(tumbling_stream(ds, window=100, ts_col="gtid",
+                                        key_col="table", n_sources=2))
+
+        first = emissions()
+        assert len(first) >= 2, "need multiple emission batches"
+        sink = WindowSink(str(tmp_path / "out"))
+        for tbl in first[: len(first) // 2]:
+            assert sink.write(tbl) > 0
+        # crash: a fresh sink instance resumes from the manifest, the
+        # stream replays from scratch
+        sink2 = WindowSink(str(tmp_path / "out"))
+        assert sink2.frontier == sink.frontier
+        for tbl in emissions():
+            sink2.write(tbl)     # committed prefixes skip, tail lands
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (sink2.read().to_pandas()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    assert not got.duplicated(["window_start", "table"]).any()
+    batch = pd.concat([pq.read_table(f).to_pandas() for f in meta["files"]])
+    batch["window_start"] = (batch["gtid"] // 100) * 100
+    exp = (batch.groupby(["window_start", "table"]).size()
+           .rename("n_events").reset_index()
+           .sort_values(["window_start", "table"]).reset_index(drop=True))
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
