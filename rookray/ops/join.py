@@ -66,8 +66,10 @@ def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """Hash-bucketed distributed join of two Datasets on one key column.
 
     Supported ``how``: "inner", "left", "semi" (left rows whose key
-    exists in right; right payload dropped).  Non-key column names must
-    not collide (rename upstream — keeps the result schema explicit).
+    exists in right; right payload dropped), "anti" (left rows whose
+    key does NOT — the EXCEPT/incremental-dedup shape).  Non-key column
+    names must not collide (rename upstream — keeps the result schema
+    explicit).
 
     ``salt > 1`` spreads HOT keys: every bucket splits into ``salt``
     sub-buckets, left rows scatter across them and the right side
@@ -81,7 +83,7 @@ def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     sampling, and the sampled prefix can come back with nulls widened
     to double — an explicit schema sidesteps the inference entirely.
     """
-    if how not in ("inner", "left", "semi"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     from rookray.schema import conform as _conform, unify_additive
 
@@ -131,8 +133,10 @@ def bucketed_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         lt = g.filter(pa.compute.equal(side, 0)).select([on, *l_payload])
         rt = g.filter(pa.compute.equal(side, 1)).select([on, *r_payload])
         lk = lt.column(on).to_pandas()
-        if how == "semi":
+        if how in ("semi", "anti"):
             keep = lk.isin(set(rt.column(on).to_pandas()))
+            if how == "anti":
+                keep = ~keep
             return lt.filter(pa.array(keep.to_numpy()))
         rk = rt.column(on).to_pandas()
         m = pd.DataFrame({on: lk, "__li": np.arange(len(lk))}).merge(

@@ -205,7 +205,7 @@ def test_bucketed_join_salt_invariance():
         "k": pa.array(rk, pa.int64()),
         "rid": pa.array(np.arange(120), pa.int64())}))
 
-    for how in ("inner", "left", "semi"):
+    for how in ("inner", "left", "semi", "anti"):
         base = (bucketed_join(left, right, on="k", how=how, buckets=16)
                 .to_pandas())
         salted = (bucketed_join(left, right, on="k", how=how, buckets=16,
@@ -214,3 +214,17 @@ def test_bucketed_join_salt_invariance():
         a = base.sort_values(cols).reset_index(drop=True)
         b = salted.sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_bucketed_anti_join():
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(list("abcd"))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4, 9], pa.int64()),
+        "w": pa.array([10, 20, 30], pa.int64())}))
+    out = (bucketed_join(left, right, on="k", how="anti", buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 3]
+    assert out["v"].tolist() == ["a", "c"]
+    assert list(out.columns) == ["k", "v"]  # right payload dropped
