@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "join_orders_range",
     "cdc_rolling_window",
     "stats_quantiles",
+    # round-3 wave 3: the five-way join composition
+    "q5_local_supplier",
 ]
 
 

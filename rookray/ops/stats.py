@@ -44,7 +44,8 @@ def exact_quantiles(ds, value_col: str, qs_permille: list[int],
 
     hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-               .groupby("vq").aggregate(Sum("c", alias_name="c")))
+               .groupby("vq").aggregate(Sum("c", alias_name="c"))
+               .materialize())  # one execution: count() then to_pandas()
     n_distinct = hist_ds.count()
     if n_distinct > max_distinct:
         raise ValueError(

@@ -293,18 +293,29 @@ class WindowSink:
     manifest (frontier + file list) swaps in after; a crash between the
     two leaves an orphan file that is ignored (not in the manifest) and
     overwritten-equivalent on resume.
+
+    ``frontier_col`` adapts the monotonicity argument to the window
+    flavor: ``window_start`` for tumbling/hopping; ``session_end`` for
+    session streams (sessions close strictly when
+    ``end + gap < watermark - lateness``, so closes are monotone in the
+    session END instead).
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, frontier_col: str = "window_start"):
         import json
         import os
 
         self.root = root
+        self.frontier_col = frontier_col
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
                 m = json.load(f)
+            if m.get("frontier_col", "window_start") != frontier_col:
+                raise ValueError(
+                    f"sink at {root} committed with frontier_col="
+                    f"{m.get('frontier_col')!r}")
             self.frontier = int(m["frontier"])
             self.files = list(m["files"])
         else:
@@ -320,12 +331,12 @@ class WindowSink:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        ws = tbl.column("window_start")
+        ws = tbl.column(self.frontier_col)
         keep = pc.greater(ws, pa.scalar(self.frontier, pa.int64()))
         fresh = tbl.filter(keep)
         if len(fresh) == 0:
             return 0
-        hi = int(pc.max(fresh.column("window_start")).as_py())
+        hi = int(pc.max(fresh.column(self.frontier_col)).as_py())
         name = f"windows-{len(self.files):06d}-{hi}.parquet"
         path = os.path.join(self.root, name)
         tmp = path + ".tmp"
@@ -335,7 +346,8 @@ class WindowSink:
         self.frontier = max(self.frontier, hi)
         mtmp = self._manifest_path + ".tmp"
         with open(mtmp, "w") as f:
-            json.dump({"frontier": self.frontier, "files": self.files}, f)
+            json.dump({"frontier": self.frontier, "files": self.files,
+                       "frontier_col": self.frontier_col}, f)
         os.replace(mtmp, self._manifest_path)  # phase 2: commit
         return len(fresh)
 
@@ -345,7 +357,7 @@ class WindowSink:
         import pyarrow.parquet as pq
 
         if not self.files:
-            return pa.table({"window_start": pa.array([], pa.int64())})
+            return pa.table({self.frontier_col: pa.array([], pa.int64())})
         return pa.concat_tables(
             [pq.read_table(os.path.join(self.root, n)) for n in self.files],
             promote_options="default")

@@ -599,3 +599,60 @@ def test_window_sink_exactly_once_resume(tmp_path):
            .sort_values(["window_start", "table"]).reset_index(drop=True))
     assert got["window_start"].tolist() == exp["window_start"].tolist()
     assert got["n_events"].tolist() == exp["n_events"].tolist()
+
+
+def test_window_sink_session_frontier(tmp_path):
+    """WindowSink with frontier_col='session_end': session emissions
+    commit exactly-once across a crash/replay (session closes are
+    monotone in session END under the strict threshold)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import WindowSink, session_stream
+
+    cfg = GenConfig(n_docs=20, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=6)
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in meta["files"]:
+        shutil.copy(f, live / os.path.basename(f))
+    (live / "_STREAM_EOF").touch()
+
+    GAP = 40
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 256
+    try:
+        def emissions():
+            ds = stream_events(str(live), parallelism=2)
+            return list(session_stream(ds, gap=GAP, ts_col="gtid",
+                                       key_col="key", n_sources=2))
+
+        first = emissions()
+        sink = WindowSink(str(tmp_path / "out"), frontier_col="session_end")
+        for tbl in first[: max(1, len(first) // 2)]:
+            sink.write(tbl)
+        sink2 = WindowSink(str(tmp_path / "out"), frontier_col="session_end")
+        for tbl in emissions():
+            sink2.write(tbl)
+        with pytest.raises(ValueError, match="frontier_col"):
+            WindowSink(str(tmp_path / "out"))  # mismatched frontier col
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (sink2.read().to_pandas()
+           .sort_values(["key", "session_start"]).reset_index(drop=True))
+    assert not got.duplicated(["key", "session_start"]).any()
+    batch = pd.concat([pq.read_table(f).to_pandas() for f in meta["files"]])
+    batch = batch.sort_values(["key", "gtid"])
+    newf = (batch["key"].ne(batch["key"].shift())
+            | batch["gtid"].diff().gt(GAP))
+    batch["sess"] = newf.cumsum()
+    exp = (batch.groupby("sess").agg(
+        key=("key", "first"), session_start=("gtid", "min"),
+        n_events=("gtid", "size"))
+        .sort_values(["key", "session_start"]).reset_index(drop=True))
+    assert got["key"].tolist() == exp["key"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
