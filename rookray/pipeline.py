@@ -413,11 +413,28 @@ class _MergeOnRead:
                 if len(outs) > 1 else outs[0])
 
 
-_CHANGEFEED_SCHEMA = pa.schema(
-    [("doc_id", pa.string()), ("change", pa.string()),
-     ("gtid_a", pa.int64()), ("gtid_b", pa.int64()),
-     ("n_tok_a", pa.int64()), ("n_tok_b", pa.int64())]
-)
+#: default changefeed payload columns (back-compat with the original
+#: fixed schema: doc_id, change, gtid_a/b, n_tok_a/b)
+_CHANGEFEED_DEFAULT_COLUMNS = ("n_tok",)
+
+
+def _changefeed_schema(columns=_CHANGEFEED_DEFAULT_COLUMNS,
+                       types: dict | None = None) -> pa.Schema:
+    """Changefeed output schema for a payload-column selection: integer
+    payload columns surface as int64 with ``-1`` absent-side sentinels;
+    everything else keeps its payload type with nulls on the absent
+    side."""
+    types = types or {}
+    fields = [("doc_id", pa.string()), ("change", pa.string()),
+              ("gtid_a", pa.int64()), ("gtid_b", pa.int64())]
+    for c in columns:
+        t = types.get(c, pa.int64())
+        t = pa.int64() if pa.types.is_integer(t) else t
+        fields += [(f"{c}_a", t), (f"{c}_b", t)]
+    return pa.schema(fields)
+
+
+_CHANGEFEED_SCHEMA = _changefeed_schema()
 
 
 class _ChangeFeed:
@@ -428,32 +445,48 @@ class _ChangeFeed:
     state (base + deltas) and outer-join on ``doc_id`` vectorized.  A
     key present only in B is an insert, only in A a delete; present in
     both with a different winning ``_gtid`` an update; same ``_gtid``
-    rows are unchanged and emit nothing."""
+    rows are unchanged and emit nothing.  ``columns`` selects which
+    payload columns ride along as ``<col>_a`` / ``<col>_b`` pairs
+    (before/after images — what a delta-maintained downstream view
+    needs to retract the old contribution and add the new one)."""
 
-    def __init__(self, root: str, frags_a: dict, frags_b: dict):
+    def __init__(self, root: str, frags_a: dict, frags_b: dict,
+                 columns=_CHANGEFEED_DEFAULT_COLUMNS,
+                 types: dict | None = None):
         self.root = root
         self.frags_a = frags_a
         self.frags_b = frags_b
+        self.columns = tuple(columns)
+        self.schema = _changefeed_schema(self.columns, types)
 
-    @staticmethod
-    def _side(state: pa.Table | None, suf: str):
+    def _side(self, state: pa.Table | None, suf: str):
         import pandas as pd
         if state is None or len(state) == 0:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=object),
-                f"gtid_{suf}": pd.Series([], dtype=np.int64),
-                f"n_tok_{suf}": pd.Series([], dtype=np.int64),
-            })
-        n_tok = (state.column("n_tok").to_numpy(zero_copy_only=False)
-                 .astype(np.int64) if "n_tok" in state.column_names
-                 else np.full(len(state), -1, dtype=np.int64))
-        return pd.DataFrame({
+            cols = {"doc_id": pd.Series([], dtype=object),
+                    f"gtid_{suf}": pd.Series([], dtype=np.int64)}
+            for c in self.columns:
+                cols[f"{c}_{suf}"] = pd.Series(
+                    [], dtype=np.int64
+                    if pa.types.is_integer(self.schema.field(f"{c}_{suf}").type)
+                    else object)
+            return pd.DataFrame(cols)
+        cols = {
             "doc_id": state.column("doc_id").to_numpy(zero_copy_only=False),
             f"gtid_{suf}": state.column("_gtid")
                                 .to_numpy(zero_copy_only=False)
                                 .astype(np.int64),
-            f"n_tok_{suf}": n_tok,
-        })
+        }
+        for c in self.columns:
+            is_int = pa.types.is_integer(self.schema.field(f"{c}_{suf}").type)
+            if c in state.column_names:
+                v = state.column(c).to_numpy(zero_copy_only=False)
+                cols[f"{c}_{suf}"] = v.astype(np.int64) if is_int else v
+            else:
+                cols[f"{c}_{suf}"] = (np.full(len(state), -1, dtype=np.int64)
+                                      if is_int
+                                      else np.full(len(state), None,
+                                                   dtype=object))
+        return pd.DataFrame(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
@@ -472,20 +505,28 @@ class _ChangeFeed:
             mg = mg[keep]
             change = np.where(ins[keep], "insert",
                               np.where(dele[keep], "delete", "update"))
-            outs.append(pa.table({
+            data = {
                 "doc_id": pa.array(mg["doc_id"].to_numpy(dtype=object)),
                 "change": pa.array(change.astype(object)),
                 "gtid_a": pa.array(np.nan_to_num(
                     ga[keep], nan=-1.0).astype(np.int64)),
                 "gtid_b": pa.array(np.nan_to_num(
                     gb[keep], nan=-1.0).astype(np.int64)),
-                "n_tok_a": pa.array(mg["n_tok_a"].to_numpy(
-                    dtype=np.float64, na_value=-1.0).astype(np.int64)),
-                "n_tok_b": pa.array(mg["n_tok_b"].to_numpy(
-                    dtype=np.float64, na_value=-1.0).astype(np.int64)),
-            }, schema=_CHANGEFEED_SCHEMA))
+            }
+            for c in self.columns:
+                for suf in ("a", "b"):
+                    f = self.schema.field(f"{c}_{suf}")
+                    col = mg[f"{c}_{suf}"]
+                    if pa.types.is_integer(f.type):
+                        data[f"{c}_{suf}"] = pa.array(col.to_numpy(
+                            dtype=np.float64, na_value=-1.0).astype(np.int64))
+                    else:
+                        vals = col.to_numpy(dtype=object)
+                        vals = np.where(col.isna().to_numpy(), None, vals)
+                        data[f"{c}_{suf}"] = pa.array(vals, type=f.type)
+            outs.append(pa.table(data, schema=self.schema))
         if not outs:
-            return pa.Table.from_pylist([], schema=_CHANGEFEED_SCHEMA)
+            return pa.Table.from_pylist([], schema=self.schema)
         return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
 
 
@@ -628,19 +669,23 @@ class LakeTable:
         return {"epoch": new_epoch, "restored_from": int(epoch),
                 "closed_watermark": manifest.get("closed_watermark")}
 
-    def changes_between(self, epoch_a: int, epoch_b: int) -> "ray.data.Dataset":
+    def changes_between(self, epoch_a: int, epoch_b: int,
+                        columns=_CHANGEFEED_DEFAULT_COLUMNS,
+                        ) -> "ray.data.Dataset":
         """Row-level changefeed between two committed snapshots — CDC
         *out* of the lake (the Delta-CDF / Hudi incremental-query
         analog; rook itself is CDC *in* only,
         MySQLReplicationStream.java:161-179).
 
-        Returns a Dataset of ``(doc_id, change, gtid_a, gtid_b,
-        n_tok_a, n_tok_b)`` with ``change`` ∈ insert/update/delete and
-        ``-1`` sentinels on the absent side.  The diff is
-        partition-local (hash placement is stable across epochs), so
-        no shuffle — one task per partition.  Both snapshots must
-        share a partition count; diffing across a ``repartition()``
-        boundary is refused."""
+        Returns a Dataset of ``(doc_id, change, gtid_a, gtid_b)`` plus
+        a ``<col>_a`` / ``<col>_b`` before/after pair per requested
+        payload column (default ``n_tok``), with ``change`` ∈
+        insert/update/delete; absent sides carry ``-1`` for integer
+        columns and null otherwise.  The diff is partition-local
+        (hash placement is stable across epochs), so no shuffle — one
+        task per partition.  Both snapshots must share a partition
+        count; diffing across a ``repartition()`` boundary is
+        refused."""
         ma = self._snapshot_manifest(epoch_a)
         mb = self._snapshot_manifest(epoch_b)
         if int(ma["num_partitions"]) != int(mb["num_partitions"]):
@@ -648,13 +693,23 @@ class LakeTable:
                 f"snapshots straddle a repartition boundary "
                 f"({ma['num_partitions']} vs {mb['num_partitions']} "
                 f"partitions); changefeed requires a stable key placement")
+        # payload types from the newer snapshot's committed schema
+        # (additive evolution: B's schema is the union)
+        pb = self._manifest_payload(mb)
+        types = {f.name: f.type for f in pb}
+        unknown = [c for c in columns if c not in types]
+        if unknown:
+            raise ValueError(
+                f"changefeed columns {unknown} not in the committed "
+                f"payload schema {pb.names}")
         fa = self._partition_fragments(ma)
         fb = self._partition_fragments(mb)
         parts = sorted(set(fa) | set(fb))
         if not parts:
             return ray.data.from_arrow(
-                pa.Table.from_pylist([], schema=_CHANGEFEED_SCHEMA))
-        feed = _ChangeFeed(self.root, fa, fb)
+                pa.Table.from_pylist(
+                    [], schema=_changefeed_schema(columns, types)))
+        feed = _ChangeFeed(self.root, fa, fb, columns, types)
         return (ray.data.from_items([{"part": p} for p in parts])
                 .repartition(len(parts))
                 .map_batches(feed, batch_format="pyarrow", batch_size=1))

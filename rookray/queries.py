@@ -2320,6 +2320,75 @@ WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.gtid <> b.gtid
 """
 
 
+def cdc_incremental_view(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized aggregate view (delta maintenance):
+    a ``GROUP BY source`` view kept consistent with the lake across
+    three streaming epochs by folding signed changefeed deltas —
+    insert adds, delete retracts, update retracts the before-image's
+    group and adds the after-image's (group migration) — never
+    rescanning the state after the first build (enforced: the rescan
+    path is disabled after epoch 1, so epochs 2-3 are maintained from
+    O(changed rows) alone).  The rook analog is the derived-state
+    targets (`SecondLevelCacheSynchronizer.java:41-67` keeps a cache,
+    `DefaultRowsMutationIndexer.java:64-88` an index, consistent from
+    the same change stream); the oracle recomputes each epoch's GROUP
+    BY from the change log with the tx-closed watermark restated in
+    SQL."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.view import MaterializedView
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    view = MaterializedView(lake, "by_source")
+    files = meta["files"]
+    frames = []
+    for label, chunk in enumerate(
+            (files[:6], files[5:11], files[10:]), start=1):
+        lake.apply(chunk)
+        view.refresh()
+        if label == 1:
+            # incrementality contract: epochs 2-3 may only read the
+            # changefeed
+            def _no_rescan(as_of=None):
+                raise AssertionError(
+                    "incremental view rescanned the state")
+            view._aggregate_state = _no_rescan
+        got = view.read().to_pandas()
+        got.insert(0, "epoch", np.int64(label))
+        frames.append(got)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _iv_win_sql(epoch: int, b: int) -> str:
+    return f"""
+  SELECT {epoch} AS epoch, source, n_tok
+  FROM ev WHERE gtid <= {_tt_wm_sql(b)}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2"""
+
+
+CDC_INCREMENTAL_VIEW_SQL = f"""
+WITH {_TT_TXSPAN},
+ev AS (
+  SELECT gtid, op, doc_id, source, n_tok
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+),
+win AS ({" UNION ALL ".join(_iv_win_sql(e, b)
+                            for e, b in enumerate(_TT_BOUNDS, start=1))})
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       source AS "group",
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum
+FROM win
+GROUP BY epoch, source
+"""
+
+
 # =====================================================================
 # catalog
 # =====================================================================
@@ -2401,6 +2470,7 @@ QUERIES = {
     # snapshot isolation over the epoch history
     "cdc_time_travel": cdc_time_travel,
     "cdc_changefeed": cdc_changefeed,
+    "cdc_incremental_view": cdc_incremental_view,
 }
 
 ORACLES = {
@@ -2475,6 +2545,7 @@ ORACLES = {
     # outer join of the two recomputed states
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
+    "cdc_incremental_view": CDC_INCREMENTAL_VIEW_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
     # multimodal_features (its decode paths are oracle-pinned via the
