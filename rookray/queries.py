@@ -64,8 +64,13 @@ _M64 = 1 << 64
 _M32 = 1 << 32
 
 
-def _hash_pow_tab() -> str:
-    return "[" + ",".join(str(pow(_H_BASE, i, _M64)) for i in range(64)) + "]"
+#: second independent hash variant (util._VARIANTS[1])
+_H_BASE2 = 1000003
+_H_SALT2 = 0xC2B2AE3D27D4EB4F
+
+
+def _hash_pow_tab(base: int = _H_BASE) -> str:
+    return "[" + ",".join(str(pow(base, i, _M64)) for i in range(64)) + "]"
 
 
 def _mulmod64(a: str, c: int) -> str:
@@ -78,24 +83,30 @@ def _xorshift64(a: str, s: int) -> str:
     return f"CAST(xor(CAST({a} AS UBIGINT), CAST({a} AS UBIGINT) >> {s}) AS HUGEINT)"
 
 
-def hash_strings_ctes(src: str, col: str, keep: str, out: str = "hh") -> str:
+def hash_strings_ctes(src: str, col: str, keep: str, out: str = "hh",
+                      base: int = _H_BASE, salt: int = _H_SALT,
+                      prefix: str = "") -> str:
     """CTE chain text computing ``out`` = ``util.hash_strings(col)``
     (as HUGEINT in [0, 2^64)) for every row of CTE ``src``, carrying
     the ``keep`` columns through.  Verified bit-exact against the
-    numpy implementation in tests (same constants, same finalizer)."""
+    numpy implementation in tests (same constants, same finalizer).
+    ``base``/``salt`` select the hash variant (variant 1 =
+    ``_H_BASE2``/``_H_SALT2``); ``prefix`` renames the intermediate
+    CTEs so two variants can coexist in one statement — the final CTE
+    is ``{prefix}hashed``."""
     poly = (f"(coalesce(list_aggregate(list_transform("
             f"range(1, length({col})+1), "
             f"i -> (ascii(substr({col}, i, 1))::HUGEINT"
-            f" * hpw.p[length({col}) - i + 1]) % {_M64}::HUGEINT), 'sum'),"
+            f" * {prefix}hpw.p[length({col}) - i + 1]) % {_M64}::HUGEINT), 'sum'),"
             f" 0::HUGEINT)"
-            f" + (length({col})::HUGEINT * {_H_SALT}::HUGEINT)"
+            f" + (length({col})::HUGEINT * {salt}::HUGEINT)"
             f" % {_M64}::HUGEINT) % {_M64}::HUGEINT")
     return f"""
-hpw AS (SELECT {_hash_pow_tab()}::HUGEINT[] AS p),
-hs0 AS (SELECT {keep}, {poly} AS z0 FROM {src} CROSS JOIN hpw),
-hs1 AS (SELECT {keep}, {_mulmod64(_xorshift64('z0', 30), _H_C1)} AS z2 FROM hs0),
-hs2 AS (SELECT {keep}, {_mulmod64(_xorshift64('z2', 27), _H_C2)} AS z4 FROM hs1),
-hashed AS (SELECT {keep}, {_xorshift64('z4', 31)} AS {out} FROM hs2)
+{prefix}hpw AS (SELECT {_hash_pow_tab(base)}::HUGEINT[] AS p),
+{prefix}hs0 AS (SELECT {keep}, {poly} AS z0 FROM {src} CROSS JOIN {prefix}hpw),
+{prefix}hs1 AS (SELECT {keep}, {_mulmod64(_xorshift64('z0', 30), _H_C1)} AS z2 FROM {prefix}hs0),
+{prefix}hs2 AS (SELECT {keep}, {_mulmod64(_xorshift64('z2', 27), _H_C2)} AS z4 FROM {prefix}hs1),
+{prefix}hashed AS (SELECT {keep}, {_xorshift64('z4', 31)} AS {out} FROM {prefix}hs2)
 """
 
 
@@ -2390,6 +2401,98 @@ GROUP BY epoch, source
 
 
 # =====================================================================
+# sketches (HLL / Count-Min) — approximate estimators whose CONTENTS
+# are deterministic functions of the engine hash, so the oracle checks
+# them exactly
+# =====================================================================
+
+
+def sketch_hll_orderkeys(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog register table over lineitem.l_orderkey (p=12):
+    fixed 4096-register exchange instead of a full distinct shuffle.
+    The registers are a deterministic max over per-value hash ranks,
+    so the oracle reproduces every register bit-exactly in SQL; the
+    estimate derived from them is checked against the true distinct
+    count in pytest (within the HLL error bound)."""
+    from rookray.ops.sketch import hll_registers
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    rows = hll_registers(ds, "l_orderkey", p=12).take_all()
+    return (pd.DataFrame(rows).astype(np.int64)
+            .sort_values("reg_idx").reset_index(drop=True))
+
+
+SKETCH_HLL_SQL = f"""
+WITH u AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem),
+{hash_strings_ctes('u', 'v', 'v')}
+SELECT CAST(hh // {1 << 52} AS BIGINT) AS reg_idx,
+       CAST(max(CASE WHEN hh % {1 << 52} = 0 THEN 53
+                ELSE 52 - (length(bin(CAST(hh % {1 << 52} AS BIGINT))) - 1)
+                END) AS BIGINT) AS reg
+FROM hashed
+GROUP BY 1
+"""
+
+
+def sketch_cm_counters(sf_dir: str) -> pd.DataFrame:
+    """Count-Min counter matrix over events.user_id (2 × 512): the
+    fixed-size frequency summary behind the heavy-hitter pass.  Each
+    counter is an exact sum over the keys that hash into it — both
+    hash variants restated in mod-2^64 SQL."""
+    from rookray.ops.sketch import cm_counters
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(batch.column("user_id"),
+                                            pa.string())})
+
+    rows = cm_counters(ds.map_batches(to_str, batch_format="pyarrow"),
+                       "user_id", width=512, depth=2).take_all()
+    return (pd.DataFrame(rows).astype(np.int64)
+            .sort_values(["j", "idx"]).reset_index(drop=True))
+
+
+SKETCH_CM_SQL = f"""
+WITH vals AS (
+  SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS c
+  FROM events GROUP BY user_id
+),
+{hash_strings_ctes('vals', 'v', 'v, c', out='hh0')},
+{hash_strings_ctes('vals', 'v', 'v, c', out='hh1',
+                   base=_H_BASE2, salt=_H_SALT2, prefix='b_')}
+SELECT CAST(0 AS BIGINT) AS j, CAST(hh0 % 512 AS BIGINT) AS idx,
+       CAST(sum(c) AS BIGINT) AS cnt
+FROM hashed GROUP BY 2
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(hh1 % 512 AS BIGINT),
+       CAST(sum(c) AS BIGINT)
+FROM b_hashed GROUP BY 2
+"""
+
+
+def sketch_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact heavy hitters (count ≥ 75) via the Count-Min candidate
+    sweep + exact verification pass — never a full-domain groupby:
+    the sketch can only OVERcount, so candidates are a superset and
+    the second counting pass over the broadcast candidate set makes
+    the output exact (the oracle is a plain GROUP BY ... HAVING)."""
+    from rookray.ops.sketch import cm_heavy_hitters
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(batch.column("user_id"),
+                                            pa.string())})
+
+    return cm_heavy_hitters(ds.map_batches(to_str, batch_format="pyarrow"),
+                            "user_id", threshold=75, width=512, depth=2)
+
+
+SKETCH_HH_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id HAVING count(*) >= 75
+"""
+
+
+# =====================================================================
 # catalog
 # =====================================================================
 
@@ -2471,6 +2574,10 @@ QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_changefeed": cdc_changefeed,
     "cdc_incremental_view": cdc_incremental_view,
+    # sketches (contents oracle-checked exactly)
+    "sketch_hll_orderkeys": sketch_hll_orderkeys,
+    "sketch_cm_counters": sketch_cm_counters,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
 }
 
 ORACLES = {
@@ -2546,6 +2653,9 @@ ORACLES = {
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_incremental_view": CDC_INCREMENTAL_VIEW_SQL,
+    "sketch_hll_orderkeys": SKETCH_HLL_SQL,
+    "sketch_cm_counters": SKETCH_CM_SQL,
+    "sketch_heavy_hitters": SKETCH_HH_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
     # multimodal_features (its decode paths are oracle-pinned via the
