@@ -2400,6 +2400,79 @@ GROUP BY epoch, source
 """
 
 
+def cdc_stream_enrich(sf_dir: str) -> pd.DataFrame:
+    """Stream-table lookup join: the tail of the flagship change
+    stream enriched with each key's PRIOR state from the committed
+    epoch-1 snapshot (`DefaultRowsMutationIndexer.loadEntity`'s
+    per-mutation point lookup, DefaultRowsMutationIndexer.java:125-127,
+    re-expressed as an actor-pool lookup join with LRU-cached
+    partition states — no shuffle, so it composes with an unbounded
+    stream).  The oracle LEFT JOINs the same tail against the LWW
+    state recomputed at the engine's tx-closed watermark."""
+    import pyarrow.parquet as _pq
+    import tempfile
+    from rookray.enrich import enrich_stream
+    from rookray.events import NormalizeConfig, Normalizer, unified_payload
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = flagship_stream()
+    files = meta["files"]
+    root = tempfile.mkdtemp(prefix="rookray_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    wm = lake.apply(files[:8])["closed_watermark"]
+    payload = unified_payload([_pq.read_schema(f) for f in files])
+    cfg = NormalizeConfig(ignored_tables=frozenset({"ignored_entity"}),
+                          ignored_server_ids=frozenset({999}),
+                          payload=payload)
+    tail = (ray.data.read_parquet(files[8:])
+            .map_batches(Normalizer(cfg), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .filter(expr=f"gtid > {wm}"))
+    rows = (enrich_stream(tail, lake, columns=("n_tok",), suffix="_prior")
+            .select_columns(["gtid", "doc_id", "op", "n_tok", "n_tok_prior"])
+            .take_all())
+    df = pd.DataFrame(rows)
+    # the generated stream has no PK-changing updates, so flat rows are
+    # 1:1 with raw events; dedup the shard-boundary overlap re-presents
+    df = (df.drop_duplicates(subset=["gtid", "doc_id"])
+          .sort_values("gtid").reset_index(drop=True))
+    out = pd.DataFrame({
+        "gtid": df["gtid"].astype(np.int64),
+        "doc_id": df["doc_id"],
+        "op": df["op"].astype(np.int64),
+        "n_tok_new": df["n_tok"].fillna(-1).astype(np.int64),
+        "n_tok_prior": df["n_tok_prior"].fillna(-1).astype(np.int64),
+    })
+    return out
+
+
+CDC_STREAM_ENRICH_SQL = f"""
+WITH {_TT_TXSPAN},
+ev AS (
+  SELECT gtid, op, doc_id, n_tok
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+),
+state AS (
+  SELECT doc_id, n_tok FROM ev
+  WHERE gtid <= {_tt_wm_sql(10000)}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2
+),
+tail AS (
+  SELECT gtid, op, doc_id, n_tok FROM ev WHERE gtid > {_tt_wm_sql(10000)}
+)
+SELECT CAST(t.gtid AS BIGINT) AS gtid,
+       t.doc_id,
+       CAST(t.op AS BIGINT) AS op,
+       CAST(COALESCE(t.n_tok, -1) AS BIGINT) AS n_tok_new,
+       CAST(COALESCE(s.n_tok, -1) AS BIGINT) AS n_tok_prior
+FROM tail t LEFT JOIN state s USING (doc_id)
+"""
+
+
 # =====================================================================
 # sketches (HLL / Count-Min) — approximate estimators whose CONTENTS
 # are deterministic functions of the engine hash, so the oracle checks
@@ -2574,6 +2647,7 @@ QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_changefeed": cdc_changefeed,
     "cdc_incremental_view": cdc_incremental_view,
+    "cdc_stream_enrich": cdc_stream_enrich,
     # sketches (contents oracle-checked exactly)
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
     "sketch_cm_counters": sketch_cm_counters,
@@ -2653,6 +2727,7 @@ ORACLES = {
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_incremental_view": CDC_INCREMENTAL_VIEW_SQL,
+    "cdc_stream_enrich": CDC_STREAM_ENRICH_SQL,
     "sketch_hll_orderkeys": SKETCH_HLL_SQL,
     "sketch_cm_counters": SKETCH_CM_SQL,
     "sketch_heavy_hitters": SKETCH_HH_SQL,
