@@ -2473,6 +2473,59 @@ FROM tail t LEFT JOIN state s USING (doc_id)
 """
 
 
+def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus:
+    word-frequency reduction once, then per-merge distributed pair
+    counting with a one-row-per-block driver fold (rookray/ops/bpe.py).
+    Iterative argmax is not SQL-expressible, so this row is rows-only
+    for the driver — but the query is SELF-CHECKING: the distributed
+    merge table is asserted bit-equal to the serial Sennrich-style
+    reference trainer before returning."""
+    import re
+    from collections import Counter
+    from rookray.ops.bpe import PRETOKEN_RE, train_bpe
+    ds = _read(sf_dir, "documents", ["text"])
+    got = train_bpe(ds, "text", n_merges=20)
+
+    # serial reference over the same corpus (bounded: documents is the
+    # 500-row table at driver-check scale)
+    texts = [r["text"] for r in ds.take_all()]
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(PRETOKEN_RE, t or ""))
+    table = {w: list(w) for w in words}
+    merges = []
+    for rank in range(20):
+        pairs = Counter()
+        for w, parts in table.items():
+            f = words[w]
+            for a, b in zip(parts, parts[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        for w, parts in table.items():
+            out, i = [], 0
+            while i < len(parts):
+                if (i + 1 < len(parts) and parts[i] == left
+                        and parts[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            table[w] = out
+    exp = pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"])
+    if not got.reset_index(drop=True).equals(exp.reset_index(drop=True)):
+        raise AssertionError("distributed BPE diverged from the serial "
+                             "reference trainer")
+    return got.astype({"rank": np.int64, "cnt": np.int64})
+
+
 # =====================================================================
 # sketches (HLL / Count-Min) — approximate estimators whose CONTENTS
 # are deterministic functions of the engine hash, so the oracle checks
@@ -2650,6 +2703,9 @@ QUERIES = {
     "cdc_stream_enrich": cdc_stream_enrich,
     # sketches (contents oracle-checked exactly)
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
+    # tokenizer training (rows-only: iterative; self-checking vs the
+    # serial reference inside the query)
+    "bpe_train_merges": bpe_train_merges,
     "sketch_cm_counters": sketch_cm_counters,
     "sketch_heavy_hitters": sketch_heavy_hitters,
 }
