@@ -362,6 +362,159 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
     )
 
 
+def _train_pq_codebooks(vecs: np.ndarray, n_subspaces: int, n_codes: int,
+                        iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic per-subspace k-means codebooks over a training
+    matrix (each subspace independent — product quantization).
+    Returns (n_subspaces, n_codes, sub_dim)."""
+    n, dim = vecs.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} "
+                         f"subspaces")
+    sd = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.zeros((n_subspaces, n_codes, sd))
+    for s in range(n_subspaces):
+        sub = vecs[:, s * sd:(s + 1) * sd]
+        kk = min(n_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(kk):
+                sel = sub[assign == c]
+                if len(sel):
+                    cents[c] = sel.mean(axis=0)
+        books[s, :kk] = cents
+        if kk < n_codes:
+            books[s, kk:] = cents[0]   # degenerate fill, never nearest
+    return books
+
+
+def ivfpq_encode(ds: "ray.data.Dataset", cents: np.ndarray,
+                 books: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Distributed PQ encoding — the compressed index build: each
+    vector stores only its coarse cell + one one-byte code per subspace
+    (M bytes instead of dim × 4).  Residual encoding (vector minus its
+    coarse centroid) is quantized, the standard IVF-PQ layout."""
+    n_sub, n_codes, sd = books.shape
+    ref = ray.put({"cents": cents, "books": books})
+
+    def encode(batch: pd.DataFrame) -> pa.Table:
+        q = ray.get(ref)
+        c, b = q["cents"], q["books"]
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        cell = np.argmax(m @ c.T, axis=1)
+        resid = m - c[cell]
+        cols = {id_col: pa.array(batch[id_col].to_numpy().astype(np.int64)),
+                "cell": pa.array(cell.astype(np.int64))}
+        for s in range(n_sub):
+            sub = resid[:, s * sd:(s + 1) * sd]
+            d = ((sub[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+            cols[f"code{s}"] = pa.array(np.argmin(d, axis=1).astype(np.uint8))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pandas", batch_size=4096)
+
+
+def ivfpq_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
+               query_matrix: np.ndarray, k: int = 10,
+               n_centroids: int = 16, nprobe: int = 4,
+               n_subspaces: int = 8, n_codes: int = 32,
+               train_sample: int = 2048, seed: int = 42,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               exclude_self: bool = True,
+               concurrency: int = 4) -> "ray.data.Dataset":
+    """IVF-PQ cosine top-k — the MEMORY-compressed inverted-file path:
+    alongside ``ivf_topk``'s pruning (score a fraction of the corpus),
+    PQ collapses each stored vector to ``n_subspaces`` one-byte codes,
+    so the scan state per worker is ~M bytes/vector instead of the raw
+    matrix — the layout that makes billion-vector indexes fit a node
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    Scoring is ADC (asymmetric distance computation): per (query,
+    probed cell) a LUT of ``q_sub · codebook[s]`` inner products is
+    built once, and each indexed vector's score is
+    ``q · centroid[cell] + Σ_s LUT[s, code_s]`` — a pure table gather,
+    no float vectors touched at scan time.  Approximate by
+    construction (quantization error): recall vs ``bruteforce_topk``
+    is the quality metric; see ``test_ivfpq_recall_and_determinism``.
+    """
+    cents = build_ivf_centroids(ds, n_centroids, seed=seed,
+                                vec_col=vec_col)
+    rows = ds.limit(train_sample).take_all()
+    train = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                                 for r in rows]))
+    cell0 = np.argmax(train @ cents.T, axis=1)
+    books = _train_pq_codebooks(train - cents[cell0], n_subspaces,
+                                n_codes, seed=seed)
+    index = ivfpq_encode(ds, cents, books, vec_col, id_col)
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    order = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probe_of_cell: dict[int, list[int]] = {}
+    for qi in range(len(qm)):
+        for c in order[qi]:
+            probe_of_cell.setdefault(int(c), []).append(qi)
+    n_sub, _, sd = books.shape
+    # per-query LUTs: q_sub · codebook — (n_queries, n_sub, n_codes)
+    luts = np.stack([qm[:, s * sd:(s + 1) * sd] @ books[s].T
+                     for s in range(n_sub)], axis=1)
+    qcent = qm @ cents.T                       # (n_queries, n_centroids)
+    ref = ray.put({"ids": np.asarray(query_ids), "luts": luts,
+                   "qcent": qcent, "probe_of_cell": probe_of_cell})
+
+    class ScoreAdc:
+        def __init__(self):
+            q = ray.get(ref)
+            self.qids, self.luts = q["ids"], q["luts"]
+            self.qcent = q["qcent"]
+            self.probe_of_cell = q["probe_of_cell"]
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cell = batch.column("cell").to_numpy(zero_copy_only=False)
+            codes = np.stack([
+                batch.column(f"code{s}").to_numpy(zero_copy_only=False)
+                for s in range(n_sub)], axis=1).astype(np.int64)
+            outs = []
+            for c in np.unique(cell):
+                qidx = self.probe_of_cell.get(int(c))
+                if not qidx:
+                    continue
+                sel = cell == c
+                mids, mcodes = ids[sel], codes[sel]
+                # ADC gather: (len(qidx), n_vecs) from the LUTs
+                sim = self.qcent[qidx, c][:, None] + np.sum(
+                    self.luts[np.asarray(qidx)[:, None, None],
+                              np.arange(n_sub)[None, :, None],
+                              mcodes.T[None, :, :]], axis=1)
+                kk = min(k + 1, sim.shape[1])
+                ids_b = np.broadcast_to(mids, sim.shape)
+                idx = np.lexsort((ids_b, -sim), axis=1)[:, :kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.repeat(self.qids[qidx], kk),
+                    "neighbor_id": mids[idx].reshape(-1).astype(np.int64),
+                    "cosine": np.take_along_axis(sim, idx, axis=1)
+                              .reshape(-1).astype(np.float64),
+                }))
+            if not outs:
+                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                     "neighbor_id": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+    ScoreAdc.__name__ = "ScoreAdc"
+    partial = index.map_batches(ScoreAdc, batch_format="pyarrow",
+                                batch_size=4096,
+                                concurrency=(1, concurrency))
+    return partial.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k, exclude_self), batch_format="pandas"
+    )
+
+
 def recall_at_k(approx: pa.Table, exact: pa.Table, k: int = 10) -> float:
     """Mean fraction of exact top-k recovered by the approximate search."""
     a = approx.to_pandas().groupby("query_id")["neighbor_id"].apply(set)

@@ -1600,6 +1600,20 @@ def ann_ivf_distributed_exhaustive(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def ann_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ compressed-index top-k: ADC scoring over one-byte
+    product-quantization codes (the layout that makes billion-vector
+    indexes fit a node).  Approximate by construction (quantization
+    error) — rows-only here; recall vs brute force and determinism
+    are pinned in ``test_ivfpq_recall_and_determinism``."""
+    from rookray.ops import ann as A
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = A.make_queries(ds, 8)
+    out = A.ivfpq_topk(ds, qids, qmat, k=10, n_centroids=16, nprobe=4,
+                       n_subspaces=32, n_codes=256).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def multimodal_features(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import multimodal as M
     media = M.media_from_documents(_read(sf_dir, "documents"))
@@ -2666,6 +2680,7 @@ QUERIES = {
     "ann_lsh_exhaustive": ann_lsh_exhaustive,
     "ann_ivf_exhaustive": ann_ivf_exhaustive,
     "ann_ivf_distributed_exhaustive": ann_ivf_distributed_exhaustive,
+    "ann_ivfpq": ann_ivfpq,
     # multimodal
     "multimodal_features": multimodal_features,
     "multimodal_wav_meta": multimodal_wav_meta,
@@ -2789,6 +2804,7 @@ ORACLES = {
     "sketch_heavy_hitters": SKETCH_HH_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
+    # ann_ivfpq (quantization error is inherent to PQ),
     # multimodal_features (its decode paths are oracle-pinned via the
     # wav/png/apng meta rows; the projected feature vector itself is
     # float-model output)

@@ -282,6 +282,49 @@ def test_ann_ivf_recall_and_exhaustive(embs):
     assert A.recall_at_k(full, exact, k=5) == 1.0
 
 
+def test_ivfpq_recall_and_determinism(embs):
+    """IVF-PQ: the ADC scan over one-byte codes must recover most of
+    the exact top-k on the clustered test embeddings, be deterministic
+    across runs, and the encoded index must actually be compressed
+    (cell + uint8 code columns only — no float vectors)."""
+    from rookray.ops import ann as A
+    import ray as _ray
+
+    qids, qmat = A.make_queries(embs, 5)
+    exact = pa.concat_tables(
+        [_ray.get(r) for r in A.bruteforce_topk(embs, qids, qmat, k=5).to_arrow_refs()])
+    # 32 subspaces (sub_dim=2) x 256 codes: fine enough that ADC over
+    # the 64-dim test embeddings recovers most of the exact top-k
+    approx = pa.Table.from_pandas(
+        A.ivfpq_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=8,
+                     n_subspaces=32, n_codes=256).to_pandas())
+    r = A.recall_at_k(approx, exact, k=5)
+    assert r > 0.7, f"IVF-PQ recall suspiciously low: {r}"
+    # deterministic: identical output on a second run
+    again = pa.Table.from_pandas(
+        A.ivfpq_topk(embs, qids, qmat, k=5, n_centroids=8, nprobe=8,
+                     n_subspaces=32, n_codes=256).to_pandas())
+    pd.testing.assert_frame_equal(
+        approx.to_pandas().sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True),
+        again.to_pandas().sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True))
+    # the index layout is compressed: one one-byte code per subspace
+    cents = A.build_ivf_centroids(embs, 8)
+    rows = embs.limit(256).take_all()
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cell0 = np.argmax(m @ cents.T, axis=1)
+    books = A._train_pq_codebooks(m - cents[cell0], 8, 32)
+    idx = A.ivfpq_encode(embs, cents, books)
+    sch = idx.schema()
+    assert set(sch.names) == {"vec_id", "cell"} | {f"code{s}" for s in range(8)}
+    import pyarrow as _pa
+    for s in range(8):
+        assert sch.base_schema.field(f"code{s}").type == _pa.uint8()
+
+
 def test_simhash_pairs_exact_vs_bruteforce(docs):
     """The distributed simhash path (band explode → coarse-bucket pair
     gen → groupby(a,b) min-fold dedup) must equal the O(n²) in-process
