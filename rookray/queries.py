@@ -1857,6 +1857,47 @@ FROM win
 """
 
 
+def fti_postings(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained inverted index (the Lucene analog,
+    DefaultRowsMutationIndexer.java:64-88): replay the flagship stream
+    in two epochs, build the posting-list index after the first and
+    refresh it INCREMENTALLY from the changefeed after the second —
+    then dump one deterministic residue class of terms.  The oracle
+    recomputes the postings from scratch over the SQL LWW replay, so a
+    retraction bug in the incremental path (stale postings of updated
+    or deleted docs) is a hash mismatch."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.fti import InvertedIndex
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_fti_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    index = InvertedIndex(lake, num_partitions=8)
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    index.refresh()  # first build: one state scan
+    lake.apply(meta["files"][half:])
+    index.refresh()  # incremental: only the changefeed moves
+    post = index.read().to_pandas()
+    post = post[post["term"] % 7 == 3]
+    return (post.sort_values(["term", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+FTI_POSTINGS_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE}
+SELECT CAST(term AS BIGINT) AS term, doc_id,
+       CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(tokens) AS term FROM win)
+WHERE term % 7 = 3
+GROUP BY term, doc_id
+ORDER BY term, doc_id
+"""
+
+
 def pack_training_chunks(sf_dir: str) -> pd.DataFrame:
     """Sequence packing over the replayed sequence table: the final
     lake state (closed-form oracle of the flagship stream) packed into
@@ -2705,6 +2746,7 @@ QUERIES = {
     "stats_grouped_quantiles": stats_grouped_quantiles,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
+    "fti_postings": fti_postings,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
     # north-rule features: lineage checkpoint, skew salting, evolution
@@ -2770,6 +2812,7 @@ ORACLES = {
     # full-engine flagship: DuckDB replays the same change log
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
+    "fti_postings": FTI_POSTINGS_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,

@@ -19,6 +19,7 @@ import os
 import time
 from typing import Callable
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ray.data.datasource import Datasource
@@ -244,6 +245,15 @@ class ShardStreamDatasource(Datasource):
                                 self.sentinel)
 
         def make_read_fn(task_idx: int):
+            def try_read(f: str):
+                """A shard still being written by a non-atomic producer
+                has no parquet footer yet; treat it as not-arrived and
+                retry on the next poll instead of killing the task."""
+                try:
+                    return pq.read_table(f)
+                except (pa.ArrowInvalid, OSError):
+                    return None
+
             def read_fn():
                 seen: set[str] = set()
                 last_new = time.monotonic()
@@ -251,23 +261,45 @@ class ShardStreamDatasource(Datasource):
                     files = sorted(glob.glob(os.path.join(shard_dir, pattern)))
                     fresh = [f for i, f in enumerate(files)
                              if i % n == task_idx and f not in seen]
+                    progressed = False
                     for f in fresh:
+                        t = try_read(f)
+                        if t is None:
+                            # in-flight shard: stop the sweep HERE so
+                            # within-task gtid order is preserved
+                            # (later-sorted shards must not overtake it)
+                            break
                         seen.add(f)
                         last_new = time.monotonic()
-                        yield pq.read_table(f)
+                        progressed = True
+                        yield t
                     eof = os.path.exists(os.path.join(shard_dir, sentinel))
-                    if eof and not fresh:
-                        # one final sweep in case shards landed with
-                        # the sentinel
-                        files = sorted(glob.glob(
-                            os.path.join(shard_dir, pattern)))
-                        tail = [f for i, f in enumerate(files)
-                                if i % n == task_idx and f not in seen]
-                        for f in tail:
-                            seen.add(f)
-                            yield pq.read_table(f)
-                        return
-                    if (idle is not None and not fresh
+                    if eof and not progressed:
+                        # final sweep: the producer is done, so an
+                        # unreadable shard can only be a torn copy —
+                        # give it a grace period, then fail loudly
+                        deadline = time.monotonic() + 5.0
+                        while True:
+                            files = sorted(glob.glob(
+                                os.path.join(shard_dir, pattern)))
+                            tail = [f for i, f in enumerate(files)
+                                    if i % n == task_idx and f not in seen]
+                            stuck = None
+                            for f in tail:
+                                t = try_read(f)
+                                if t is None:
+                                    stuck = f
+                                    break
+                                seen.add(f)
+                                yield t
+                            if stuck is None:
+                                return
+                            if time.monotonic() > deadline:
+                                raise IOError(
+                                    f"shard {stuck} unreadable after "
+                                    f"stream EOF — torn producer write?")
+                            time.sleep(poll)
+                    if (idle is not None and not progressed
                             and time.monotonic() - last_new > idle):
                         return
                     time.sleep(poll)

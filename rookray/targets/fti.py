@@ -1,0 +1,326 @@
+"""Distributed inverted full-text index, maintained incrementally.
+
+THE Lucene analog at lake scale — the reference's full-text-index
+target keeps a Lucene index in sync with the database by re-indexing
+each changed entity inside one index transaction per replication tx
+(`rook-target-hibernate4-fulltextindex/.../DefaultRowsMutationIndexer.java:64-88`:
+present → ``session.index`` upsert, absent → ``session.purge``).  This
+module is that capability restated for a token-sequence lake: a
+posting-list table ``(term, doc_id, tf)`` hash-partitioned by *term*,
+kept consistent with the :class:`~rookray.pipeline.LakeTable` without
+ever rescanning the corpus.
+
+Incremental maintenance = the changefeed with before-images.  Each
+``refresh()`` reads only ``lake.changes_between(index_epoch, head,
+columns=(tokens,))`` — O(changed docs), not O(state).  A changed doc's
+``tokens_a`` (its tokens in the snapshot the index currently reflects)
+names exactly the postings to retract, and ``tokens_b`` the postings
+to assert; partition-locally each posting partition drops the
+retracted ``(term, doc_id)`` keys and appends the new ones.  This is
+the purge-then-index upsert of the reference, vectorized and sharded:
+Lucene's "re-index the document" is, physically, "remove the doc's old
+term postings, add its new ones".
+
+Physical layout and scale shape:
+
+- postings are hash-partitioned by ``term`` (``term % P``) so a term
+  lookup touches exactly one partition — the inverted-file property;
+  within a partition rows are sorted by ``(term, doc_id)`` so parquet
+  row-group statistics prune term ranges at read time.
+- the changefeed is one task per lake partition (no shuffle); the
+  delta explode emits O(changed-doc tokens) rows which shuffle ONCE
+  (groupby(part)) to their posting partitions; each posting partition
+  merges vectorized (anti-join on the retraction keys + append).
+  Nothing moves per refresh except the deltas.
+- the driver only ever sees one manifest row per posting partition.
+
+Exactly-once: same two-phase protocol as the lake — partition parquet
+lands under a name keyed by (partition, lake epoch), then the index
+manifest swaps atomically, stamped with the lake epoch it reflects.  A
+crash between the two leaves the old manifest in force; re-running
+``refresh()`` recomputes the same deltas from the same immutable
+snapshots and overwrites the orphans.  Refreshing an already-current
+index is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from rookray import sink
+
+__all__ = ["InvertedIndex"]
+
+POSTING_SCHEMA = pa.schema(
+    [("term", pa.int64()), ("doc_id", pa.string()), ("tf", pa.int64())])
+
+_DELTA_SCHEMA = pa.schema(
+    [("part", pa.int64()), ("term", pa.int64()), ("doc_id", pa.string()),
+     ("tf", pa.int64()), ("kind", pa.int64())])  # kind: 0=retract 1=assert
+
+
+def _explode_terms(tokens: pa.ChunkedArray | pa.Array, doc_ids: np.ndarray):
+    """Vectorized (doc, term) → tf explode over a batch of token lists.
+
+    One numpy pass: flatten all lists, repeat a per-row index by list
+    length, then count distinct (row, term) pairs via one ``np.unique``
+    over a packed 64-bit key (terms are int32 vocabulary ids < 2^31,
+    row indices < 2^31 per batch).  Null lists count as empty.
+    Returns (term:int64, doc_id:object, tf:int64) arrays.
+    """
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(tokens), 0) \
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+    if flat.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int64))
+    row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    key = (row << np.int64(32)) | flat
+    uk, tf = np.unique(key, return_counts=True)
+    term = uk & np.int64(0xFFFFFFFF)
+    return term, doc_ids[(uk >> np.int64(32))], tf.astype(np.int64)
+
+
+class _MergePostings:
+    """Per-posting-partition merge task (one group per partition):
+    read the prior partition file, drop every (term, doc_id) named by
+    the delta (retractions AND re-assertions — the purge half of the
+    upsert), append the asserted postings, write the new partition
+    sorted by (term, doc_id).  Returns one manifest row."""
+
+    def __init__(self, root: str, epoch: int, prior_files: dict[int, str]):
+        self.root = root
+        self.epoch = epoch
+        self.prior_files = prior_files
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        delta = pd.DataFrame({
+            "term": group.column("term").to_numpy(zero_copy_only=False),
+            "doc_id": group.column("doc_id").to_numpy(zero_copy_only=False),
+            "tf": group.column("tf").to_numpy(zero_copy_only=False),
+            "kind": group.column("kind").to_numpy(zero_copy_only=False),
+        })
+        prior_rel = self.prior_files.get(part)
+        if prior_rel is not None:
+            prior = pq.read_table(
+                os.path.join(self.root, prior_rel)).to_pandas()
+        else:
+            prior = pd.DataFrame({"term": pd.Series([], dtype=np.int64),
+                                  "doc_id": pd.Series([], dtype=object),
+                                  "tf": pd.Series([], dtype=np.int64)})
+        # purge: every delta key (either kind) replaces the prior row
+        tomb = delta[["term", "doc_id"]].drop_duplicates()
+        if len(prior) and len(tomb):
+            marked = prior.merge(tomb, on=["term", "doc_id"], how="left",
+                                 indicator=True)
+            prior = marked[marked["_merge"] == "left_only"] \
+                .drop(columns="_merge")
+        new = delta[delta["kind"] == 1][["term", "doc_id", "tf"]]
+        out = (pd.concat([prior, new], ignore_index=True)
+               .sort_values(["term", "doc_id"], kind="mergesort")
+               .reset_index(drop=True))
+        rel = f"part-{part:05d}-epoch-{self.epoch:06d}.parquet"
+        sink.atomic_write_parquet(
+            pa.Table.from_pandas(out, schema=POSTING_SCHEMA,
+                                 preserve_index=False),
+            os.path.join(self.root, rel))
+        return pa.table({"part": pa.array([part], type=pa.int64()),
+                         "file": pa.array([rel]),
+                         "rows": pa.array([len(out)], type=pa.int64())})
+
+
+class InvertedIndex:
+    """Posting-list index ``(term, doc_id, tf)`` over a lake table's
+    token column, hash-partitioned by term, refreshed incrementally
+    from the changefeed.
+
+    ``refresh()`` builds from a full scan the first time and from the
+    epoch-to-epoch changefeed afterwards; ``postings(terms)`` reads
+    only the hash-matching partitions; ``search_all(terms)`` returns
+    the doc ids containing every queried term (the AND query).
+    """
+
+    def __init__(self, lake, name: str = "fti", num_partitions: int = 16,
+                 tokens_col: str = "tokens"):
+        self.lake = lake
+        self.name = name
+        self.num_partitions = int(num_partitions)
+        self.tokens_col = tokens_col
+        self.root = os.path.join(lake.root, "indexes", name)
+        os.makedirs(self.root, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def manifest(self) -> dict | None:
+        path = os.path.join(self.root, "fti.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def read(self) -> pa.Table:
+        """Full committed index (tests / small scales only — real
+        reads go through :meth:`postings`)."""
+        m = self.manifest()
+        if m is None or not m["files"]:
+            return pa.Table.from_pylist([], schema=POSTING_SCHEMA)
+        tabs = [pq.read_table(os.path.join(self.root, rel))
+                for _, rel in sorted(m["files"].items(),
+                                     key=lambda kv: int(kv[0]))]
+        return pa.concat_tables(tabs)
+
+    # ---------------------------------------------------------- refresh
+
+    def _delta_batches(self, feed: "ray.data.Dataset") -> "ray.data.Dataset":
+        tc, P = self.tokens_col, self.num_partitions
+
+        def deltas(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
+            change = batch.column("change").to_numpy(zero_copy_only=False)
+            docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            frames = []
+            for suf, kind in (("a", 0), ("b", 1)):
+                # a-side exists for delete/update, b-side for
+                # insert/update
+                mask = change != ("insert" if suf == "a" else "delete")
+                if not mask.any():
+                    continue
+                idx = np.flatnonzero(mask)
+                toks = batch.column(f"{tc}_{suf}").take(pa.array(idx))
+                term, doc, tf = _explode_terms(toks, docs[idx])
+                frames.append(pd.DataFrame({
+                    "part": term % P, "term": term, "doc_id": doc,
+                    "tf": tf, "kind": np.full(len(term), kind,
+                                              dtype=np.int64)}))
+            if not frames:
+                return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
+            return pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True),
+                schema=_DELTA_SCHEMA, preserve_index=False)
+
+        return feed.map_batches(deltas, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def _build_batches(self) -> "ray.data.Dataset":
+        tc, P = self.tokens_col, self.num_partitions
+
+        def explode(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
+            docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            term, doc, tf = _explode_terms(batch.column(tc), docs)
+            return pa.Table.from_pandas(
+                pd.DataFrame({"part": term % P, "term": term, "doc_id": doc,
+                              "tf": tf,
+                              "kind": np.ones(len(term), dtype=np.int64)}),
+                schema=_DELTA_SCHEMA, preserve_index=False)
+
+        return self.lake.read().map_batches(explode, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+
+    def refresh(self) -> dict:
+        """Bring the index up to the lake's current epoch.  First call
+        scans the state once; afterwards only the changefeed moves.
+        Idempotent; no-ops when already current."""
+        head = self.lake.manifest()
+        if head is None:
+            raise ValueError(f"lake at {self.lake.root} has no committed "
+                             f"state to index")
+        head_epoch = int(head["epoch"])
+        m = self.manifest()
+        if m is not None and int(m["lake_epoch"]) == head_epoch:
+            return {"epoch": head_epoch, "refreshed": False,
+                    "postings": int(m["postings"])}
+
+        prior_files = ({} if m is None
+                       else {int(p): rel for p, rel in m["files"].items()})
+        if m is None:
+            delta = self._build_batches()
+        else:
+            if int(m["num_partitions"]) != self.num_partitions:
+                raise ValueError(
+                    f"index at {self.root} was built with "
+                    f"{m['num_partitions']} partitions, not "
+                    f"{self.num_partitions}")
+            feed = self.lake.changes_between(int(m["lake_epoch"]),
+                                             head_epoch,
+                                             columns=(self.tokens_col,))
+            delta = self._delta_batches(feed)
+
+        merge = _MergePostings(self.root, head_epoch, prior_files)
+        merge.__name__ = "MergePostings"  # ray's map_groups wrapper wants one
+        rows = (delta.groupby("part")
+                .map_groups(merge, batch_format="pyarrow")
+                .take_all())
+        files = dict(prior_files)  # untouched partitions carry forward
+        for r in rows:
+            files[int(r["part"])] = r["file"]
+        postings = sum(int(r["rows"]) for r in rows) + sum(
+            pq.read_metadata(os.path.join(self.root, rel)).num_rows
+            for p, rel in prior_files.items()
+            if files[p] == rel)
+        sink.atomic_write_json(
+            {"lake_epoch": head_epoch,
+             "num_partitions": self.num_partitions,
+             "tokens_col": self.tokens_col,
+             "files": {str(p): rel for p, rel in sorted(files.items())},
+             "postings": int(postings)},
+            os.path.join(self.root, "fti.json"))
+        return {"epoch": head_epoch, "refreshed": True,
+                "postings": int(postings)}
+
+    # ------------------------------------------------------------- read
+
+    def postings(self, terms) -> pa.Table:
+        """Posting rows for the given terms — reads ONLY the
+        hash-matching partitions, with the term filter pushed into the
+        parquet read (rows are term-sorted, so row-group statistics
+        prune)."""
+        m = self.manifest()
+        if m is None:
+            raise ValueError(f"index at {self.root} has no committed state")
+        terms = np.asarray(list(terms), dtype=np.int64)
+        files = {int(p): rel for p, rel in m["files"].items()}
+        out = []
+        for p in np.unique(terms % int(m["num_partitions"])):
+            rel = files.get(int(p))
+            if rel is None:
+                continue
+            t = pq.read_table(
+                os.path.join(self.root, rel),
+                filters=[("term", "in", terms.tolist())])
+            if len(t):
+                out.append(t)
+        if not out:
+            return pa.Table.from_pylist([], schema=POSTING_SCHEMA)
+        res = pa.concat_tables(out)
+        return res.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+    def search_all(self, terms) -> list[str]:
+        """Doc ids containing EVERY queried term (AND), sorted.  Cost
+        is bounded by the queried terms' posting lists, never the
+        corpus."""
+        terms = sorted(set(int(t) for t in terms))
+        if not terms:
+            return []
+        post = self.postings(terms)
+        if len(post) == 0:
+            return []
+        df = post.to_pandas()
+        hits = df.groupby("doc_id")["term"].nunique()
+        return sorted(hits[hits == len(terms)].index.tolist())

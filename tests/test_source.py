@@ -246,6 +246,50 @@ def test_shard_stream_datasource_exactly_once_and_streaming(tmp_path):
     assert overlapped, "consumption never overlapped production"
 
 
+def test_shard_stream_tolerates_torn_writes(tmp_path):
+    """A non-atomic producer (shard visible before its parquet footer
+    lands) must NOT kill the read task: the tailer treats an
+    unreadable shard as not-yet-arrived, stops that sweep to preserve
+    within-task gtid order, and picks it up once complete."""
+    import threading
+    import time
+
+    from rookray.source import stream_events
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=4)
+    live = tmp_path / "live"
+    live.mkdir()
+
+    def writer():
+        for i, f in enumerate(meta["files"]):
+            data = open(f, "rb").read()
+            dst = live / os.path.basename(f)
+            if i in (1, 3):
+                # torn copy: first half visible for a while (no
+                # footer), then the rest — what shutil.copy under
+                # load looks like to a concurrent reader
+                with open(dst, "wb") as out:
+                    out.write(data[: len(data) // 2])
+                    out.flush()
+                    time.sleep(0.8)
+                    out.write(data[len(data) // 2:])
+            else:
+                with open(dst, "wb") as out:
+                    out.write(data)
+            time.sleep(0.2)
+        (live / "_STREAM_EOF").touch()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    gtids = []
+    for b in stream_events(str(live), parallelism=2).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        gtids.extend(b.column("gtid").to_pylist())
+    t.join()
+    assert sorted(gtids) == list(range(1, 301))  # exactly once, complete
+
+
 def test_shard_stream_idle_timeout_and_composition(tmp_path):
     """No sentinel: the stream drains pre-existing shards and ends on
     idle timeout; composed through map_batches + groupby it matches the
