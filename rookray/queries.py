@@ -1898,6 +1898,68 @@ ORDER BY term, doc_id
 """
 
 
+_BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
+
+
+def fti_search_bm25(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval over the incrementally-maintained inverted
+    index — the query side of the Lucene analog.  The engine scores
+    from term-pruned posting reads + point lookups for candidate doc
+    lengths + manifest corpus stats (N, total length — maintained by
+    the same delta pass as the postings); the oracle recomputes the
+    identical Okapi formula from scratch in SQL.  Rank output only
+    (scores are float64 — identical formula both sides, but ranks are
+    the hash-stable contract)."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.fti import InvertedIndex
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_fti_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    index = InvertedIndex(lake, num_partitions=8)
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    index.refresh()
+    lake.apply(meta["files"][half:])
+    index.refresh()
+    out = index.search_bm25(_BM25_TERMS, k=10)
+    return out[["doc_id", "rank"]]
+
+
+FTI_SEARCH_BM25_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE},
+tfd AS (
+  SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM win)
+  WHERE term IN {_BM25_TERMS}
+  GROUP BY term, doc_id
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(len(tokens)) AS DOUBLE) AS total FROM win),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfd GROUP BY term),
+lens AS (SELECT doc_id, CAST(len(tokens) AS DOUBLE) AS dlen FROM win),
+scored AS (
+  SELECT t.doc_id,
+         sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * t.tf * (1.5 + 1.0)
+             / (t.tf + 1.5 * (1.0 - 0.75 + 0.75 * l.dlen
+                              / (c.total / c.n)))) AS score
+  FROM tfd t JOIN dfs d USING (term) JOIN lens l USING (doc_id)
+       CROSS JOIN corpus c
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
 def pack_training_chunks(sf_dir: str) -> pd.DataFrame:
     """Sequence packing over the replayed sequence table: the final
     lake state (closed-form oracle of the flagship stream) packed into
@@ -2747,6 +2809,7 @@ QUERIES = {
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "fti_postings": fti_postings,
+    "fti_search_bm25": fti_search_bm25,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
     # north-rule features: lineage checkpoint, skew salting, evolution
@@ -2813,6 +2876,7 @@ ORACLES = {
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
+    "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,

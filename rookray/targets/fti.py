@@ -66,7 +66,15 @@ POSTING_SCHEMA = pa.schema(
 
 _DELTA_SCHEMA = pa.schema(
     [("part", pa.int64()), ("term", pa.int64()), ("doc_id", pa.string()),
-     ("tf", pa.int64()), ("kind", pa.int64())])  # kind: 0=retract 1=assert
+     ("tf", pa.int64()), ("kind", pa.int64())])
+# kind: 0=retract 1=assert 2=corpus-stats side-channel (part=-1; `term`
+# carries the doc-count delta and `tf` the token-length delta, so the
+# BM25 corpus statistics ride the SAME single delta pass — no second
+# feed/state scan)
+
+_MANIFEST_ROW_SCHEMA = pa.schema(
+    [("part", pa.int64()), ("file", pa.string()), ("rows", pa.int64()),
+     ("docs_delta", pa.int64()), ("len_delta", pa.int64())])
 
 
 def _explode_terms(tokens: pa.ChunkedArray | pa.Array, doc_ids: np.ndarray):
@@ -108,6 +116,17 @@ class _MergePostings:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
+        if part == -1:
+            # corpus-stats side channel: fold the per-batch deltas
+            docs = int(pc.sum(group.column("term")).as_py() or 0)
+            length = int(pc.sum(group.column("tf")).as_py() or 0)
+            return pa.table({"part": pa.array([-1], type=pa.int64()),
+                             "file": pa.array([""]),
+                             "rows": pa.array([0], type=pa.int64()),
+                             "docs_delta": pa.array([docs], type=pa.int64()),
+                             "len_delta": pa.array([length],
+                                                   type=pa.int64())},
+                            schema=_MANIFEST_ROW_SCHEMA)
         delta = pd.DataFrame({
             "term": group.column("term").to_numpy(zero_copy_only=False),
             "doc_id": group.column("doc_id").to_numpy(zero_copy_only=False),
@@ -140,7 +159,10 @@ class _MergePostings:
             os.path.join(self.root, rel))
         return pa.table({"part": pa.array([part], type=pa.int64()),
                          "file": pa.array([rel]),
-                         "rows": pa.array([len(out)], type=pa.int64())})
+                         "rows": pa.array([len(out)], type=pa.int64()),
+                         "docs_delta": pa.array([0], type=pa.int64()),
+                         "len_delta": pa.array([0], type=pa.int64())},
+                        schema=_MANIFEST_ROW_SCHEMA)
 
 
 class InvertedIndex:
@@ -194,21 +216,33 @@ class InvertedIndex:
             change = batch.column("change").to_numpy(zero_copy_only=False)
             docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
             frames = []
+            side_len = {}
             for suf, kind in (("a", 0), ("b", 1)):
                 # a-side exists for delete/update, b-side for
                 # insert/update
                 mask = change != ("insert" if suf == "a" else "delete")
+                side_len[suf] = 0
                 if not mask.any():
                     continue
                 idx = np.flatnonzero(mask)
                 toks = batch.column(f"{tc}_{suf}").take(pa.array(idx))
                 term, doc, tf = _explode_terms(toks, docs[idx])
+                side_len[suf] = int(tf.sum())
                 frames.append(pd.DataFrame({
                     "part": term % P, "term": term, "doc_id": doc,
                     "tf": tf, "kind": np.full(len(term), kind,
                                               dtype=np.int64)}))
-            if not frames:
-                return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
+            # corpus-stats side channel (each changed doc hits exactly
+            # one feed batch, so per-batch deltas sum globally)
+            docs_delta = int((change == "insert").sum()
+                             - (change == "delete").sum())
+            frames.append(pd.DataFrame({
+                "part": np.array([-1], dtype=np.int64),
+                "term": np.array([docs_delta], dtype=np.int64),
+                "doc_id": [""],
+                "tf": np.array([side_len["b"] - side_len["a"]],
+                               dtype=np.int64),
+                "kind": np.array([2], dtype=np.int64)}))
             return pa.Table.from_pandas(
                 pd.concat(frames, ignore_index=True),
                 schema=_DELTA_SCHEMA, preserve_index=False)
@@ -224,10 +258,17 @@ class InvertedIndex:
                 return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
             docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
             term, doc, tf = _explode_terms(batch.column(tc), docs)
+            post = pd.DataFrame({"part": term % P, "term": term,
+                                 "doc_id": doc, "tf": tf,
+                                 "kind": np.ones(len(term), dtype=np.int64)})
+            stats = pd.DataFrame({
+                "part": np.array([-1], dtype=np.int64),
+                "term": np.array([len(batch)], dtype=np.int64),
+                "doc_id": [""],
+                "tf": np.array([int(tf.sum())], dtype=np.int64),
+                "kind": np.array([2], dtype=np.int64)})
             return pa.Table.from_pandas(
-                pd.DataFrame({"part": term % P, "term": term, "doc_id": doc,
-                              "tf": tf,
-                              "kind": np.ones(len(term), dtype=np.int64)}),
+                pd.concat([post, stats], ignore_index=True),
                 schema=_DELTA_SCHEMA, preserve_index=False)
 
         return self.lake.read().map_batches(explode, batch_format="pyarrow",
@@ -268,9 +309,17 @@ class InvertedIndex:
                 .map_groups(merge, batch_format="pyarrow")
                 .take_all())
         files = dict(prior_files)  # untouched partitions carry forward
+        docs_delta = len_delta = 0
         for r in rows:
-            files[int(r["part"])] = r["file"]
-        postings = sum(int(r["rows"]) for r in rows) + sum(
+            if int(r["part"]) == -1:
+                docs_delta = int(r["docs_delta"])
+                len_delta = int(r["len_delta"])
+            else:
+                files[int(r["part"])] = r["file"]
+        n_docs = (0 if m is None else int(m["n_docs"])) + docs_delta
+        total_len = (0 if m is None else int(m["total_len"])) + len_delta
+        postings = sum(int(r["rows"]) for r in rows
+                       if int(r["part"]) != -1) + sum(
             pq.read_metadata(os.path.join(self.root, rel)).num_rows
             for p, rel in prior_files.items()
             if files[p] == rel)
@@ -279,7 +328,8 @@ class InvertedIndex:
              "num_partitions": self.num_partitions,
              "tokens_col": self.tokens_col,
              "files": {str(p): rel for p, rel in sorted(files.items())},
-             "postings": int(postings)},
+             "postings": int(postings),
+             "n_docs": int(n_docs), "total_len": int(total_len)},
             os.path.join(self.root, "fti.json"))
         return {"epoch": head_epoch, "refreshed": True,
                 "postings": int(postings)}
@@ -310,6 +360,56 @@ class InvertedIndex:
             return pa.Table.from_pylist([], schema=POSTING_SCHEMA)
         res = pa.concat_tables(out)
         return res.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+    def search_bm25(self, terms, k: int = 10, k1: float = 1.5,
+                    b: float = 0.75) -> pd.DataFrame:
+        """Okapi BM25 top-k over the queried terms — ranked retrieval,
+        the query side of the Lucene analog.  Cost is bounded by the
+        queried terms' posting lists plus point lookups for the
+        candidate docs' lengths (``LakeTable.lookup`` — partition-
+        pruned), never a corpus scan; the corpus statistics (N, average
+        doc length) come from the index manifest, maintained
+        incrementally by the same delta pass that maintains the
+        postings.
+
+        ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` (the
+        Lucene/standard non-negative variant); doc length = token
+        count.  Ties break by doc_id ascending.  Returns
+        ``(doc_id, score, rank)`` sorted by rank.
+        """
+        m = self.manifest()
+        if m is None:
+            raise ValueError(f"index at {self.root} has no committed state")
+        n_docs, total_len = int(m["n_docs"]), int(m["total_len"])
+        terms = sorted(set(int(t) for t in terms))
+        post = self.postings(terms).to_pandas()
+        if len(post) == 0 or n_docs == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=np.float64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        avg_len = total_len / n_docs
+        df = post.groupby("term")["doc_id"].size()
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        cand = np.unique(post["doc_id"].to_numpy())
+        looked = self.lake.lookup(cand.tolist())
+        lens = pc.list_value_length(
+            looked.column(self.tokens_col)).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        len_of = dict(zip(looked.column("doc_id").to_pylist(), lens))
+        dlen = post["doc_id"].map(len_of).to_numpy(dtype=np.float64)
+        tf = post["tf"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dlen / avg_len)
+        post = post.assign(
+            contrib=idf[post["term"]].to_numpy() * tf * (k1 + 1.0)
+            / (tf + norm))
+        scores = (post.groupby("doc_id", as_index=False)["contrib"].sum()
+                  .rename(columns={"contrib": "score"})
+                  .sort_values(["score", "doc_id"],
+                               ascending=[False, True],
+                               kind="mergesort")
+                  .head(k).reset_index(drop=True))
+        scores["rank"] = np.arange(1, len(scores) + 1, dtype=np.int64)
+        return scores
 
     def search_all(self, terms) -> list[str]:
         """Doc ids containing EVERY queried term (AND), sorted.  Cost

@@ -178,3 +178,52 @@ def test_fti_delete_purges_postings(tmp_path):
     index.refresh()
     got = _got(index)
     assert got.values.tolist() == [[2, "b", 1], [3, "b", 1]]
+
+
+def test_fti_bm25_and_corpus_stats(tmp_path):
+    """BM25 ranked search must equal a from-scratch recompute over the
+    state, and the manifest corpus statistics (N, total length) must
+    stay exact through incremental refreshes (inserts, updates AND
+    deletes all hit the stats side-channel)."""
+    cfg = GenConfig(n_docs=50, n_events=1000, vocab=50)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    index = InvertedIndex(lake, num_partitions=8)
+
+    lake.apply(meta["files"][:2])
+    index.refresh()
+    lake.apply(meta["files"][1:])
+    index.refresh()
+
+    state = lake.state_table().to_pandas()
+    m = index.manifest()
+    lens = state["tokens"].map(len)
+    assert m["n_docs"] == len(state)
+    assert m["total_len"] == int(lens.sum())
+
+    # reference BM25 with the same formula
+    expect = _expected(lake)
+    terms = (expect.groupby("term")["doc_id"].size()
+             .sort_values(ascending=False).index[:3].tolist())
+    k1, b = 1.5, 0.75
+    n, avg = len(state), lens.sum() / len(state)
+    len_of = dict(zip(state["doc_id"], lens.astype(float)))
+    sub = expect[expect["term"].isin(terms)]
+    df = sub.groupby("term")["doc_id"].size()
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    contrib = (idf[sub["term"]].to_numpy() * sub["tf"] * (k1 + 1)
+               / (sub["tf"] + k1 * (1 - b + b * sub["doc_id"].map(len_of)
+                                    / avg)))
+    want = (sub.assign(c=contrib).groupby("doc_id")["c"].sum()
+            .sort_values(ascending=False))
+
+    got = index.search_bm25(terms, k=10, k1=k1, b=b)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    # same candidate ranking (ties broken by doc_id both sides)
+    wf = (want.reset_index().rename(columns={"c": "score"})
+          .sort_values(["score", "doc_id"], ascending=[False, True],
+                       kind="mergesort").head(10).reset_index(drop=True))
+    assert list(got["doc_id"]) == list(wf["doc_id"])
+    np.testing.assert_allclose(got["score"], wf["score"], rtol=1e-12)
+    # empty query / absent term
+    assert len(index.search_bm25([10_000_019])) == 0
