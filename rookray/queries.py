@@ -1898,6 +1898,69 @@ ORDER BY term, doc_id
 """
 
 
+def join_streams_windowed(sf_dir: str) -> pd.DataFrame:
+    """Stream-stream windowed INNER join through the REAL streaming
+    machinery: the events table is split into two live shard streams
+    (clicks | purchases), tailed as one multi-directory Dataset, and
+    joined per (user, 500-event-id tumbling window) with pairs emitted
+    as the combined watermark passes each window — the two-upstream
+    correlation a CDC deployment needs (rook is single-binlog,
+    single-thread by design, MySQLReplicationStream.java:161-179)."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import join_streams
+
+    df = _pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"]
+    ).to_pandas().sort_values("event_id")
+    root = tempfile.mkdtemp(prefix="rookray_js_")
+    dirs = []
+    for side, etype in ((0, "click"), (1, "purchase")):
+        d = os.path.join(root, etype)
+        os.makedirs(d)
+        part = df[df["event_type"] == etype].reset_index(drop=True)
+        cuts = np.linspace(0, len(part), 5).astype(int)
+        for i in range(4):
+            _pq.write_table(
+                pa.Table.from_pandas(part.iloc[cuts[i]:cuts[i + 1]],
+                                     preserve_index=False),
+                os.path.join(d, f"events-{i:05d}.parquet"))
+        open(os.path.join(d, "_STREAM_EOF"), "w").close()
+        dirs.append(d)
+
+    ds = stream_events(dirs, parallelism=2, tag_col="side")
+    out = []
+    for tbl in join_streams(ds, window=500, ts_col="event_id",
+                            key_col="user_id", side_col="side",
+                            val_col="value", n_sources=4):
+        out.append(tbl.to_pandas())
+    res = (pd.concat(out, ignore_index=True)
+           .rename(columns={"user_id": "user_id"}))
+    res["user_id"] = res["user_id"].astype(np.int64)
+    return (res[["window_start", "user_id", "l_ts", "r_ts",
+                 "l_val", "r_val"]]
+            .sort_values(["window_start", "user_id", "l_ts", "r_ts"])
+            .reset_index(drop=True))
+
+
+JOIN_STREAMS_WINDOWED_SQL = """
+WITH l AS (SELECT event_id, user_id, value FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT event_id, user_id, value FROM events
+           WHERE event_type = 'purchase')
+SELECT (l.event_id // 500) * 500 AS window_start, l.user_id,
+       l.event_id AS l_ts, r.event_id AS r_ts,
+       CAST(l.value AS DOUBLE) AS l_val, CAST(r.value AS DOUBLE) AS r_val
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.event_id // 500 = r.event_id // 500
+ORDER BY window_start, l.user_id, l_ts, r_ts
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -2810,6 +2873,7 @@ QUERIES = {
     "cdc_replay_sequences": cdc_replay_sequences,
     "fti_postings": fti_postings,
     "fti_search_bm25": fti_search_bm25,
+    "join_streams_windowed": join_streams_windowed,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
     # north-rule features: lineage checkpoint, skew salting, evolution
@@ -2877,6 +2941,7 @@ ORACLES = {
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
+    "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,

@@ -19,6 +19,7 @@ import os
 import time
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -212,22 +213,39 @@ class ShardStreamDatasource(Datasource):
     ends when the producer drops a sentinel file (EOF) and every owned
     shard is drained, or after ``idle_timeout_s`` with no arrivals.
 
+    MULTI-STREAM tails: ``shard_dir`` may be a LIST of directories
+    (several upstreams tailed as ONE Dataset — what a two-stream
+    windowed join needs, since Ray's ``union`` is order-preserving and
+    drains its inputs sequentially, so two live Datasets can never
+    interleave through it).  Every read task polls every directory;
+    within a task each directory's shards stay in sorted (gtid) order,
+    and ``tag_col`` (required for multi-dir) appends the directory's
+    index to every block so downstream can split sides / form
+    per-(task, stream) watermark sources.
+
     Assumes the shard directory is on storage visible to every worker
     (true for any lake deployment; single-node local paths in tests)."""
 
-    def __init__(self, shard_dir: str, pattern: str = "events-*.parquet",
+    def __init__(self, shard_dir, pattern: str = "events-*.parquet",
                  poll_interval_s: float = 0.1,
                  idle_timeout_s: float | None = 30.0,
-                 sentinel: str = "_STREAM_EOF"):
-        self.shard_dir = shard_dir
+                 sentinel: str = "_STREAM_EOF",
+                 tag_col: str | None = None):
+        self.shard_dirs = ([shard_dir] if isinstance(shard_dir, str)
+                           else list(shard_dir))
+        if len(self.shard_dirs) > 1 and not tag_col:
+            raise ValueError("multi-directory tails need tag_col so "
+                             "downstream can tell the streams apart")
         self.pattern = pattern
         self.poll_interval_s = poll_interval_s
         self.idle_timeout_s = idle_timeout_s
         self.sentinel = sentinel
+        self.tag_col = tag_col
 
     # --- Datasource interface -------------------------------------
     def get_name(self) -> str:
-        return f"ShardStream({os.path.basename(self.shard_dir)})"
+        return "ShardStream(%s)" % ",".join(
+            os.path.basename(d) for d in self.shard_dirs)
 
     def estimate_inmemory_data_size(self):
         return None  # unbounded
@@ -240,7 +258,8 @@ class ShardStreamDatasource(Datasource):
         from ray.data.datasource import ReadTask
 
         n = max(1, parallelism)
-        shard_dir, pattern = self.shard_dir, self.pattern
+        shard_dirs, pattern, tag_col = (self.shard_dirs, self.pattern,
+                                        self.tag_col)
         poll, idle, sentinel = (self.poll_interval_s, self.idle_timeout_s,
                                 self.sentinel)
 
@@ -254,50 +273,65 @@ class ShardStreamDatasource(Datasource):
                 except (pa.ArrowInvalid, OSError):
                     return None
 
+            def tag(t: pa.Table, d_idx: int) -> pa.Table:
+                if tag_col is None:
+                    return t
+                return t.append_column(
+                    tag_col, pa.array(np.full(len(t), d_idx),
+                                      type=pa.int64()))
+
+            def sweep(seen: set[str], d_idx: int):
+                """One pass over a directory's owned unseen shards, in
+                order; stops at the first in-flight (unreadable) one so
+                within-(task, dir) gtid order is preserved.  Returns
+                (tables, drained): drained=False iff an unreadable
+                shard blocked the sweep."""
+                files = sorted(glob.glob(
+                    os.path.join(shard_dirs[d_idx], pattern)))
+                out = []
+                for i, f in enumerate(files):
+                    if i % n != task_idx or f in seen:
+                        continue
+                    t = try_read(f)
+                    if t is None:
+                        return out, False
+                    seen.add(f)
+                    out.append(tag(t, d_idx))
+                return out, True
+
             def read_fn():
-                seen: set[str] = set()
+                seen: list[set[str]] = [set() for _ in shard_dirs]
                 last_new = time.monotonic()
                 while True:
-                    files = sorted(glob.glob(os.path.join(shard_dir, pattern)))
-                    fresh = [f for i, f in enumerate(files)
-                             if i % n == task_idx and f not in seen]
                     progressed = False
-                    for f in fresh:
-                        t = try_read(f)
-                        if t is None:
-                            # in-flight shard: stop the sweep HERE so
-                            # within-task gtid order is preserved
-                            # (later-sorted shards must not overtake it)
-                            break
-                        seen.add(f)
-                        last_new = time.monotonic()
-                        progressed = True
-                        yield t
-                    eof = os.path.exists(os.path.join(shard_dir, sentinel))
+                    drained_all = True
+                    for d_idx in range(len(shard_dirs)):
+                        tables, drained = sweep(seen[d_idx], d_idx)
+                        drained_all = drained_all and drained
+                        for t in tables:
+                            progressed = True
+                            last_new = time.monotonic()
+                            yield t
+                    eof = all(os.path.exists(os.path.join(d, sentinel))
+                              for d in shard_dirs)
                     if eof and not progressed:
-                        # final sweep: the producer is done, so an
+                        # final sweeps: the producers are done, so an
                         # unreadable shard can only be a torn copy —
                         # give it a grace period, then fail loudly
                         deadline = time.monotonic() + 5.0
                         while True:
-                            files = sorted(glob.glob(
-                                os.path.join(shard_dir, pattern)))
-                            tail = [f for i, f in enumerate(files)
-                                    if i % n == task_idx and f not in seen]
-                            stuck = None
-                            for f in tail:
-                                t = try_read(f)
-                                if t is None:
-                                    stuck = f
-                                    break
-                                seen.add(f)
-                                yield t
-                            if stuck is None:
+                            clean = True
+                            for d_idx in range(len(shard_dirs)):
+                                tables, drained = sweep(seen[d_idx], d_idx)
+                                clean = clean and drained
+                                for t in tables:
+                                    yield t
+                            if clean:
                                 return
                             if time.monotonic() > deadline:
                                 raise IOError(
-                                    f"shard {stuck} unreadable after "
-                                    f"stream EOF — torn producer write?")
+                                    "shard unreadable after stream EOF "
+                                    "— torn producer write?")
                             time.sleep(poll)
                     if (idle is not None and not progressed
                             and time.monotonic() - last_new > idle):
@@ -310,10 +344,11 @@ class ShardStreamDatasource(Datasource):
         return [ReadTask(make_read_fn(i), meta) for i in range(n)]
 
 
-def stream_events(shard_dir: str, pattern: str = "events-*.parquet",
+def stream_events(shard_dir, pattern: str = "events-*.parquet",
                   parallelism: int = 4, poll_interval_s: float = 0.1,
                   idle_timeout_s: float | None = 30.0,
-                  sentinel: str = "_STREAM_EOF"):
+                  sentinel: str = "_STREAM_EOF",
+                  tag_col: str | None = None):
     """An UNBOUNDED ``ray.data.Dataset`` over a live shard directory:
     blocks stream out of ``ShardStreamDatasource`` read tasks as shards
     arrive, under executor backpressure — compose with ``map_batches``
@@ -332,7 +367,7 @@ def stream_events(shard_dir: str, pattern: str = "events-*.parquet",
 
     return ray.data.read_datasource(
         ShardStreamDatasource(shard_dir, pattern, poll_interval_s,
-                              idle_timeout_s, sentinel),
+                              idle_timeout_s, sentinel, tag_col),
         override_num_blocks=parallelism,
     )
 

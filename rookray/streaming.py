@@ -522,3 +522,159 @@ def tumbling_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
             yield _closed_table(rest, key_col)
     finally:
         ray.kill(state, no_restart=True)
+
+
+@ray.remote
+class _JoinState:
+    """Open-window row buffer for the stream-stream join.  Unlike the
+    aggregate actors (which hold one partial per (window, key)), a
+    join must buffer the ROWS of both sides until the window closes —
+    state is bounded by windows-in-flight × rows-per-window, the
+    irreducible cost of stream-stream join semantics (this is why
+    every streaming engine requires a window/interval bound on
+    stream-stream joins: an unbounded join would buffer forever)."""
+
+    def __init__(self, window: int, lateness: int, n_sources: int):
+        self.window = int(window)
+        self.lateness = int(lateness)
+        self.n_sources = int(n_sources)
+        # (win, key) -> ([(t, v) left], [(t, v) right])
+        self.open: dict[tuple, tuple[list, list]] = {}
+        self.src_max: dict[str, int] = {}
+        self.late_dropped = 0
+
+    def _watermark(self) -> int:
+        if len(self.src_max) < self.n_sources:
+            return -(1 << 62)
+        return min(self.src_max.values())
+
+    def _closed(self, w: int) -> bool:
+        return w + self.window <= self._watermark() - self.lateness
+
+    def _pairs(self, w, k) -> list[tuple]:
+        left, right = self.open.pop((w, k))
+        left.sort()
+        right.sort()
+        return [(w, k, lt, lv, rt, rv)
+                for lt, lv in left for rt, rv in right]
+
+    def _close_ready(self) -> list[tuple]:
+        ready = sorted(p for p in self.open if self._closed(p[0]))
+        out = []
+        for wk in ready:
+            out.extend(self._pairs(*wk))
+        return out
+
+    def update(self, wins, keys, ts, vals, sides, max_t, src):
+        for w, k, t, v, s in zip(wins, keys, ts, vals, sides):
+            if self._closed(w):
+                self.late_dropped += 1
+                continue
+            slot = self.open.setdefault((int(w), k), ([], []))
+            slot[int(s)].append((int(t), float(v)))
+        self.src_max[src] = max(self.src_max.get(src, -(1 << 62)),
+                                int(max_t))
+        return self._close_ready()
+
+    def flush(self) -> tuple[list[tuple], int]:
+        out = []
+        for wk in sorted(self.open):
+            out.extend(self._pairs(*wk))
+        return out, self.late_dropped
+
+
+def _join_table(rows: list[tuple], key_col: str) -> pa.Table:
+    df = pd.DataFrame(rows, columns=["window_start", key_col, "l_ts",
+                                     "l_val", "r_ts", "r_val"])
+    return pa.Table.from_pandas(
+        df.astype({"window_start": np.int64, "l_ts": np.int64,
+                   "l_val": np.float64, "r_ts": np.int64,
+                   "r_val": np.float64}), preserve_index=False)
+
+
+def join_streams(ds: "ray.data.Dataset", window: int, ts_col: str,
+                 key_col: str, side_col: str,
+                 val_col: str | None = None, lateness: int = 0,
+                 n_sources: int = 2) -> Iterator[pa.Table]:
+    """Stream-stream INNER join within tumbling windows over TWO
+    unbounded upstreams tailed as ONE Dataset: every side-0 row pairs
+    with every side-1 row sharing its key inside the same ``window``
+    of ``ts_col``, and a window's pairs are EMITTED as soon as the
+    combined watermark (min over all (read task, stream) sources,
+    minus ``lateness``) passes its end — while both streams are still
+    producing.  rook has no two-stream operation (one binlog, one
+    thread); this is the capability a CDC deployment needs the moment
+    it tails two upstreams (orders × payments) and wants correlated
+    windows without landing both first.
+
+    ``ds`` must carry ``side_col`` ∈ {0, 1} — build it with the
+    multi-directory tail, ``stream_events([dir_l, dir_r],
+    tag_col="side")``: Ray's ``union`` is order-preserving and drains
+    its inputs sequentially, so two separate live Datasets can never
+    interleave — the two tails have to share one Datasource.
+
+    Yields ``(window_start, key, l_ts, l_val, r_ts, r_val)`` tables; a
+    final flush emits still-open windows at end-of-stream, with late
+    rows (behind watermark - lateness) dropped and counted loudly.
+
+    ``n_sources`` MUST equal (read parallelism) × 2 — each (task,
+    stream) pair is one watermark source, gtid-ordered within itself;
+    give each stream at least ``parallelism`` shards so every source
+    reports (a silent source delays closes until flush, it never
+    corrupts).  The map stage only tags + sorts rows (no
+    pre-aggregation is possible for a join — rows must survive to
+    pair); in-flight volume is governed by executor backpressure.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = ray.get_runtime_context().get_task_id() or "driver"
+        side = (batch.column(side_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        df = pd.DataFrame({
+            "t": batch.column(ts_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+            "k": batch.column(key_col).to_pandas(),
+            "v": (batch.column(val_col).to_numpy(zero_copy_only=False)
+                  .astype(np.float64) if val_col
+                  else np.ones(len(batch))),
+            "side": side,
+        })
+        # rows ride individually (no pre-aggregation): sort by (side,
+        # t) so piecewise-consumed sub-blocks carry monotone watermark
+        # stamps per (task, stream) source
+        df = (df.sort_values(["side", "t"], kind="mergesort")
+              .reset_index(drop=True))
+        df["w"] = (df["t"] // window) * window
+        df["src"] = np.where(df["side"] == 0, f"0:{src}", f"1:{src}")
+        return pa.Table.from_pandas(
+            df.astype({"t": np.int64, "v": np.float64, "w": np.int64}),
+            preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    state = _JoinState.remote(window, lateness, n_sources)
+    try:
+        for b in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            for src in pa.compute.unique(b.column("src")).to_pylist():
+                sb = b.filter(pa.compute.equal(b.column("src"), src))
+                closed = ray.get(state.update.remote(
+                    sb.column("w").to_pylist(),
+                    sb.column("k").to_pylist(),
+                    sb.column("t").to_pylist(),
+                    sb.column("v").to_pylist(),
+                    sb.column("side").to_pylist(),
+                    int(pa.compute.max(sb.column("t")).as_py()),
+                    src))
+                if closed:
+                    yield _join_table(closed, key_col)
+        rest, late = ray.get(state.flush.remote())
+        if late:
+            import logging
+            logging.getLogger("ray").warning(
+                "join_streams: dropped %d late rows (> %d ticks behind "
+                "the watermark)", late, lateness)
+        if rest:
+            yield _join_table(rest, key_col)
+    finally:
+        ray.kill(state, no_restart=True)

@@ -700,3 +700,86 @@ def test_window_sink_session_frontier(tmp_path):
         .sort_values(["key", "session_start"]).reset_index(drop=True))
     assert got["key"].tolist() == exp["key"].tolist()
     assert got["n_events"].tolist() == exp["n_events"].tolist()
+
+
+def test_join_streams_windowed(tmp_path):
+    """Stream-stream windowed INNER join: two live producers, pairs
+    emitted while BOTH streams still write (combined min-watermark),
+    each pair exactly once, union equals the batch join."""
+    import threading
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import join_streams
+
+    cfg_l = GenConfig(n_docs=25, n_events=500)
+    cfg_r = GenConfig(n_docs=25, n_events=500, noise_pct=15)
+    meta_l = write_shards(cfg_l, str(tmp_path / "sl"), n_shards=6)
+    meta_r = write_shards(cfg_r, str(tmp_path / "sr"), n_shards=6)
+    live_l, live_r = tmp_path / "ll", tmp_path / "lr"
+    live_l.mkdir(), live_r.mkdir()
+    writer_done = threading.Event()
+
+    def writer(files, live, delay):
+        for f in files:
+            shutil.copy(f, live / os.path.basename(f))
+            time.sleep(delay)
+        (live / "_STREAM_EOF").touch()
+
+    def writers():
+        a = threading.Thread(
+            target=writer, args=(meta_l["files"], live_l, 0.7))
+        b = threading.Thread(
+            target=writer, args=(meta_r["files"], live_r, 0.8))
+        a.start(), b.start()
+        a.join(), b.join()
+        writer_done.set()
+
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024  # tagged rows ~100 B: flush often
+    try:
+        threading.Thread(target=writers, daemon=True).start()
+        ds = stream_events([str(live_l), str(live_r)], parallelism=2,
+                           tag_col="side")
+        emitted = []
+        early = False
+        for tbl in join_streams(ds, window=100, ts_col="gtid",
+                                key_col="key", side_col="side",
+                                val_col="gtid", n_sources=4):
+            if not writer_done.is_set():
+                early = True
+            emitted.append(tbl)
+    finally:
+        ctx.target_max_block_size = saved
+
+    got = (pa.concat_tables(emitted).to_pandas()
+           .sort_values(["window_start", "key", "l_ts", "r_ts"])
+           .reset_index(drop=True))
+    assert early, "no window closed before both producers finished"
+    assert not got.duplicated(["window_start", "key", "l_ts",
+                               "r_ts"]).any()
+
+    # batch reference: full cross product per (window, key)
+    bl = pd.concat([pq.read_table(f).to_pandas() for f in meta_l["files"]])
+    br = pd.concat([pq.read_table(f).to_pandas() for f in meta_r["files"]])
+    for b in (bl, br):
+        b["w"] = (b["gtid"] // 100) * 100
+    exp = (bl[["w", "key", "gtid"]].rename(columns={"gtid": "l_ts"})
+           .merge(br[["w", "key", "gtid"]].rename(columns={"gtid": "r_ts"}),
+                  on=["w", "key"])
+           .rename(columns={"w": "window_start"})
+           .sort_values(["window_start", "key", "l_ts", "r_ts"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("window_start", "key", "l_ts", "r_ts"):
+        assert got[col].tolist() == exp[col].tolist(), col
+    # values rode along correctly (val_col = gtid here)
+    assert (got["l_val"].astype(np.int64) == got["l_ts"]).all()
+    assert (got["r_val"].astype(np.int64) == got["r_ts"]).all()
