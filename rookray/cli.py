@@ -152,6 +152,19 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_purge(args) -> int:
+    """Right-to-be-forgotten: physically expunge keys from state AND
+    history files (total vacuum of unreferenced state)."""
+    from rookray.pipeline import LakeTable
+
+    _ensure_ray(args.num_cpus)
+    keys = ([k for k in args.keys.split(",") if k] if args.keys
+            else [ln.strip() for ln in open(args.keys_file)
+                  if ln.strip()])
+    print(json.dumps(LakeTable(args.table).purge(keys)))
+    return 0
+
+
 def cmd_restore(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -234,6 +247,16 @@ def main(argv=None) -> int:
     bs.add_argument("--partitions", type=int, default=_C2.num_partitions)
     bs.add_argument("--num-cpus", type=int, default=None)
     bs.set_defaults(fn=cmd_bootstrap)
+
+    pg = sub.add_parser("purge", help="physically expunge keys from "
+                                      "state and history (GDPR)")
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--keys", default=None,
+                    help="comma-separated doc ids")
+    pg.add_argument("--keys-file", default=None,
+                    help="file with one doc id per line")
+    pg.add_argument("--num-cpus", type=int, default=None)
+    pg.set_defaults(fn=cmd_purge)
 
     rs = sub.add_parser("restore", help="roll the table back to a "
                                         "committed epoch (metadata-only)")

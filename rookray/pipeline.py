@@ -942,6 +942,124 @@ class LakeTable:
         sink.commit_manifest(self.root, manifest)
         return {"compacted": len(rows), "epoch": epoch}
 
+    def purge(self, doc_ids) -> dict:
+        """Right-to-be-forgotten: PHYSICALLY expunge keys from the
+        table and its history (the GDPR DELETE+VACUUM pair — distinct
+        from a tombstone delete, which removes a key from state but
+        leaves its bytes in immutable history files).
+
+        Two steps, each crash-safe:
+
+        1. Rewrite — only the hash-matching partitions are touched:
+           each affected partition's base + deltas resolve to current
+           state (deltas fold, so purged rows don't survive in
+           fragments), the keys filter out vectorized, and a fresh
+           epoch-tagged base lands; untouched partitions carry
+           forward.  Committed as a new epoch.
+        2. Vacuum — every state file NOT referenced by the new
+           manifest is deleted, whatever partition numbering it used
+           (a prior ``repartition()`` means a purged key's bytes may
+           sit in ANY historical file, so the vacuum must be total,
+           not per-partition).  Historical manifests stay (metadata
+           only — no payload); ``read(as_of=...)`` on a pre-purge
+           epoch now fails with the standard gc'd-snapshot error.
+
+        Watermarks are untouched, so REPLAYING old shards cannot
+        resurrect a purged key (events ≤ watermark skip); a genuinely
+        NEW upstream event for the key re-creates it — purge is
+        point-in-time, not a tombstone registry.  Derived stores can
+        NOT follow through the changefeed (diffing against the
+        pre-purge snapshot would need exactly the files the vacuum
+        destroyed) — each derived store purges directly
+        (``InvertedIndex.purge_docs``), mirroring how a Lucene
+        deployment deletes documents from the index itself.
+        """
+        keys = sorted(set(doc_ids))
+        m = self.manifest()
+        if not m:
+            raise ValueError("nothing committed yet — apply() first")
+        if not keys:
+            return {"purged_partitions": 0, "files_removed": 0,
+                    "epoch": int(m["epoch"])}
+        P = self._num_partitions(m)
+        parts = sorted(set(
+            partition_of(pa.array(keys, type=pa.string()), P).tolist()))
+        epoch = m["epoch"] + 1
+        frags = self._partition_fragments(m)
+        todo = {p: frags[p] for p in parts if p in frags}
+        keys_ref = ray.put(keys)
+        root = self.root
+
+        class PurgeWrite:
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from rookray.util import stable_table_hash
+                kset = pa.array(ray.get(keys_ref), type=pa.string())
+                out = []
+                for part in batch.column("part").to_pylist():
+                    state = _resolve_partition(root, *todo[int(part)])
+                    if state is None:
+                        continue
+                    keep = pc.invert(pc.is_in(state.column("doc_id"),
+                                              value_set=kset))
+                    filtered = state.filter(keep)
+                    path = sink.state_file(root, int(part), epoch)
+                    sink.atomic_write_parquet(filtered, path)
+                    out.append({
+                        "partition": int(part),
+                        "file": os.path.relpath(path, root),
+                        "rows": len(filtered),
+                        "content_hash": stable_table_hash(filtered),
+                    })
+                return pa.Table.from_pylist(out, schema=_COMPACT_SCHEMA)
+
+        pw = PurgeWrite()
+        pw.__name__ = "PurgeWrite"
+        rows = []
+        if todo:
+            rows = (ray.data.from_items([{"part": p} for p in sorted(todo)])
+                    .repartition(len(todo))
+                    .map_batches(pw, batch_format="pyarrow", batch_size=1,
+                                 concurrency=min(16, len(todo)))
+                    .take_all())
+        partitions = dict(m["partitions"])
+        purged_rows = 0
+        for row in rows:
+            pid = str(int(row["partition"]))
+            prev = partitions[pid]
+            purged_rows += int(prev["rows"]) - int(row["rows"])
+            partitions[pid] = {
+                "file": row["file"],
+                "delta_files": [],
+                "gtid_watermark": prev["gtid_watermark"],
+                "rows": int(row["rows"]),
+                "content_hash": row["content_hash"],
+                "events_applied": 0,
+            }
+        manifest = dict(m)
+        manifest["epoch"] = epoch
+        manifest["partitions"] = partitions
+        manifest["purge"] = {"keys": len(keys),
+                             "partitions": sorted(todo)}
+        sink.commit_manifest(self.root, manifest)
+
+        # total vacuum: nothing but the new manifest's files survives
+        referenced = set()
+        for p in partitions.values():
+            if p.get("file"):
+                referenced.add(os.path.join(self.root, p["file"]))
+            for d in p.get("delta_files", ()):
+                referenced.add(os.path.join(self.root, d))
+        removed = 0
+        state_dir = os.path.join(self.root, "state")
+        if os.path.isdir(state_dir):
+            for name in sorted(os.listdir(state_dir)):
+                path = os.path.join(state_dir, name)
+                if path not in referenced:
+                    os.unlink(path)
+                    removed += 1
+        return {"epoch": epoch, "purged_rows": int(purged_rows),
+                "purged_partitions": len(rows), "files_removed": removed}
+
     def repartition(self, new_partitions: int) -> dict:
         """Re-shard the committed state into a different partition
         count — the ONLY sanctioned way to change ``num_partitions``

@@ -1898,6 +1898,43 @@ ORDER BY term, doc_id
 """
 
 
+def cdc_purged_state(sf_dir: str) -> pd.DataFrame:
+    """GDPR purge over the replayed flagship: physically expunge the
+    first five doc ids (sorted) from state AND history, then dump the
+    residual state digest.  The oracle removes the same keys from the
+    SQL LWW replay — a purge that missed a row (or nuked a bystander)
+    is a hash mismatch.  History removal itself is pinned by pytest
+    (filesystem sweep, `tests/test_purge.py`)."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_purge_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    lake.apply(meta["files"][half:])
+    state = lake.state_table()
+    victims = sorted(state.column("doc_id").to_pylist())[:5]
+    lake.purge(victims)
+    out = lake.state_table().to_pandas()
+    return (out[["doc_id", "n_tok", "source"]]
+            .astype({"n_tok": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+CDC_PURGED_STATE_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE},
+victims AS (SELECT doc_id FROM win ORDER BY doc_id LIMIT 5)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source
+FROM win
+WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+ORDER BY doc_id
+"""
+
+
 def join_streams_windowed(sf_dir: str) -> pd.DataFrame:
     """Stream-stream windowed INNER join through the REAL streaming
     machinery: the events table is split into two live shard streams
@@ -2872,6 +2909,7 @@ QUERIES = {
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "fti_postings": fti_postings,
+    "cdc_purged_state": cdc_purged_state,
     "fti_search_bm25": fti_search_bm25,
     "join_streams_windowed": join_streams_windowed,
     "cdc_derived_index": cdc_derived_index,
@@ -2940,6 +2978,7 @@ ORACLES = {
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
+    "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,

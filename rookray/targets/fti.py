@@ -334,6 +334,92 @@ class InvertedIndex:
         return {"epoch": head_epoch, "refreshed": True,
                 "postings": int(postings)}
 
+    def purge_docs(self, doc_ids, lake_epoch: int | None = None) -> dict:
+        """GDPR follow-through for the index: physically remove every
+        posting of the given docs from every partition, then vacuum
+        unreferenced index files.  The changefeed cannot drive this
+        (``LakeTable.purge`` destroys the pre-purge snapshot the diff
+        would need), and a doc's terms are unknown without its before
+        image — so, like a Lucene delete-by-id, every posting
+        partition is swept with a vectorized doc filter.  Corpus stats
+        subtract exactly what was removed.  ``lake_epoch`` (default:
+        the lake's current epoch, i.e. the purge epoch) becomes the
+        index's new base so subsequent refreshes diff from a snapshot
+        that still exists."""
+        keys = sorted(set(doc_ids))
+        m = self.manifest()
+        if m is None:
+            raise ValueError(f"index at {self.root} has no committed state")
+        if lake_epoch is None:
+            lake_epoch = int(self.lake.manifest()["epoch"])
+        files = {int(p): rel for p, rel in m["files"].items()}
+        keys_ref = ray.put(keys)
+        root, ep = self.root, int(lake_epoch)
+
+        def sweep(batch: pa.Table) -> pa.Table:
+            kset = pa.array(ray.get(keys_ref), type=pa.string())
+            out = []
+            for p, rel in zip(batch.column("part").to_pylist(),
+                              batch.column("rel").to_pylist()):
+                t = pq.read_table(os.path.join(root, rel))
+                hit = pc.is_in(t.column("doc_id"), value_set=kset)
+                if not pc.any(hit).as_py():
+                    out.append({"part": int(p), "file": rel,
+                                "rows": len(t), "removed_len": 0,
+                                "gone": []})
+                    continue
+                gone = t.filter(hit)
+                kept = t.filter(pc.invert(hit))
+                new_rel = f"part-{int(p):05d}-epoch-{ep:06d}.parquet"
+                sink.atomic_write_parquet(kept,
+                                          os.path.join(root, new_rel))
+                out.append({
+                    "part": int(p), "file": new_rel, "rows": len(kept),
+                    "removed_len": int(pc.sum(gone.column("tf"))
+                                       .as_py() or 0),
+                    "gone": sorted(set(gone.column("doc_id")
+                                       .to_pylist()))})
+            return pa.Table.from_pylist(out, schema=pa.schema(
+                [("part", pa.int64()), ("file", pa.string()),
+                 ("rows", pa.int64()), ("removed_len", pa.int64()),
+                 ("gone", pa.list_(pa.string()))]))
+
+        rows = (ray.data.from_items(
+                    [{"part": p, "rel": rel}
+                     for p, rel in sorted(files.items())])
+                .map_batches(sweep, batch_format="pyarrow", batch_size=4)
+                .take_all())
+        removed_docs: set = set()
+        removed_len = 0
+        new_files = {}
+        for r in rows:
+            new_files[int(r["part"])] = r["file"]
+            removed_len += int(r["removed_len"])
+            removed_docs.update(r["gone"])
+        postings = sum(int(r["rows"]) for r in rows)
+        sink.atomic_write_json(
+            {"lake_epoch": int(lake_epoch),
+             "num_partitions": self.num_partitions,
+             "tokens_col": self.tokens_col,
+             "files": {str(p): rel for p, rel in sorted(new_files.items())},
+             "postings": int(postings),
+             "n_docs": int(m["n_docs"]) - len(removed_docs),
+             "total_len": int(m["total_len"]) - removed_len},
+            os.path.join(self.root, "fti.json"))
+        # vacuum: no index file outside the new manifest survives
+        referenced = {os.path.join(self.root, rel)
+                      for rel in new_files.values()}
+        swept = 0
+        for name in sorted(os.listdir(self.root)):
+            path = os.path.join(self.root, name)
+            if name.endswith(".parquet") and path not in referenced:
+                os.unlink(path)
+                swept += 1
+        return {"lake_epoch": int(lake_epoch),
+                "purged_docs": len(removed_docs),
+                "purged_postings": int(removed_len),
+                "files_removed": swept}
+
     # ------------------------------------------------------------- read
 
     def postings(self, terms) -> pa.Table:
