@@ -1998,6 +1998,41 @@ ORDER BY window_start, l.user_id, l_ts, r_ts
 """
 
 
+def zorder_scan_orders(sf_dir: str) -> pd.DataFrame:
+    """Z-order clustering + min/max data skipping (the Delta/Iceberg
+    OPTIMIZE ZORDER BY analog): rewrite orders clustered on the Morton
+    curve of (o_custkey, o_totalprice), then answer a 2D range scan
+    reading ONLY the files whose bounding box intersects the predicate
+    (file pruning asserted in tests — correctness never depends on the
+    curve, so the plain-SQL WHERE is an exact oracle)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from rookray.ops.zorder import zorder_scan, zorder_write
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    out = tempfile.mkdtemp(prefix="rookray_z_")
+    zorder_write(ds, ["o_custkey", "o_totalprice"], out, num_files=8)
+    got = zorder_scan(out, {"o_custkey": (20, 60),
+                            "o_totalprice": (50_000.0, 200_000.0)}
+                      ).to_pandas()
+    return (got.astype({"o_orderkey": np.int64, "o_custkey": np.int64,
+                        "o_totalprice": np.float64})
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+ZORDER_SCAN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_custkey BETWEEN 20 AND 60
+  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+ORDER BY o_orderkey
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -2912,6 +2947,7 @@ QUERIES = {
     "cdc_purged_state": cdc_purged_state,
     "fti_search_bm25": fti_search_bm25,
     "join_streams_windowed": join_streams_windowed,
+    "zorder_scan_orders": zorder_scan_orders,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
     # north-rule features: lineage checkpoint, skew salting, evolution
@@ -2981,6 +3017,7 @@ ORACLES = {
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
+    "zorder_scan_orders": ZORDER_SCAN_ORDERS_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,
     "pack_split_chunks": PACK_SPLIT_CHUNKS_SQL,
