@@ -2033,6 +2033,51 @@ ORDER BY o_orderkey
 """
 
 
+def dedup_stream_events(sf_dir: str) -> pd.DataFrame:
+    """Exactly-once delivery over an at-least-once tail: the events
+    table is written as overlapping live shards (each shard re-ships
+    the previous one's tail — the reconnect/replay overlap), streamed,
+    and deduped with the bounded watermark-evicted seen-set.  Result
+    must equal the plain distinct event set."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import dedup_stream
+
+    df = _pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"]
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="rookray_ds_")
+    cuts = np.linspace(0, len(df), 9).astype(int)
+    for i in range(8):
+        lo = max(0, cuts[i] - 200)  # 200-row replayed overlap
+        _pq.write_table(
+            pa.Table.from_pandas(df.iloc[lo:cuts[i + 1]],
+                                 preserve_index=False),
+            os.path.join(d, f"events-{i:05d}.parquet"))
+    open(os.path.join(d, "_STREAM_EOF"), "w").close()
+
+    out = []
+    for tbl in dedup_stream(stream_events(d, parallelism=2),
+                            id_col="event_id", ts_col="event_id",
+                            horizon=1 << 40, n_sources=2):
+        out.append(tbl.to_pandas())
+    res = pd.concat(out, ignore_index=True)
+    return (res.astype({"event_id": np.int64, "user_id": np.int64,
+                        "value": np.float64})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+DEDUP_STREAM_EVENTS_SQL = """
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+FROM events
+ORDER BY event_id
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -2947,6 +2992,7 @@ QUERIES = {
     "cdc_purged_state": cdc_purged_state,
     "fti_search_bm25": fti_search_bm25,
     "join_streams_windowed": join_streams_windowed,
+    "dedup_stream_events": dedup_stream_events,
     "zorder_scan_orders": zorder_scan_orders,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
@@ -3017,6 +3063,7 @@ ORACLES = {
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
+    "dedup_stream_events": DEDUP_STREAM_EVENTS_SQL,
     "zorder_scan_orders": ZORDER_SCAN_ORDERS_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,

@@ -30,6 +30,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -676,5 +677,110 @@ def join_streams(ds: "ray.data.Dataset", window: int, ts_col: str,
                 "the watermark)", late, lateness)
         if rest:
             yield _join_table(rest, key_col)
+    finally:
+        ray.kill(state, no_restart=True)
+
+
+@ray.remote
+class _DedupState:
+    """Watermark-evicted seen-set for exactly-once stream dedup.
+
+    State is bounded by the ids inside the dedup horizon (ids with
+    ``ts ≥ watermark − horizon``); older entries evict as the combined
+    watermark advances.  An id arriving from BEHIND the horizon cannot
+    be checked against evicted state — it is dropped and counted as
+    late (the allowed-lateness contract: within the horizon delivery
+    is exactly-once; beyond it, at-most-once, loudly)."""
+
+    def __init__(self, horizon: int, n_sources: int):
+        self.horizon = int(horizon)
+        self.n_sources = int(n_sources)
+        self.seen: dict = {}       # id -> ts
+        self.src_max: dict[str, int] = {}
+        self.late_dropped = 0
+        self.dup_dropped = 0
+
+    def _watermark(self) -> int:
+        if len(self.src_max) < self.n_sources:
+            return -(1 << 62)
+        return min(self.src_max.values())
+
+    def filter(self, ids, ts, max_t, src) -> list[bool]:
+        floor = self._watermark() - self.horizon
+        keep = []
+        for i, t in zip(ids, ts):
+            t = int(t)
+            if t < floor:
+                self.late_dropped += 1
+                keep.append(False)
+            elif i in self.seen:
+                self.dup_dropped += 1
+                keep.append(False)
+            else:
+                self.seen[i] = t
+                keep.append(True)
+        self.src_max[src] = max(self.src_max.get(src, -(1 << 62)),
+                                int(max_t))
+        floor = self._watermark() - self.horizon
+        if self.seen and floor > -(1 << 61):
+            self.seen = {i: t for i, t in self.seen.items() if t >= floor}
+        return keep
+
+    def stats(self) -> dict:
+        return {"open_ids": len(self.seen),
+                "dup_dropped": self.dup_dropped,
+                "late_dropped": self.late_dropped}
+
+
+def dedup_stream(ds: "ray.data.Dataset", id_col: str, ts_col: str,
+                 horizon: int, n_sources: int = 1
+                 ) -> Iterator[pa.Table]:
+    """Exactly-once delivery over an at-least-once stream: drop every
+    repeat of ``id_col`` whose first occurrence is within ``horizon``
+    ticks of ``ts_col`` behind the combined watermark — the dedup
+    stage a CDC tail needs the moment its upstream replays (shard
+    overlap re-present, reconnect re-reads, at-least-once brokers).
+    rook gets this implicitly from single-threaded ordered delivery
+    (MySQLReplicationStream.java:161-179); a parallel tail has to
+    rebuild it with bounded state.
+
+    Yields the surviving rows batch by batch (original schema).  The
+    seen-set holds ONLY ids inside the horizon — state is bounded by
+    (horizon × event rate), not stream length.  Ids arriving from
+    behind the horizon drop loudly (late: uncheckable against evicted
+    state).  Each batch's keep mask is decided by a single actor in
+    arrival order, so of N copies exactly the first survives.
+    """
+    state = _DedupState.remote(horizon, n_sources)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        src = ray.get_runtime_context().get_task_id() or "driver"
+        order = pc.sort_indices(batch, sort_keys=[(ts_col, "ascending")])
+        batch = batch.take(order)
+        return batch.append_column(
+            "_src", pa.array(np.full(len(batch), src, dtype=object)))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    try:
+        for b in stamped.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            for src in pc.unique(b.column("_src")).to_pylist():
+                sb = b.filter(pc.equal(b.column("_src"), src))
+                keep = ray.get(state.filter.remote(
+                    sb.column(id_col).to_pylist(),
+                    sb.column(ts_col).to_pylist(),
+                    int(pc.max(sb.column(ts_col)).as_py()),
+                    src))
+                out = sb.filter(pa.array(keep)).drop_columns(["_src"])
+                if len(out):
+                    yield out
+        st = ray.get(state.stats.remote())
+        if st["late_dropped"]:
+            import logging
+            logging.getLogger("ray").warning(
+                "dedup_stream: dropped %d late rows (behind the %d-tick "
+                "horizon — uncheckable against evicted state)",
+                st["late_dropped"], horizon)
     finally:
         ray.kill(state, no_restart=True)

@@ -783,3 +783,67 @@ def test_join_streams_windowed(tmp_path):
     # values rode along correctly (val_col = gtid here)
     assert (got["l_val"].astype(np.int64) == got["l_ts"]).all()
     assert (got["r_val"].astype(np.int64) == got["r_ts"]).all()
+
+
+def test_dedup_stream_exactly_once_bounded_state(tmp_path):
+    """At-least-once tail (shards replayed wholesale) → exactly-once
+    delivery: every gtid survives exactly once, equals the distinct
+    set, and the seen-state stays bounded by the horizon (eviction)."""
+    import threading
+    import time
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from rookray.source import stream_events
+    from rookray.streaming import _DedupState, dedup_stream
+
+    cfg = GenConfig(n_docs=20, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "staged"), n_shards=4)
+    live = tmp_path / "live"
+    live.mkdir()
+
+    def writer():
+        prev = None
+        for i, f in enumerate(meta["files"]):
+            shutil.copy(f, live / os.path.basename(f))
+            if prev is not None:
+                # replay the ENTIRE previous shard under a new name —
+                # the at-least-once overlap a reconnecting tail produces
+                shutil.copy(prev, live / f"events-replay-{i:05d}.parquet")
+            prev = f
+            time.sleep(0.3)
+        (live / "_STREAM_EOF").touch()
+
+    ctx = rd.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        threading.Thread(target=writer, daemon=True).start()
+        ds = stream_events(str(live), parallelism=2,
+                           pattern="events-*.parquet")
+        gtids = []
+        for out in dedup_stream(ds, id_col="gtid", ts_col="gtid",
+                                horizon=10_000, n_sources=2):
+            gtids.extend(out.column("gtid").to_pylist())
+    finally:
+        ctx.target_max_block_size = saved
+
+    assert sorted(gtids) == list(range(1, 401))  # exactly once, complete
+
+    # state bound: ids older than the horizon evict as the watermark
+    # advances (direct actor check — deterministic)
+    st = _DedupState.remote(horizon=100, n_sources=1)
+    for lo in range(0, 10_000, 1000):
+        ids = list(range(lo, lo + 1000))
+        keep = ray.get(st.filter.remote(ids, ids, lo + 999, "s"))
+        assert all(keep)
+    stats = ray.get(st.stats.remote())
+    assert stats["open_ids"] <= 101, stats  # horizon-bounded, not 10k
+    # a duplicate inside the horizon drops; one behind it drops as late
+    assert ray.get(st.filter.remote([9_950, 5], [9_950, 5],
+                                    9_999, "s")) == [False, False]
+    stats = ray.get(st.stats.remote())
+    assert stats["dup_dropped"] == 1 and stats["late_dropped"] == 1
+    ray.kill(st, no_restart=True)
