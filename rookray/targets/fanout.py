@@ -95,3 +95,76 @@ class Fanout:
         path = os.path.join(self.dead_letter_dir, f"{name}.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+
+class AtomicFanout(Fanout):
+    """Fan-out with a CROSS-TARGET consistent commit point.
+
+    Plain ``Fanout`` gives each target exactly-once delivery, but
+    between two child commits a reader joining target A against target
+    B sees A's new epoch next to B's old one.  rook has the same gap —
+    listeners are notified sequentially (one cache evicted, the next
+    not yet, MySQLReplicationStream.java:161-179) — and closes it only
+    by being single-threaded and in-process.  Here the closure is a
+    coordinator manifest: after every child has committed its epoch
+    for a round, one atomic JSON swap records ``{target → epoch}``,
+    and ``consistent_read`` serves every target AS OF its recorded
+    epoch (the children keep epoch history, so the snapshot stays
+    readable until their GC horizon).
+
+    Crash anywhere before the swap ⇒ readers keep the LAST consistent
+    set (children that already committed are simply ahead, invisible
+    to consistent readers); re-running ``apply`` is free — children
+    skip re-presented shards by watermark — and completes the swap.
+    A child FAILURE in a round leaves the coordinator manifest
+    untouched (no torn set is ever published); the dead-letter log
+    records the failure as usual.
+    """
+
+    def __init__(self, targets: dict[str, object], root: str,
+                 dead_letter_dir: str | None = None):
+        super().__init__(targets, dead_letter_dir)
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------- coordinator
+
+    def _coord_path(self) -> str:
+        return os.path.join(self.root, "atomic.json")
+
+    def consistent_epochs(self) -> dict | None:
+        """The last atomically-published ``{target: epoch}`` set."""
+        p = self._coord_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def apply(self, shard_paths: list[str], **kw) -> dict[str, dict]:
+        results = super().apply(shard_paths, **kw)
+        if not all(r["ok"] for r in results.values()):
+            return results  # no torn set: coordinator stays put
+        epochs = {}
+        for name, target in self.targets.items():
+            m = target.manifest() or {}
+            epochs[name] = int(m["epoch"])
+        from rookray import sink
+        prev = self.consistent_epochs() or {"seq": -1}
+        sink.atomic_write_json(
+            {"seq": int(prev["seq"]) + 1, "epochs": epochs},
+            self._coord_path())
+        return results
+
+    def consistent_read(self, name: str):
+        """The named target's state AS OF the last consistent commit —
+        joins across targets built from ``consistent_read`` calls are
+        cross-target consistent even while a new round is mid-flight."""
+        coord = self.consistent_epochs()
+        if coord is None:
+            raise ValueError(f"no consistent commit at {self.root} yet")
+        target = self.targets[name]
+        epoch = int(coord["epochs"][name])
+        cur = (target.manifest() or {}).get("epoch")
+        if cur == epoch:
+            return target.read()
+        return target.read(as_of=epoch)

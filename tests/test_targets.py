@@ -261,3 +261,67 @@ def test_cascade_cycle_guard(tmp_path):
     res = target.cascade(primary)
     assert res["ok"]["containers"] > 0
     assert "skipped" in res["a"] and "skipped" in res["b"]
+
+
+def test_atomic_fanout_consistent_cross_target_commit(tmp_path):
+    """The coordinator manifest publishes {target: epoch} only after
+    EVERY child committed a round: a crash (or failing child) between
+    child commits leaves consistent readers on the previous set; the
+    rerun completes the swap; consistent reads equal each other's
+    round even while children are ahead."""
+    import json
+
+    import pandas as pd
+
+    from rookray.gen import GenConfig, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.fanout import AtomicFanout
+
+    cfg = GenConfig(n_docs=30, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    a = LakeTable(str(tmp_path / "a"), CDCConfig(num_partitions=2))
+    b = LakeTable(str(tmp_path / "b"), CDCConfig(num_partitions=4))
+    fan = AtomicFanout({"a": a, "b": b}, str(tmp_path / "coord"))
+
+    r = fan.apply(meta["files"][:2])
+    assert all(x["ok"] for x in r.values())
+    c1 = fan.consistent_epochs()
+    assert c1["epochs"] == {"a": 0, "b": 0} and c1["seq"] == 0
+
+    # round 2: child a commits, child b FAILS → coordinator untouched
+    real_apply = b.apply
+    def boom(shards, **kw):
+        raise RuntimeError("b down")
+    b.apply = boom
+    r = fan.apply(meta["files"][1:3])
+    assert r["a"]["ok"] and not r["b"]["ok"]
+    assert fan.consistent_epochs() == c1  # no torn set published
+
+    # consistent readers: a is AHEAD (epoch 1 committed) but
+    # consistent_read serves its epoch-0 snapshot — the pair matches
+    # the first round exactly
+    sa = fan.consistent_read("a").to_pandas().sort_values("doc_id")
+    sb = fan.consistent_read("b").to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(sa.reset_index(drop=True),
+                                  sb.reset_index(drop=True))
+    assert (a.manifest()["epoch"], b.manifest()["epoch"]) == (1, 0)
+
+    # heal b, rerun the round: children skip re-presented work by
+    # watermark, the swap completes, and the new consistent pair is
+    # identical across targets again
+    b.apply = real_apply
+    r = fan.apply(meta["files"][1:3])
+    assert all(x["ok"] for x in r.values())
+    c2 = fan.consistent_epochs()
+    assert c2["seq"] == 1
+    sa = fan.consistent_read("a").to_pandas().sort_values("doc_id")
+    sb = fan.consistent_read("b").to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(sa.reset_index(drop=True),
+                                  sb.reset_index(drop=True))
+
+    # final round: full replay converges both to the oracle
+    fan.apply(meta["files"])
+    from rookray.gen import final_state
+    from tests.test_gen_oracle import assert_tables_equal
+    assert_tables_equal(a.state_table(), final_state(cfg))
+    assert_tables_equal(b.state_table(), final_state(cfg))
