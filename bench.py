@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "stats_quantiles",
     # round-3 wave 3: the five-way join composition
     "q5_local_supplier",
+    # round-3 wave 4: inverted index (incremental), stream-stream join,
+    # z-order scan, streaming exactly-once dedup
+    "fti_postings",
+    "join_streams_windowed",
+    "zorder_scan_orders",
+    "dedup_stream_events",
 ]
 
 
