@@ -1882,7 +1882,7 @@ def fti_postings(sf_dir: str) -> pd.DataFrame:
     lake.apply(meta["files"][half:])
     index.refresh()  # incremental: only the changefeed moves
     post = index.read().to_pandas()
-    post = post[post["term"] % 7 == 3]
+    post = post[post["term"] % 7 == 3][["term", "doc_id", "tf"]]
     return (post.sort_values(["term", "doc_id"], kind="mergesort")
             .reset_index(drop=True))
 
@@ -2075,6 +2075,46 @@ DEDUP_STREAM_EVENTS_SQL = """
 SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
 FROM events
 ORDER BY event_id
+"""
+
+
+def fti_search_phrase(sf_dir: str) -> pd.DataFrame:
+    """Positional-postings phrase query (the Lucene PhraseQuery
+    analog): docs whose token sequence contains the consecutive pair
+    (1921, 13713).  The pair is real by the generator's construction —
+    consecutive tokens differ by the golden-ratio stride mod vocab, so
+    13713 = (1921 + 2654435761) % 50257 follows every non-terminal
+    occurrence of 1921.  The oracle restates the match as a positional
+    self-join over the SQL LWW replay."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.fti import InvertedIndex
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_fti_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    index = InvertedIndex(lake, num_partitions=8)
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    index.refresh()
+    lake.apply(meta["files"][half:])
+    index.refresh()
+    return pd.DataFrame({"doc_id": index.search_phrase([1921, 13713])})
+
+
+FTI_SEARCH_PHRASE_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE},
+pos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         unnest(range(len(tokens))) AS p
+  FROM win
+)
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.term = 1921 AND b.term = 13713
+ORDER BY a.doc_id
 """
 
 
@@ -2991,6 +3031,7 @@ QUERIES = {
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "fti_search_bm25": fti_search_bm25,
+    "fti_search_phrase": fti_search_phrase,
     "join_streams_windowed": join_streams_windowed,
     "dedup_stream_events": dedup_stream_events,
     "zorder_scan_orders": zorder_scan_orders,
@@ -3062,6 +3103,7 @@ ORACLES = {
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
+    "fti_search_phrase": FTI_SEARCH_PHRASE_SQL,
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
     "dedup_stream_events": DEDUP_STREAM_EVENTS_SQL,
     "zorder_scan_orders": ZORDER_SCAN_ORDERS_SQL,

@@ -62,11 +62,13 @@ from rookray import sink
 __all__ = ["InvertedIndex"]
 
 POSTING_SCHEMA = pa.schema(
-    [("term", pa.int64()), ("doc_id", pa.string()), ("tf", pa.int64())])
+    [("term", pa.int64()), ("doc_id", pa.string()), ("tf", pa.int64()),
+     ("pos", pa.list_(pa.int32()))])  # 0-based positions → phrase queries
 
 _DELTA_SCHEMA = pa.schema(
     [("part", pa.int64()), ("term", pa.int64()), ("doc_id", pa.string()),
-     ("tf", pa.int64()), ("kind", pa.int64())])
+     ("tf", pa.int64()), ("pos", pa.list_(pa.int32())),
+     ("kind", pa.int64())])
 # kind: 0=retract 1=assert 2=corpus-stats side-channel (part=-1; `term`
 # carries the doc-count delta and `tf` the token-length delta, so the
 # BM25 corpus statistics ride the SAME single delta pass — no second
@@ -78,13 +80,16 @@ _MANIFEST_ROW_SCHEMA = pa.schema(
 
 
 def _explode_terms(tokens: pa.ChunkedArray | pa.Array, doc_ids: np.ndarray):
-    """Vectorized (doc, term) → tf explode over a batch of token lists.
+    """Vectorized (doc, term) → (tf, positions) explode over a batch
+    of token lists.
 
     One numpy pass: flatten all lists, repeat a per-row index by list
-    length, then count distinct (row, term) pairs via one ``np.unique``
-    over a packed 64-bit key (terms are int32 vocabulary ids < 2^31,
-    row indices < 2^31 per batch).  Null lists count as empty.
-    Returns (term:int64, doc_id:object, tf:int64) arrays.
+    length, then group (row, term) pairs via one stable argsort over a
+    packed 64-bit key (terms are int32 vocabulary ids < 2^31, row
+    indices < 2^31 per batch) — stability keeps each group's in-doc
+    positions ascending, so the positional postings come out sorted
+    for free.  Null lists count as empty.  Returns
+    (term:int64, doc_id:object, tf:int64, pos:ListArray<int32>).
     """
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
@@ -92,14 +97,24 @@ def _explode_terms(tokens: pa.ChunkedArray | pa.Array, doc_ids: np.ndarray):
              .to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False) \
              .astype(np.int64)
+    empty_pos = pa.array([], type=pa.list_(pa.int32()))
     if flat.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
-                np.empty(0, dtype=np.int64))
+                np.empty(0, dtype=np.int64), empty_pos)
     row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos_in_doc = (np.arange(flat.size, dtype=np.int64)
+                  - np.repeat(starts, lens)).astype(np.int32)
     key = (row << np.int64(32)) | flat
-    uk, tf = np.unique(key, return_counts=True)
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    uk, first, tf = np.unique(sk, return_index=True, return_counts=True)
+    offsets = np.concatenate([[0], np.cumsum(tf)]).astype(np.int32)
+    pos = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                   pa.array(pos_in_doc[order],
+                                            type=pa.int32()))
     term = uk & np.int64(0xFFFFFFFF)
-    return term, doc_ids[(uk >> np.int64(32))], tf.astype(np.int64)
+    return (term, doc_ids[(uk >> np.int64(32))], tf.astype(np.int64), pos)
 
 
 class _MergePostings:
@@ -131,6 +146,7 @@ class _MergePostings:
             "term": group.column("term").to_numpy(zero_copy_only=False),
             "doc_id": group.column("doc_id").to_numpy(zero_copy_only=False),
             "tf": group.column("tf").to_numpy(zero_copy_only=False),
+            "pos": group.column("pos").to_pylist(),
             "kind": group.column("kind").to_numpy(zero_copy_only=False),
         })
         prior_rel = self.prior_files.get(part)
@@ -140,7 +156,8 @@ class _MergePostings:
         else:
             prior = pd.DataFrame({"term": pd.Series([], dtype=np.int64),
                                   "doc_id": pd.Series([], dtype=object),
-                                  "tf": pd.Series([], dtype=np.int64)})
+                                  "tf": pd.Series([], dtype=np.int64),
+                                  "pos": pd.Series([], dtype=object)})
         # purge: every delta key (either kind) replaces the prior row
         tomb = delta[["term", "doc_id"]].drop_duplicates()
         if len(prior) and len(tomb):
@@ -148,7 +165,7 @@ class _MergePostings:
                                  indicator=True)
             prior = marked[marked["_merge"] == "left_only"] \
                 .drop(columns="_merge")
-        new = delta[delta["kind"] == 1][["term", "doc_id", "tf"]]
+        new = delta[delta["kind"] == 1][["term", "doc_id", "tf", "pos"]]
         out = (pd.concat([prior, new], ignore_index=True)
                .sort_values(["term", "doc_id"], kind="mergesort")
                .reset_index(drop=True))
@@ -215,7 +232,7 @@ class InvertedIndex:
                 return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
             change = batch.column("change").to_numpy(zero_copy_only=False)
             docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            frames = []
+            tabs = []
             side_len = {}
             for suf, kind in (("a", 0), ("b", 1)):
                 # a-side exists for delete/update, b-side for
@@ -226,26 +243,24 @@ class InvertedIndex:
                     continue
                 idx = np.flatnonzero(mask)
                 toks = batch.column(f"{tc}_{suf}").take(pa.array(idx))
-                term, doc, tf = _explode_terms(toks, docs[idx])
+                term, doc, tf, pos = _explode_terms(toks, docs[idx])
                 side_len[suf] = int(tf.sum())
-                frames.append(pd.DataFrame({
-                    "part": term % P, "term": term, "doc_id": doc,
-                    "tf": tf, "kind": np.full(len(term), kind,
-                                              dtype=np.int64)}))
+                tabs.append(pa.table(
+                    {"part": pa.array(term % P), "term": pa.array(term),
+                     "doc_id": pa.array(doc, type=pa.string()),
+                     "tf": pa.array(tf), "pos": pos,
+                     "kind": pa.array(np.full(len(term), kind,
+                                              dtype=np.int64))},
+                    schema=_DELTA_SCHEMA))
             # corpus-stats side channel (each changed doc hits exactly
             # one feed batch, so per-batch deltas sum globally)
             docs_delta = int((change == "insert").sum()
                              - (change == "delete").sum())
-            frames.append(pd.DataFrame({
-                "part": np.array([-1], dtype=np.int64),
-                "term": np.array([docs_delta], dtype=np.int64),
-                "doc_id": [""],
-                "tf": np.array([side_len["b"] - side_len["a"]],
-                               dtype=np.int64),
-                "kind": np.array([2], dtype=np.int64)}))
-            return pa.Table.from_pandas(
-                pd.concat(frames, ignore_index=True),
-                schema=_DELTA_SCHEMA, preserve_index=False)
+            tabs.append(pa.Table.from_pylist(
+                [{"part": -1, "term": docs_delta, "doc_id": "",
+                  "tf": side_len["b"] - side_len["a"], "pos": [],
+                  "kind": 2}], schema=_DELTA_SCHEMA))
+            return pa.concat_tables(tabs)
 
         return feed.map_batches(deltas, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -257,19 +272,18 @@ class InvertedIndex:
             if len(batch) == 0:
                 return pa.Table.from_pylist([], schema=_DELTA_SCHEMA)
             docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            term, doc, tf = _explode_terms(batch.column(tc), docs)
-            post = pd.DataFrame({"part": term % P, "term": term,
-                                 "doc_id": doc, "tf": tf,
-                                 "kind": np.ones(len(term), dtype=np.int64)})
-            stats = pd.DataFrame({
-                "part": np.array([-1], dtype=np.int64),
-                "term": np.array([len(batch)], dtype=np.int64),
-                "doc_id": [""],
-                "tf": np.array([int(tf.sum())], dtype=np.int64),
-                "kind": np.array([2], dtype=np.int64)})
-            return pa.Table.from_pandas(
-                pd.concat([post, stats], ignore_index=True),
-                schema=_DELTA_SCHEMA, preserve_index=False)
+            term, doc, tf, pos = _explode_terms(batch.column(tc), docs)
+            post = pa.table(
+                {"part": pa.array(term % P), "term": pa.array(term),
+                 "doc_id": pa.array(doc, type=pa.string()),
+                 "tf": pa.array(tf), "pos": pos,
+                 "kind": pa.array(np.ones(len(term), dtype=np.int64))},
+                schema=_DELTA_SCHEMA)
+            stats = pa.Table.from_pylist(
+                [{"part": -1, "term": len(batch), "doc_id": "",
+                  "tf": int(tf.sum()), "pos": [], "kind": 2}],
+                schema=_DELTA_SCHEMA)
+            return pa.concat_tables([post, stats])
 
         return self.lake.read().map_batches(explode, batch_format="pyarrow",
                                             zero_copy_batch=True)
@@ -496,6 +510,36 @@ class InvertedIndex:
                   .head(k).reset_index(drop=True))
         scores["rank"] = np.arange(1, len(scores) + 1, dtype=np.int64)
         return scores
+
+    def search_phrase(self, phrase) -> list[str]:
+        """Doc ids containing the EXACT consecutive token sequence —
+        the positional-postings query (Lucene PhraseQuery analog).
+        Reads only the phrase terms' posting partitions; per candidate
+        doc the match is a vectorized position-set walk: positions p
+        of ``phrase[0]`` with ``p+i`` present in ``phrase[i]``'s
+        positions for every i.  Cost is bounded by the rarest term's
+        posting list, never the corpus.  Sorted doc ids."""
+        phrase = [int(t) for t in phrase]
+        if not phrase:
+            return []
+        post = self.postings(sorted(set(phrase))).to_pandas()
+        if len(post) == 0:
+            return []
+        by_doc_term = {(d, t): np.asarray(p, dtype=np.int64)
+                       for t, d, p in zip(post["term"], post["doc_id"],
+                                          post["pos"])}
+        docs_of = post.groupby("term")["doc_id"].apply(set)
+        cand = set.intersection(*(docs_of.get(t, set()) for t in set(phrase)))
+        out = []
+        for d in sorted(cand):
+            hits = by_doc_term[(d, phrase[0])]
+            for i, t in enumerate(phrase[1:], 1):
+                if hits.size == 0:
+                    break
+                hits = hits[np.isin(hits + i, by_doc_term[(d, t)])]
+            if hits.size:
+                out.append(d)
+        return out
 
     def search_all(self, terms) -> list[str]:
         """Doc ids containing EVERY queried term (AND), sorted.  Cost
