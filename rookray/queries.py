@@ -2118,6 +2118,65 @@ ORDER BY a.doc_id
 """
 
 
+def join_streams_left(sf_dir: str) -> pd.DataFrame:
+    """LEFT-OUTER stream-stream windowed join: clicks without a
+    same-window purchase by the same user emit with a NULL right side
+    at window close (only decidable then — no earlier point proves the
+    right side stays empty, the inherent watermark delay of streaming
+    outer joins)."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import join_streams
+
+    df = _pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"]
+    ).to_pandas().sort_values("event_id")
+    root = tempfile.mkdtemp(prefix="rookray_jsl_")
+    dirs = []
+    for etype in ("click", "purchase"):
+        d = os.path.join(root, etype)
+        os.makedirs(d)
+        part = df[df["event_type"] == etype].reset_index(drop=True)
+        cuts = np.linspace(0, len(part), 5).astype(int)
+        for i in range(4):
+            _pq.write_table(
+                pa.Table.from_pandas(part.iloc[cuts[i]:cuts[i + 1]],
+                                     preserve_index=False),
+                os.path.join(d, f"events-{i:05d}.parquet"))
+        open(os.path.join(d, "_STREAM_EOF"), "w").close()
+        dirs.append(d)
+
+    ds = stream_events(dirs, parallelism=2, tag_col="side")
+    out = []
+    for tbl in join_streams(ds, window=500, ts_col="event_id",
+                            key_col="user_id", side_col="side",
+                            val_col="value", n_sources=4, how="left"):
+        out.append(tbl.to_pandas())
+    res = pd.concat(out, ignore_index=True)
+    res["user_id"] = res["user_id"].astype(np.int64)
+    res["r_ts"] = res["r_ts"].astype("Int64")
+    return (res[["window_start", "user_id", "l_ts", "r_ts"]]
+            .sort_values(["window_start", "user_id", "l_ts", "r_ts"])
+            .reset_index(drop=True))
+
+
+JOIN_STREAMS_LEFT_SQL = """
+WITH l AS (SELECT event_id, user_id FROM events
+           WHERE event_type = 'click'),
+     r AS (SELECT event_id, user_id FROM events
+           WHERE event_type = 'purchase')
+SELECT (l.event_id // 500) * 500 AS window_start, l.user_id,
+       l.event_id AS l_ts, r.event_id AS r_ts
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+                  AND l.event_id // 500 = r.event_id // 500
+ORDER BY window_start, l.user_id, l_ts, r_ts
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3033,6 +3092,7 @@ QUERIES = {
     "fti_search_bm25": fti_search_bm25,
     "fti_search_phrase": fti_search_phrase,
     "join_streams_windowed": join_streams_windowed,
+    "join_streams_left": join_streams_left,
     "dedup_stream_events": dedup_stream_events,
     "zorder_scan_orders": zorder_scan_orders,
     "cdc_derived_index": cdc_derived_index,
@@ -3105,6 +3165,7 @@ ORACLES = {
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "fti_search_phrase": FTI_SEARCH_PHRASE_SQL,
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
+    "join_streams_left": JOIN_STREAMS_LEFT_SQL,
     "dedup_stream_events": DEDUP_STREAM_EVENTS_SQL,
     "zorder_scan_orders": ZORDER_SCAN_ORDERS_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,

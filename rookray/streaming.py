@@ -535,10 +535,12 @@ class _JoinState:
     every streaming engine requires a window/interval bound on
     stream-stream joins: an unbounded join would buffer forever)."""
 
-    def __init__(self, window: int, lateness: int, n_sources: int):
+    def __init__(self, window: int, lateness: int, n_sources: int,
+                 how: str = "inner"):
         self.window = int(window)
         self.lateness = int(lateness)
         self.n_sources = int(n_sources)
+        self.how = how
         # (win, key) -> ([(t, v) left], [(t, v) right])
         self.open: dict[tuple, tuple[list, list]] = {}
         self.src_max: dict[str, int] = {}
@@ -556,6 +558,12 @@ class _JoinState:
         left, right = self.open.pop((w, k))
         left.sort()
         right.sort()
+        if not right and self.how == "left":
+            # left-outer: unmatched left rows emit with a null right —
+            # only decidable at window close (no earlier point proves
+            # the right side will stay empty), which is why streaming
+            # outer joins are inherently watermark-delayed
+            return [(w, k, lt, lv, None, None) for lt, lv in left]
         return [(w, k, lt, lv, rt, rv)
                 for lt, lv in left for rt, rv in right]
 
@@ -587,16 +595,18 @@ class _JoinState:
 def _join_table(rows: list[tuple], key_col: str) -> pa.Table:
     df = pd.DataFrame(rows, columns=["window_start", key_col, "l_ts",
                                      "l_val", "r_ts", "r_val"])
+    # r_ts/r_val stay nullable (Int64/float with NaN) for left-outer
     return pa.Table.from_pandas(
         df.astype({"window_start": np.int64, "l_ts": np.int64,
-                   "l_val": np.float64, "r_ts": np.int64,
+                   "l_val": np.float64, "r_ts": "Int64",
                    "r_val": np.float64}), preserve_index=False)
 
 
 def join_streams(ds: "ray.data.Dataset", window: int, ts_col: str,
                  key_col: str, side_col: str,
                  val_col: str | None = None, lateness: int = 0,
-                 n_sources: int = 2) -> Iterator[pa.Table]:
+                 n_sources: int = 2,
+                 how: str = "inner") -> Iterator[pa.Table]:
     """Stream-stream INNER join within tumbling windows over TWO
     unbounded upstreams tailed as ONE Dataset: every side-0 row pairs
     with every side-1 row sharing its key inside the same ``window``
@@ -653,7 +663,9 @@ def join_streams(ds: "ray.data.Dataset", window: int, ts_col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    state = _JoinState.remote(window, lateness, n_sources)
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    state = _JoinState.remote(window, lateness, n_sources, how)
     try:
         for b in partials.iter_batches(batch_format="pyarrow",
                                        batch_size=None):

@@ -847,3 +847,56 @@ def test_dedup_stream_exactly_once_bounded_state(tmp_path):
     stats = ray.get(st.stats.remote())
     assert stats["dup_dropped"] == 1 and stats["late_dropped"] == 1
     ray.kill(st, no_restart=True)
+
+
+def test_join_streams_left_outer(tmp_path):
+    """how='left': unmatched left rows emit with a null right side at
+    window close; matched pairs identical to the inner join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import join_streams
+
+    cfg_l = GenConfig(n_docs=25, n_events=400)
+    cfg_r = GenConfig(n_docs=25, n_events=400, noise_pct=30)
+    meta_l = write_shards(cfg_l, str(tmp_path / "sl"), n_shards=3)
+    meta_r = write_shards(cfg_r, str(tmp_path / "sr"), n_shards=3)
+    # pre-staged with EOF: same machinery, no live-timing flakiness
+    for d, meta in (("ll", meta_l), ("lr", meta_r)):
+        os.makedirs(tmp_path / d)
+        for f in meta["files"]:
+            shutil.copy(f, tmp_path / d / os.path.basename(f))
+        (tmp_path / d / "_STREAM_EOF").touch()
+
+    ds = stream_events([str(tmp_path / "ll"), str(tmp_path / "lr")],
+                       parallelism=2, tag_col="side")
+    got = []
+    for tbl in join_streams(ds, window=100, ts_col="gtid",
+                            key_col="key", side_col="side",
+                            val_col="gtid", n_sources=4, how="left"):
+        got.append(tbl.to_pandas())
+    got = (pd.concat(got, ignore_index=True)
+           .sort_values(["window_start", "key", "l_ts", "r_ts"])
+           .reset_index(drop=True))
+
+    bl = pd.concat([pq.read_table(f).to_pandas() for f in meta_l["files"]])
+    br = pd.concat([pq.read_table(f).to_pandas() for f in meta_r["files"]])
+    for b in (bl, br):
+        b["w"] = (b["gtid"] // 100) * 100
+    exp = (bl[["w", "key", "gtid"]].rename(columns={"gtid": "l_ts"})
+           .merge(br[["w", "key", "gtid"]].rename(columns={"gtid": "r_ts"}),
+                  on=["w", "key"], how="left")
+           .sort_values(["w", "key", "l_ts", "r_ts"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert got["l_ts"].tolist() == exp["l_ts"].tolist()
+    # null pattern matches the pandas left join exactly
+    assert (got["r_ts"].isna().to_numpy()
+            == exp["r_ts"].isna().to_numpy()).all()
+    gm, em = got[~got["r_ts"].isna()], exp[~exp["r_ts"].isna()]
+    assert gm["r_ts"].astype(np.int64).tolist() \
+        == em["r_ts"].astype(np.int64).tolist()
+    assert got["r_ts"].isna().sum() > 0, "no unmatched left rows — weak test"
