@@ -200,3 +200,59 @@ def cm_heavy_hitters(ds, col: str, threshold: int, width: int = 512,
     out = out[out["cnt"] >= threshold]
     return (out.sort_values("value").reset_index(drop=True)
             .astype({"cnt": np.int64}))
+
+
+def bottomk_sample(ds, col: str, k: int = 256, variant: int = 0
+                   ) -> pd.DataFrame:
+    """Deterministic bottom-k (KMV) sketch of ``col``: the k DISTINCT
+    values with the smallest 64-bit hash.  The hash order is a fixed
+    pseudo-random permutation of the value space, so the result is (a)
+    a uniform sample of the distinct values, (b) mergeable (union →
+    k smallest — commutative/associative/idempotent like the HLL
+    registers), and (c) EXACTLY oracle-checkable: the same hash exists
+    bit-for-bit in mod-2^64 SQL (``ORDER BY hash LIMIT k``), unlike a
+    randomized KLL/reservoir whose contents depend on RNG state.
+
+    Shape: each task emits ≤ k rows no matter how many it saw
+    (per-batch distinct + k-smallest partial); partials dedupe by hash
+    and the global k-smallest resolve with one bounded sort over
+    ≤ k × blocks rows.  Returns a DataFrame (rk, h, value) sorted by
+    hash rank, rk 1-based.
+
+    Estimators on top: :func:`bottomk_cardinality` (k-th minimum
+    value), and distinct-value quantiles via ``np.quantile`` over the
+    sample's values (the sample is uniform over DISTINCT values —
+    duplicates collapse by construction).
+    """
+    SIGN = np.uint64(1 << 63)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = _as_string(batch.column(col))
+        h = hash_strings(s, variant)
+        uh, idx = np.unique(h, return_index=True)  # sorted by hash
+        uh, idx = uh[:k], idx[:k]
+        # order-preserving signed mapping (xor the sign bit): Ray's
+        # groupby/sort round-trips int64 cleanly but pickles uint64
+        hs = (uh ^ SIGN).view(np.int64)
+        return pa.table({"h": pa.array(hs, type=pa.int64()),
+                         "value": s.take(pa.array(idx))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from ray.data.aggregate import Min
+    merged = (parts.groupby("h").aggregate(Min("value", alias_name="value"))
+              .sort("h").limit(k).to_pandas())
+    merged["h"] = (merged["h"].to_numpy(dtype=np.int64)
+                   .view(np.uint64) ^ SIGN)
+    merged["rk"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged[["rk", "h", "value"]]
+
+
+def bottomk_cardinality(sample: pd.DataFrame, k: int) -> float:
+    """KMV distinct-count estimate: with the k-th smallest of n
+    uniform hashes at position h_(k), n̂ = (k − 1)·2^64 / h_(k).
+    Exact when the sketch is unsaturated (fewer than k distinct)."""
+    if len(sample) < k:
+        return float(len(sample))
+    hk = float(sample["h"].iloc[k - 1])
+    return (k - 1) * float(2**64) / hk

@@ -2177,6 +2177,37 @@ ORDER BY window_start, l.user_id, l_ts, r_ts
 """
 
 
+def sketch_bottomk_orderkeys(sf_dir: str) -> pd.DataFrame:
+    """Deterministic bottom-k (KMV) sketch over lineitem.l_orderkey:
+    the 64 distinct keys with the smallest 64-bit hash — a mergeable
+    uniform sample of the distinct universe (cardinality estimator +
+    distinct-quantile sample).  Unlike a randomized reservoir, the
+    CONTENTS are exactly oracle-checkable: the same hash order exists
+    bit-for-bit in mod-2^64 SQL (``ORDER BY hash LIMIT k``)."""
+    from rookray.ops.sketch import bottomk_sample
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.cast(batch.column("l_orderkey"),
+                                      pa.string())})
+
+    out = bottomk_sample(ds.map_batches(to_str, batch_format="pyarrow"),
+                         "v", k=64)
+    return pd.DataFrame({"rk": out["rk"].astype(np.int64),
+                         "orderkey": out["value"].astype(np.int64)})
+
+
+SKETCH_BOTTOMK_SQL = f"""
+WITH u AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem),
+{hash_strings_ctes('u', 'v', 'v')}
+SELECT CAST(row_number() OVER (ORDER BY hh, v) AS BIGINT) AS rk,
+       CAST(v AS BIGINT) AS orderkey
+FROM hashed
+QUALIFY rk <= 64
+ORDER BY rk
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3113,6 +3144,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "sketch_cm_counters": sketch_cm_counters,
     "sketch_heavy_hitters": sketch_heavy_hitters,
+    "sketch_bottomk_orderkeys": sketch_bottomk_orderkeys,
 }
 
 ORACLES = {
@@ -3200,6 +3232,7 @@ ORACLES = {
     "sketch_hll_orderkeys": SKETCH_HLL_SQL,
     "sketch_cm_counters": SKETCH_CM_SQL,
     "sketch_heavy_hitters": SKETCH_HH_SQL,
+    "sketch_bottomk_orderkeys": SKETCH_BOTTOMK_SQL,
     # rows-only (non-SQL-expressible / approximate by design):
     # text_langid, dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
     # ann_ivfpq (quantization error is inherent to PQ),

@@ -85,3 +85,53 @@ def test_cm_heavy_hitters_empty_and_budget():
     with pytest.raises(ValueError, match="candidate_budget"):
         cm_heavy_hitters(ds, "v", threshold=1, width=4, depth=2,
                          candidate_budget=50)
+
+
+def test_bottomk_sample_merge_and_estimates():
+    """Bottom-k: contents equal the k hash-smallest distinct values
+    (order-of-arrival and partitioning invariant), the sketch merges
+    by union-then-truncate, the KMV cardinality estimate lands within
+    the 1/sqrt(k) band, and sample quantiles track exact distinct
+    quantiles."""
+    import ray.data as rd
+
+    from rookray.ops.sketch import bottomk_cardinality, bottomk_sample
+    from rookray.util import hash_strings
+
+    n, k = 50_000, 512
+    vals = [f"v-{i:07d}" for i in range(n)]
+    # duplicates must collapse: ship every value twice
+    ds = rd.from_items([{"s": v} for v in vals + vals[: n // 2]],
+                       override_num_blocks=32)
+    got = bottomk_sample(ds, "s", k=k)
+    assert len(got) == k
+
+    # reference: k smallest hashes over the distinct universe
+    import pyarrow as pa
+    h = hash_strings(pa.array(vals))
+    order = np.argsort(h)
+    assert got["h"].to_numpy(dtype=np.uint64).tolist() \
+        == h[order[:k]].tolist()
+    assert got["value"].tolist() == [vals[i] for i in order[:k]]
+
+    # partitioning invariance: a different block count, same sketch
+    again = bottomk_sample(rd.from_items(
+        [{"s": v} for v in reversed(vals)], override_num_blocks=7), "s", k=k)
+    assert again["value"].tolist() == got["value"].tolist()
+
+    # KMV estimate within ~3/sqrt(k) of the true distinct count
+    est = bottomk_cardinality(got, k)
+    assert abs(est - n) / n < 3 / np.sqrt(k), est
+
+    # distinct-value quantiles from the uniform sample: v-<i> values
+    # are uniform over [0, n), so sample quantiles track i-quantiles
+    ids = np.array(sorted(int(v[2:]) for v in got["value"]))
+    for q in (0.25, 0.5, 0.75):
+        assert abs(np.quantile(ids, q) - q * n) < n * 0.08
+
+    # unsaturated sketch is exact (and cardinality degenerates to len)
+    small = bottomk_sample(rd.from_items(
+        [{"s": f"x{i}" for i in range(3)} | {"s": f"x{i}"}
+         for i in range(3)], override_num_blocks=2), "s", k=64)
+    assert len(small) == 3
+    assert bottomk_cardinality(small, 64) == 3.0
