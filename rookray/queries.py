@@ -2208,6 +2208,57 @@ ORDER BY rk
 """
 
 
+def topk_stream_users(sf_dir: str) -> pd.DataFrame:
+    """Streaming per-window top-k (trending users): the events table
+    streamed through the unbounded tail, each 1000-event-id tumbling
+    window emitting its 5 busiest users as it closes — the oracle is
+    the batch window/rank recompute."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import topk_stream
+
+    df = _pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"]
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="rookray_tk_")
+    cuts = np.linspace(0, len(df), 7).astype(int)
+    for i in range(6):
+        _pq.write_table(
+            pa.Table.from_pandas(df.iloc[cuts[i]:cuts[i + 1]],
+                                 preserve_index=False),
+            os.path.join(d, f"events-{i:05d}.parquet"))
+    open(os.path.join(d, "_STREAM_EOF"), "w").close()
+
+    out = []
+    for tbl in topk_stream(stream_events(d, parallelism=2),
+                           window=1000, ts_col="event_id",
+                           key_col="user_id", k=5, n_sources=2):
+        out.append(tbl.to_pandas())
+    res = pd.concat(out, ignore_index=True)
+    res["user_id"] = res["user_id"].astype(np.int64)
+    return (res.sort_values(["window_start", "rank"])
+            .reset_index(drop=True))
+
+
+TOPK_STREAM_USERS_SQL = """
+WITH c AS (
+  SELECT (event_id // 1000) * 1000 AS window_start, user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events,
+       CAST(row_number() OVER (PARTITION BY window_start
+            ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+FROM c
+QUALIFY rank <= 5
+ORDER BY window_start, rank
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3125,6 +3176,7 @@ QUERIES = {
     "join_streams_windowed": join_streams_windowed,
     "join_streams_left": join_streams_left,
     "dedup_stream_events": dedup_stream_events,
+    "topk_stream_users": topk_stream_users,
     "zorder_scan_orders": zorder_scan_orders,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
@@ -3199,6 +3251,7 @@ ORACLES = {
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
     "join_streams_left": JOIN_STREAMS_LEFT_SQL,
     "dedup_stream_events": DEDUP_STREAM_EVENTS_SQL,
+    "topk_stream_users": TOPK_STREAM_USERS_SQL,
     "zorder_scan_orders": ZORDER_SCAN_ORDERS_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,

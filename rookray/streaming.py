@@ -796,3 +796,37 @@ def dedup_stream(ds: "ray.data.Dataset", id_col: str, ts_col: str,
                 st["late_dropped"], horizon)
     finally:
         ray.kill(state, no_restart=True)
+
+
+def topk_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
+                key_col: str, k: int, value_col: str | None = None,
+                lateness: int = 0, n_sources: int = 1
+                ) -> Iterator[pa.Table]:
+    """Per-window top-k keys over the unbounded stream (trending-keys
+    view): as each tumbling window closes, emit its k heaviest keys by
+    event count (ties broken by key ascending), exactly once, while
+    the stream still produces.
+
+    Pure composition over :func:`tumbling_stream`: a window's (key,
+    count) rows all close in the SAME update (window closure is a
+    property of the window alone), so the top-k selection is a local
+    transformation of each closed batch — no extra distributed state
+    beyond the open-window partials already bounded there.  Yields
+    ``(window_start, key, n_events, rank)``.
+    """
+    for tbl in tumbling_stream(ds, window, ts_col, key_col,
+                               value_col=value_col, lateness=lateness,
+                               n_sources=n_sources):
+        df = tbl.to_pandas()
+        out = []
+        for w, g in df.groupby("window_start"):
+            top = (g.sort_values(["n_events", key_col],
+                                 ascending=[False, True],
+                                 kind="mergesort").head(k).copy())
+            top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+            out.append(top)
+        res = pd.concat(out, ignore_index=True)
+        yield pa.Table.from_pandas(
+            res[["window_start", key_col, "n_events", "rank"]].astype(
+                {"window_start": np.int64, "n_events": np.int64,
+                 "rank": np.int64}), preserve_index=False)

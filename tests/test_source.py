@@ -900,3 +900,46 @@ def test_join_streams_left_outer(tmp_path):
     assert gm["r_ts"].astype(np.int64).tolist() \
         == em["r_ts"].astype(np.int64).tolist()
     assert got["r_ts"].isna().sum() > 0, "no unmatched left rows — weak test"
+
+
+def test_topk_stream_matches_batch_rank(tmp_path):
+    """Streaming per-window top-k equals the batch count+rank
+    recompute, each (window, rank) exactly once."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import topk_stream
+
+    cfg = GenConfig(n_docs=15, n_events=400)
+    meta = write_shards(cfg, str(tmp_path / "live"), n_shards=4)
+    (tmp_path / "live" / "_STREAM_EOF").touch()
+
+    got = []
+    for tbl in topk_stream(stream_events(str(tmp_path / "live"),
+                                         parallelism=2),
+                           window=100, ts_col="gtid", key_col="key",
+                           k=3, n_sources=2):
+        got.append(tbl.to_pandas())
+    got = (pd.concat(got, ignore_index=True)
+           .sort_values(["window_start", "rank"]).reset_index(drop=True))
+    assert not got.duplicated(["window_start", "rank"]).any()
+
+    batch = pd.concat([pq.read_table(f).to_pandas()
+                       for f in meta["files"]])
+    batch["w"] = (batch["gtid"] // 100) * 100
+    c = (batch.groupby(["w", "key"]).size().rename("n_events")
+         .reset_index())
+    exp = []
+    for w, g in c.groupby("w"):
+        top = (g.sort_values(["n_events", "key"],
+                             ascending=[False, True],
+                             kind="mergesort").head(3).copy())
+        top["rank"] = range(1, len(top) + 1)
+        exp.append(top)
+    exp = (pd.concat(exp, ignore_index=True)
+           .rename(columns={"w": "window_start"})
+           .sort_values(["window_start", "rank"]).reset_index(drop=True))
+    for col in ("window_start", "key", "n_events", "rank"):
+        assert got[col].tolist() == exp[col].tolist(), col
