@@ -165,6 +165,32 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_fti(args) -> int:
+    """Inverted-index operations: refresh (build or incremental),
+    term/phrase search, BM25 ranked search."""
+    from rookray.pipeline import LakeTable
+    from rookray.targets.fti import InvertedIndex
+
+    lake = LakeTable(args.table)
+    index = InvertedIndex(lake, name=args.name,
+                          num_partitions=args.partitions)
+    if args.action == "refresh":
+        _ensure_ray(args.num_cpus)
+        print(json.dumps(index.refresh()))
+    elif args.action == "search":
+        terms = [int(t) for t in args.terms.split(",") if t]
+        print(json.dumps({"docs": index.search_all(terms)}))
+    elif args.action == "phrase":
+        terms = [int(t) for t in args.terms.split(",") if t]
+        print(json.dumps({"docs": index.search_phrase(terms)}))
+    elif args.action == "bm25":
+        terms = [int(t) for t in args.terms.split(",") if t]
+        out = index.search_bm25(terms, k=args.k)
+        print(json.dumps({"ranked": out[["doc_id", "rank"]]
+                          .to_dict("records")}))
+    return 0
+
+
 def cmd_restore(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -247,6 +273,19 @@ def main(argv=None) -> int:
     bs.add_argument("--partitions", type=int, default=_C2.num_partitions)
     bs.add_argument("--num-cpus", type=int, default=None)
     bs.set_defaults(fn=cmd_bootstrap)
+
+    ft = sub.add_parser("fti", help="inverted index: refresh / "
+                                    "search / phrase / bm25")
+    ft.add_argument("action",
+                    choices=["refresh", "search", "phrase", "bm25"])
+    ft.add_argument("--table", required=True)
+    ft.add_argument("--name", default="fti")
+    ft.add_argument("--partitions", type=int, default=16)
+    ft.add_argument("--terms", default="",
+                    help="comma-separated token ids")
+    ft.add_argument("--k", type=int, default=10)
+    ft.add_argument("--num-cpus", type=int, default=None)
+    ft.set_defaults(fn=cmd_fti)
 
     pg = sub.add_parser("purge", help="physically expunge keys from "
                                       "state and history (GDPR)")
