@@ -168,3 +168,50 @@ class AtomicFanout(Fanout):
         if cur == epoch:
             return target.read()
         return target.read(as_of=epoch)
+
+
+def replay_dead_letters(fanout: Fanout) -> dict:
+    """Re-apply every dead-lettered epoch to its (presumably healed)
+    target — applies are idempotent (watermark-skip), so replaying a
+    shard set that partially succeeded is free.  Entries that now
+    succeed are dropped from the log; entries that fail again stay
+    (with a fresh record appended by the normal path).  Returns
+    per-target counts.  The operational closer of the dead-letter
+    story: rook's exception handler observes the loss
+    (ReplicationEventExceptionHandler.java:21-23) but nothing can
+    replay it — here the immutable shard files make replay a no-risk
+    retry."""
+    if not fanout.dead_letter_dir or not os.path.isdir(fanout.dead_letter_dir):
+        return {}
+    out: dict[str, dict] = {}
+    for name in sorted(os.listdir(fanout.dead_letter_dir)):
+        if not name.endswith(".jsonl"):
+            continue
+        tname = name[:-6]
+        target = fanout.targets.get(tname)
+        path = os.path.join(fanout.dead_letter_dir, name)
+        with open(path) as f:
+            records = [json.loads(ln) for ln in f if ln.strip()]
+        ok = failed = 0
+        keep = []
+        for rec in records:
+            if target is None:
+                keep.append(rec)
+                continue
+            try:
+                target.apply(rec["shards"])
+                ok += 1
+            except Exception as e:  # noqa: BLE001 — keep the record
+                rec["last_retry_error"] = repr(e)
+                keep.append(rec)
+                failed += 1
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in keep:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, path)
+        if not keep:
+            os.unlink(path)
+        out[tname] = {"replayed": ok, "still_failing": failed,
+                      "unregistered": target is None and len(keep) or 0}
+    return out

@@ -325,3 +325,46 @@ def test_atomic_fanout_consistent_cross_target_commit(tmp_path):
     from tests.test_gen_oracle import assert_tables_equal
     assert_tables_equal(a.state_table(), final_state(cfg))
     assert_tables_equal(b.state_table(), final_state(cfg))
+
+
+def test_dead_letter_replay_heals_target(tmp_path):
+    """A dead-lettered epoch replays to the healed target: state
+    converges to the oracle, the log drains; a still-broken target
+    keeps its records."""
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.fanout import Fanout, replay_dead_letters
+    from tests.test_gen_oracle import assert_tables_equal
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+
+    healthy_after = {"broken": True}
+
+    class Flaky:
+        def apply(self, shards, **kw):
+            if healthy_after["broken"]:
+                raise RuntimeError("sink down")
+            return lake.apply(shards)
+
+    fan = Fanout({"lake": Flaky()}, dead_letter_dir=str(tmp_path / "dl"))
+    r = fan.apply(meta["files"][:2])
+    assert not r["lake"]["ok"]
+    r = fan.apply(meta["files"])
+    assert not r["lake"]["ok"]
+    dl = tmp_path / "dl" / "lake.jsonl"
+    assert dl.exists() and len(dl.read_text().splitlines()) == 2
+
+    # still broken: replay keeps both records
+    rep = replay_dead_letters(fan)
+    assert rep["lake"] == {"replayed": 0, "still_failing": 2,
+                           "unregistered": 0}
+    assert len(dl.read_text().splitlines()) == 2
+
+    # heal, replay: both epochs apply (idempotent overlap), log drains
+    healthy_after["broken"] = False
+    rep = replay_dead_letters(fan)
+    assert rep["lake"]["replayed"] == 2 and rep["lake"]["still_failing"] == 0
+    assert not dl.exists()
+    assert_tables_equal(lake.state_table(), final_state(cfg))
