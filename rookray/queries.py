@@ -2158,7 +2158,10 @@ def join_streams_left(sf_dir: str) -> pd.DataFrame:
         out.append(tbl.to_pandas())
     res = pd.concat(out, ignore_index=True)
     res["user_id"] = res["user_id"].astype(np.int64)
-    res["r_ts"] = res["r_ts"].astype("Int64")
+    # unmatched-right sentinel: -1 (the changefeed's integer-null
+    # convention — the driver's value hash is dtype-sensitive and a
+    # nullable Int64 column would hash as float)
+    res["r_ts"] = res["r_ts"].fillna(-1).astype(np.int64)
     return (res[["window_start", "user_id", "l_ts", "r_ts"]]
             .sort_values(["window_start", "user_id", "l_ts", "r_ts"])
             .reset_index(drop=True))
@@ -2170,7 +2173,7 @@ WITH l AS (SELECT event_id, user_id FROM events
      r AS (SELECT event_id, user_id FROM events
            WHERE event_type = 'purchase')
 SELECT (l.event_id // 500) * 500 AS window_start, l.user_id,
-       l.event_id AS l_ts, r.event_id AS r_ts
+       l.event_id AS l_ts, COALESCE(r.event_id, -1) AS r_ts
 FROM l LEFT JOIN r ON l.user_id = r.user_id
                   AND l.event_id // 500 = r.event_id // 500
 ORDER BY window_start, l.user_id, l_ts, r_ts
@@ -2257,6 +2260,42 @@ FROM c
 QUALIFY rank <= 5
 ORDER BY window_start, rank
 """
+
+
+def cdc_patch_replay(sf_dir: str) -> pd.DataFrame:
+    """COLUMN-LEVEL CDC replay (partial updates / MINIMAL row images):
+    the flagship full-image stream is reduced to patch events carrying
+    ONLY each update's changed fields (+ a presence bitmask), then
+    folded with field-wise LWW — argmax per FIELD, still commutative,
+    so parallel replay converges.  Folding the derived patches must
+    reproduce the full-image replay byte-for-byte, so the flagship's
+    LWW SQL oracle verifies the column-level merge directly."""
+    import ray.data as rd
+
+    from rookray.gen import GenConfig, generate_events
+    from rookray.ops.patch import derive_patches, fold_patches
+
+    meta = flagship_stream()
+    cfg = GenConfig(**meta["config"])
+    tbl = generate_events(cfg)
+    keep = pc.and_(pc.equal(tbl.column("table"), "sequences"),
+                   pc.not_equal(tbl.column("server_id"), 999))
+    events = rd.from_arrow(tbl.filter(keep)).repartition(8)
+
+    fields = ["doc_id", "tokens", "n_tok", "source", "lang"]
+    state = fold_patches(derive_patches(events, fields), fields,
+                         num_partitions=16)
+    rows = state.to_pandas()
+    toks = rows["tokens"].map(
+        lambda v: int(np.asarray(v, dtype=np.int64).sum())
+        if v is not None and len(v) else 0)
+    out = pd.DataFrame({
+        "doc_id": rows["key"],
+        "n_tok": rows["n_tok"].astype(np.int64),
+        "source": rows["source"],
+        "token_sum": toks.astype(np.int64),
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
@@ -3171,6 +3210,7 @@ QUERIES = {
     "cdc_replay_sequences": cdc_replay_sequences,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
+    "cdc_patch_replay": cdc_patch_replay,
     "fti_search_bm25": fti_search_bm25,
     "fti_search_phrase": fti_search_phrase,
     "join_streams_windowed": join_streams_windowed,
@@ -3246,6 +3286,7 @@ ORACLES = {
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
+    "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "fti_search_phrase": FTI_SEARCH_PHRASE_SQL,
     "join_streams_windowed": JOIN_STREAMS_WINDOWED_SQL,
