@@ -166,7 +166,8 @@ def run_bench() -> dict:
     # single-box page-cache/writeback variance inflates one-shot
     # readings by up to 50%; the min is the steady-state number
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    skip_queries = os.environ.get("ROOKRAY_BENCH_SKIP_QUERIES") == "1"
+    for name in ([] if skip_queries else BENCH_QUERIES):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -184,7 +185,7 @@ def run_bench() -> dict:
 
     stream_sec = float("inf")
     n_windows = 0
-    for _ in range(2):
+    for _ in range(0 if skip_queries else 2):
         sdir = tempfile.mkdtemp(prefix="rookray_bench_stream_")
         for f in meta["files"]:
             os.symlink(f, os.path.join(sdir, os.path.basename(f)))
@@ -212,7 +213,7 @@ def run_bench() -> dict:
             "apply_sec": round(apply_sec, 3),
             "events_per_sec": round(n_events / apply_sec, 1),
         },
-        "streaming": {
+        "streaming": None if skip_queries else {
             "events": n_events,
             "sec": round(stream_sec, 3),
             "events_per_sec": round(n_events / stream_sec, 1),
@@ -231,7 +232,10 @@ def run_scaling() -> dict:
 
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   ROOKRAY_BENCH_EVENTS=scaling_events)
+                   ROOKRAY_BENCH_EVENTS=scaling_events,
+                   # scaling measures the APPLY only; the query suite
+                   # would quadruple each child's wall time for nothing
+                   ROOKRAY_BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

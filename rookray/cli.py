@@ -126,7 +126,8 @@ def cmd_compact(args) -> int:
     from rookray.pipeline import LakeTable
 
     _ensure_ray(args.num_cpus)
-    print(json.dumps(LakeTable(args.table).compact()))
+    print(json.dumps(LakeTable(args.table)
+                     .compact(min_deltas=args.min_deltas)))
     return 0
 
 
@@ -318,6 +319,9 @@ def main(argv=None) -> int:
 
     comp = sub.add_parser("compact", help="fold delta files into fresh bases")
     comp.add_argument("--table", required=True)
+    comp.add_argument("--min-deltas", type=int, default=1,
+                      help="size-tiered: only partitions with >= this "
+                           "many delta files rewrite")
     comp.add_argument("--num-cpus", type=int, default=None)
     comp.set_defaults(fn=cmd_compact)
 

@@ -905,16 +905,28 @@ class LakeTable:
 
     # ------------------------------------------------------- compaction
 
-    def compact(self, max_concurrency: int = 64) -> dict:
-        """Collapse each partition's base + deltas into a fresh base
-        (the Hudi-MOR compactor analog).  Runs as one parallel task per
-        partition; commits as a new epoch.  No-op without deltas."""
+    def compact(self, max_concurrency: int = 64,
+                min_deltas: int = 1) -> dict:
+        """Collapse partitions' base + deltas into fresh bases (the
+        Hudi-MOR compactor analog).  Runs as one parallel task per
+        selected partition; commits as a new epoch.  No-op without
+        deltas.
+
+        ``min_deltas`` makes compaction SIZE-TIERED: only partitions
+        carrying at least that many delta files rewrite — at 100 TB a
+        full compact rewrites every cold partition's base for nothing,
+        while hot partitions (skewed keys) accumulate deltas fastest
+        and are exactly the ones merge-on-read pays for.  Untouched
+        partitions keep their fragments readable as before."""
         m = self.manifest()
         if not self._has_deltas(m):
             return {"compacted": 0}
         epoch = m["epoch"] + 1
         frags = self._partition_fragments(m)
-        todo = {p: fr for p, fr in frags.items() if fr[1]}
+        todo = {p: fr for p, fr in frags.items()
+                if len(fr[1]) >= max(1, int(min_deltas))}
+        if not todo:
+            return {"compacted": 0}
         comp = _CompactPartition(self.root, epoch, todo)
         parts_ds = ray.data.from_items(
             [{"part": p} for p in sorted(todo)]

@@ -3,6 +3,7 @@ byte-identical state vs rewrite mode and the serial oracle."""
 
 import os
 
+import pandas as pd
 import pytest
 
 from rookray.gen import GenConfig, final_state, write_shards
@@ -83,3 +84,72 @@ def test_delta_requires_actor_path(tmp_path):
         LakeTable(str(tmp_path / "lake"),
                   CDCConfig(write_mode="delta", merge_strategy="groupby")
                   ).apply([])
+
+
+def test_size_tiered_compaction_only_rewrites_hot_partitions(tmp_path):
+    """compact(min_deltas=K): only partitions at/above the backlog
+    threshold rewrite (no cold-partition rewrites); merge-on-read
+    state stays byte-equal throughout; a later full compact folds the
+    rest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rookray.gen import GenConfig, final_state, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.schema import OP_INSERT, change_event_schema
+    from tests.test_gen_oracle import assert_tables_equal
+
+    cfg = GenConfig(n_docs=40, n_events=900)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "lake"),
+                     CDCConfig(num_partitions=4, write_mode="delta"))
+    lake.apply(meta["files"][:2])
+    lake.apply(meta["files"][1:])  # overlap: boundary txs complete
+
+    # one extra tiny epoch touching a single key → exactly one
+    # partition grows a deeper delta backlog
+    g = meta["gtid_max"] + 1
+    ev = pa.Table.from_pylist(
+        [dict(gtid=g, tx_id=g, seq_in_tx=0, tx_events=1, server_id=1,
+              db="rook", table="sequences", op=OP_INSERT, key="zz-hot",
+              before=None,
+              after={"doc_id": "zz-hot", "tokens": [7, 7, 7],
+                     "n_tok": 3, "source": "s0"})],
+        schema=change_event_schema())
+    hot_shard = str(tmp_path / "hot.parquet")
+    pq.write_table(ev, hot_shard)
+    lake.apply([hot_shard])
+
+    m = lake.manifest()
+    delta_counts = {p: len(v["delta_files"])
+                    for p, v in m["partitions"].items()}
+    kmax = max(delta_counts.values())
+    hot = [p for p, c in delta_counts.items() if c >= kmax]
+    assert len(hot) < len(delta_counts), delta_counts  # uneven backlog
+
+    expect = final_state(cfg).to_pandas()
+    expect = (pd.concat([expect, pd.DataFrame(
+        [{"doc_id": "zz-hot", "tokens": [7, 7, 7], "n_tok": 3,
+          "source": "s0"}])], ignore_index=True)
+        .sort_values("doc_id").reset_index(drop=True))
+    expect_tbl = pa.Table.from_pandas(
+        expect, schema=lake.state_table().schema, preserve_index=False)
+
+    r = lake.compact(min_deltas=kmax)
+    assert r["compacted"] == len(hot)
+    m2 = lake.manifest()
+    for p, c in delta_counts.items():
+        left = len(m2["partitions"][p]["delta_files"])
+        assert left == (0 if c >= kmax else c), (p, c, left)
+    assert_tables_equal(lake.state_table(), expect_tbl)
+
+    # threshold higher than any backlog: clean no-op, no new epoch
+    e = lake.manifest()["epoch"]
+    assert lake.compact(min_deltas=99)["compacted"] == 0
+    assert lake.manifest()["epoch"] == e
+
+    # full compact folds the remainder
+    lake.compact()
+    assert all(not v["delta_files"]
+               for v in lake.manifest()["partitions"].values())
+    assert_tables_equal(lake.state_table(), expect_tbl)
