@@ -2298,6 +2298,80 @@ def cdc_patch_replay(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion revenue by brand): lineitem joined
+    to the part DIMENSION via broadcast (ray.put once, vectorized
+    searchsorted lookup per batch — no shuffle for a small side),
+    revenue partially aggregated per batch so only |brands| rows per
+    task reach the final small groupby."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_brand", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    brands = pd.Categorical(part.column("p_brand").to_pandas())
+    side = ray.put({
+        "keys": pk[order],
+        "brand_code": brands.codes.astype(np.int64)[order],
+        "brand_names": list(brands.categories),
+        "is_promo": np.char.startswith(
+            part.column("p_type").to_pandas().to_numpy().astype(str),
+            "PROMO")[order],
+    })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(side)
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(s["keys"], k)
+        idx = np.clip(idx, 0, len(s["keys"]) - 1)
+        hit = s["keys"][idx] == k
+        rev = (batch.column("l_extendedprice")
+               .to_numpy(zero_copy_only=False)
+               * (1.0 - batch.column("l_discount")
+                  .to_numpy(zero_copy_only=False)))
+        code = s["brand_code"][idx]
+        promo = s["is_promo"][idx] & hit
+        n = len(s["brand_names"])
+        tot = np.bincount(code[hit], weights=rev[hit], minlength=n)
+        pr = np.bincount(code[promo], weights=rev[promo], minlength=n)
+        nz = np.flatnonzero(tot)
+        return pa.table({
+            "p_brand": pa.array([s["brand_names"][i] for i in nz]),
+            "promo_rev": pa.array(pr[nz]),
+            "total_rev": pa.array(tot[nz]),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("p_brand").sum(["promo_rev", "total_rev"])
+           .to_pandas())
+    agg = agg.rename(columns={"sum(promo_rev)": "promo_rev",
+                              "sum(total_rev)": "total_rev"})
+    out = pd.DataFrame({
+        "p_brand": agg["p_brand"],
+        "promo_rev_q": _q(agg["promo_rev"], 2),
+        "total_rev_q": _q(agg["total_rev"], 2),
+    })
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+Q14_PROMO_SQL = """
+SELECT p_brand,
+       CAST(floor(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END) * 100 + 0.5) AS BIGINT) AS promo_rev_q,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+           AS BIGINT) AS total_rev_q
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3155,6 +3229,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_local_supplier": q5_local_supplier,
+    "q14_promo_revenue": q14_promo_revenue,
     "join_customer_nation": join_customer_nation,
     "join_orders_segment": join_orders_segment,
     "join_events_asof": join_events_asof,
@@ -3253,6 +3328,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
+    "q14_promo_revenue": Q14_PROMO_SQL,
     "join_customer_nation": JOIN_CUSTOMER_NATION_SQL,
     "join_orders_segment": JOIN_ORDERS_SEGMENT_SQL,
     "join_events_asof": JOIN_EVENTS_ASOF_SQL,
