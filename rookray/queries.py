@@ -2372,6 +2372,61 @@ ORDER BY p_brand
 """
 
 
+def hll_stream_windows(sf_dir: str) -> pd.DataFrame:
+    """Per-window distinct-user sketching over the streamed events
+    table: each closing 2000-event-id window emits its HLL REGISTER
+    table exactly once — approximate counts, exactly-verifiable
+    contents (the oracle recomputes every register bit-for-bit from
+    the same mod-2^64 hash, per window)."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import hll_stream
+
+    df = _pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"]
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="rookray_hs_")
+    cuts = np.linspace(0, len(df), 5).astype(int)
+    for i in range(4):
+        _pq.write_table(
+            pa.Table.from_pandas(df.iloc[cuts[i]:cuts[i + 1]],
+                                 preserve_index=False),
+            os.path.join(d, f"events-{i:05d}.parquet"))
+    open(os.path.join(d, "_STREAM_EOF"), "w").close()
+
+    out = []
+    for tbl in hll_stream(stream_events(d, parallelism=2),
+                          window=2000, ts_col="event_id",
+                          col="user_id", p=12, n_sources=2):
+        out.append(tbl.to_pandas())
+    res = pd.concat(out, ignore_index=True)
+    return (res.astype(np.int64)
+            .sort_values(["window_start", "reg_idx"])
+            .reset_index(drop=True))
+
+
+HLL_STREAM_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT (event_id // 2000) * 2000 AS window_start,
+         CAST(user_id AS VARCHAR) AS v
+  FROM events
+),
+{hash_strings_ctes('u', 'v', 'window_start')}
+SELECT window_start,
+       CAST(hh // {1 << 52} AS BIGINT) AS reg_idx,
+       CAST(max(CASE WHEN hh % {1 << 52} = 0 THEN 53
+                ELSE 52 - (length(bin(CAST(hh % {1 << 52} AS BIGINT))) - 1)
+                END) AS BIGINT) AS reg
+FROM hashed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3292,6 +3347,7 @@ QUERIES = {
     "join_streams_left": join_streams_left,
     "dedup_stream_events": dedup_stream_events,
     "topk_stream_users": topk_stream_users,
+    "hll_stream_windows": hll_stream_windows,
     "zorder_scan_orders": zorder_scan_orders,
     "cdc_derived_index": cdc_derived_index,
     "cdc_evictions": cdc_evictions,
@@ -3369,6 +3425,7 @@ ORACLES = {
     "join_streams_left": JOIN_STREAMS_LEFT_SQL,
     "dedup_stream_events": DEDUP_STREAM_EVENTS_SQL,
     "topk_stream_users": TOPK_STREAM_USERS_SQL,
+    "hll_stream_windows": HLL_STREAM_SQL,
     "zorder_scan_orders": ZORDER_SCAN_ORDERS_SQL,
     "cdc_derived_index": CDC_DERIVED_INDEX_SQL,
     "pack_training_chunks": PACK_TRAINING_CHUNKS_SQL,

@@ -830,3 +830,130 @@ def topk_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
             res[["window_start", key_col, "n_events", "rank"]].astype(
                 {"window_start": np.int64, "n_events": np.int64,
                  "rank": np.int64}), preserve_index=False)
+
+
+@ray.remote
+class _HllWindowState:
+    """Open-window HLL register store: per (window, reg_idx) keep the
+    MAX rho — registers are idempotent maxes, so replayed partials and
+    arbitrary merge order cannot change a window's final registers.
+    State is bounded by open windows × 2^p."""
+
+    def __init__(self, window: int, lateness: int, n_sources: int):
+        self.window = int(window)
+        self.lateness = int(lateness)
+        self.n_sources = int(n_sources)
+        self.open: dict[int, dict[int, int]] = {}  # w -> {reg_idx: reg}
+        self.src_max: dict[str, int] = {}
+        self.late_dropped = 0
+
+    def _watermark(self) -> int:
+        if len(self.src_max) < self.n_sources:
+            return -(1 << 62)
+        return min(self.src_max.values())
+
+    def _closed(self, w: int) -> bool:
+        return w + self.window <= self._watermark() - self.lateness
+
+    def _close_ready(self) -> list[tuple]:
+        ready = sorted(w for w in self.open if self._closed(w))
+        out = []
+        for w in ready:
+            regs = self.open.pop(w)
+            out.extend((w, i, r) for i, r in sorted(regs.items()))
+        return out
+
+    def update(self, wins, idxs, rhos, max_t, src) -> list[tuple]:
+        for w, i, r in zip(wins, idxs, rhos):
+            if self._closed(w):
+                self.late_dropped += 1
+                continue
+            slot = self.open.setdefault(int(w), {})
+            i = int(i)
+            if r > slot.get(i, 0):
+                slot[i] = int(r)
+        self.src_max[src] = max(self.src_max.get(src, -(1 << 62)),
+                                int(max_t))
+        return self._close_ready()
+
+    def flush(self) -> tuple[list[tuple], int]:
+        out = [(w, i, r) for w in sorted(self.open)
+               for i, r in sorted(self.open[w].items())]
+        self.open.clear()
+        return out, self.late_dropped
+
+
+def hll_stream(ds: "ray.data.Dataset", window: int, ts_col: str,
+               col: str, p: int = 12, lateness: int = 0,
+               n_sources: int = 1) -> Iterator[pa.Table]:
+    """Per-window DISTINCT-count sketching over the unbounded stream:
+    as each tumbling window closes, emit its HyperLogLog REGISTER
+    table (window_start, reg_idx, reg) exactly once — approximate
+    counts with exactly-verifiable contents, the sketch family's
+    contract (`rookray.ops.sketch`) composed with the streaming
+    windows' watermark machinery.  Feed a window's rows to
+    ``rookray.ops.sketch.hll_estimate`` for the distinct estimate.
+
+    Per-batch partials collapse to ≤ 2^p register rows per open
+    window (idempotent maxes — replay-safe); the actor holds only
+    open windows' registers.
+    """
+    from rookray.util import hash_strings
+
+    bits = 64 - p
+    mask = np.uint64((1 << bits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = ray.get_runtime_context().get_task_id() or "driver"
+        t = batch.column(ts_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if not pa.types.is_string(v.type):
+            v = pc.cast(v, pa.string())
+        h = hash_strings(v)
+        idx = (h >> np.uint64(bits)).astype(np.int64)
+        w64 = h & mask
+        _, e = np.frexp(w64.astype(np.float64))
+        rho = np.where(w64 == 0, bits + 1, bits - (e - 1)).astype(np.int64)
+        df = pd.DataFrame({"w": (t // window) * window, "i": idx,
+                           "rho": rho, "t": t})
+        g = (df.groupby(["w", "i"], sort=False)
+             .agg(rho=("rho", "max"), max_t=("t", "max")).reset_index()
+             .sort_values("max_t"))
+        g["src"] = src
+        return pa.Table.from_pandas(g.astype(
+            {"w": np.int64, "i": np.int64, "rho": np.int64,
+             "max_t": np.int64}), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    state = _HllWindowState.remote(window, lateness, n_sources)
+
+    def table(rows):
+        df = pd.DataFrame(rows, columns=["window_start", "reg_idx", "reg"])
+        return pa.Table.from_pandas(df.astype(np.int64),
+                                    preserve_index=False)
+
+    try:
+        for b in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            for src in pc.unique(b.column("src")).to_pylist():
+                sb = b.filter(pc.equal(b.column("src"), src))
+                closed = ray.get(state.update.remote(
+                    sb.column("w").to_pylist(),
+                    sb.column("i").to_pylist(),
+                    sb.column("rho").to_pylist(),
+                    int(pc.max(sb.column("max_t")).as_py()), src))
+                if closed:
+                    yield table(closed)
+        rest, late = ray.get(state.flush.remote())
+        if late:
+            import logging
+            logging.getLogger("ray").warning(
+                "hll_stream: dropped %d late partials", late)
+        if rest:
+            yield table(rest)
+    finally:
+        ray.kill(state, no_restart=True)

@@ -943,3 +943,45 @@ def test_topk_stream_matches_batch_rank(tmp_path):
            .sort_values(["window_start", "rank"]).reset_index(drop=True))
     for col in ("window_start", "key", "n_events", "rank"):
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_hll_stream_windows_match_batch_registers(tmp_path):
+    """Per-window streaming HLL registers equal the batch sketch of
+    each window, and estimates land within the HLL error band."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rookray.ops.sketch import hll_estimate, hll_registers
+    from rookray.source import stream_events
+    from rookray.streaming import hll_stream
+
+    cfg = GenConfig(n_docs=200, n_events=2000)
+    meta = write_shards(cfg, str(tmp_path / "live"), n_shards=4)
+    (tmp_path / "live" / "_STREAM_EOF").touch()
+
+    got = []
+    for tbl in hll_stream(stream_events(str(tmp_path / "live"),
+                                        parallelism=2),
+                          window=1000, ts_col="gtid", col="key",
+                          p=12, n_sources=2):
+        got.append(tbl.to_pandas())
+    got = (pd.concat(got, ignore_index=True)
+           .sort_values(["window_start", "reg_idx"])
+           .reset_index(drop=True))
+    assert not got.duplicated(["window_start", "reg_idx"]).any()
+
+    batch = pd.concat([pq.read_table(f).to_pandas()
+                       for f in meta["files"]])
+    batch["w"] = (batch["gtid"] // 1000) * 1000
+    for w, g in batch.groupby("w"):
+        ds = rd.from_arrow(pa.table({"key": g["key"].to_numpy()}))
+        want = (hll_registers(ds, "key", p=12).to_pandas()
+                .sort_values("reg_idx").reset_index(drop=True))
+        mine = (got[got["window_start"] == w][["reg_idx", "reg"]]
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, want)
+        true = g["key"].nunique()
+        est = hll_estimate(mine, p=12)
+        assert abs(est - true) / true < 0.1, (w, est, true)
