@@ -1072,6 +1072,27 @@ class LakeTable:
         return {"epoch": epoch, "purged_rows": int(purged_rows),
                 "purged_partitions": len(rows), "files_removed": removed}
 
+    def export(self, out_dir: str, partition_col: str = "source",
+               as_of: int | None = None) -> dict:
+        """Hand the committed state off as a clean hive-partitioned
+        parquet dataset (``out_dir/<col>=<value>/*.parquet``) — the
+        training-consumption layout (resumable readers skip finished
+        partitions; no engine metadata rides along).  One distributed
+        pass via ``Dataset.write_parquet(partition_cols=...)``; meta
+        columns dropped.  Returns per-partition-value row counts."""
+        ds = self.read(as_of=as_of)
+        ds.write_parquet(out_dir, partition_cols=[partition_col])
+        import glob as _glob
+        counts = {}
+        for d in sorted(_glob.glob(os.path.join(
+                out_dir, f"{partition_col}=*"))):
+            val = os.path.basename(d).split("=", 1)[1]
+            rows = sum(pq.read_metadata(f).num_rows
+                       for f in _glob.glob(os.path.join(d, "*.parquet")))
+            counts[val] = rows
+        return {"partition_col": partition_col, "rows": sum(counts.values()),
+                "partitions": counts}
+
     def repartition(self, new_partitions: int) -> dict:
         """Re-shard the committed state into a different partition
         count — the ONLY sanctioned way to change ``num_partitions``

@@ -2427,6 +2427,36 @@ ORDER BY 1, 2
 """
 
 
+def cdc_export_by_source(sf_dir: str) -> pd.DataFrame:
+    """Training handoff: replay the flagship, EXPORT the state as a
+    hive-partitioned parquet dataset (source=<v>/ dirs — the layout a
+    training reader consumes and resumes over), then report per-value
+    row counts read back FROM THE EXPORTED FILES.  The oracle is the
+    SQL replay's group count — a mis-partitioned or dropped row breaks
+    the match."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_exp_")
+    lake = LakeTable(os.path.join(root, "lake"), CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(meta["files"])
+    r = lake.export(os.path.join(root, "out"), partition_col="source")
+    return (pd.DataFrame(
+        [{"source": k, "docs": int(v)}
+         for k, v in r["partitions"].items()])
+        .sort_values("source").reset_index(drop=True))
+
+
+CDC_EXPORT_BY_SOURCE_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE}
+SELECT source, CAST(count(*) AS BIGINT) AS docs
+FROM win GROUP BY source ORDER BY source
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3340,6 +3370,7 @@ QUERIES = {
     "cdc_replay_sequences": cdc_replay_sequences,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
+    "cdc_export_by_source": cdc_export_by_source,
     "cdc_patch_replay": cdc_patch_replay,
     "fti_search_bm25": fti_search_bm25,
     "fti_search_phrase": fti_search_phrase,
@@ -3418,6 +3449,7 @@ ORACLES = {
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
+    "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "fti_search_phrase": FTI_SEARCH_PHRASE_SQL,

@@ -2,6 +2,7 @@
 token-array equality of final lake state (the north-rule invariant)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -360,3 +361,36 @@ def test_restore_rolls_back_and_resumes(tmp_path, tmp_lake):
 
     with pytest.raises(ValueError, match="no committed epoch"):
         lake.restore(99)
+
+
+def test_export_hive_partitioned_roundtrip(tmp_path):
+    """export(): hive-partitioned parquet by a payload column, byte
+    round-trip of the state, no engine meta columns in the files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cfg = GenConfig(n_docs=30, n_events=500)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+    lake.apply(meta["files"])
+
+    out = str(tmp_path / "export")
+    r = lake.export(out, partition_col="source")
+    state = lake.state_table().to_pandas()
+    assert r["rows"] == len(state)
+    assert set(r["partitions"]) == set(state["source"].unique())
+
+    files = glob.glob(f"{out}/source=*/*.parquet")
+    assert files and all("/source=" in f for f in files)
+    back = pd.concat(
+        [pq.read_table(f).to_pandas().assign(
+            source=f.split("source=")[1].split("/")[0]) for f in files],
+        ignore_index=True)
+    assert "_gtid" not in back.columns  # clean handoff, no meta
+    a = state.sort_values("doc_id").reset_index(drop=True)
+    b = back.sort_values("doc_id").reset_index(drop=True)[a.columns]
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["source"].tolist() == b["source"].tolist()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert list(x) == list(y)
