@@ -2457,6 +2457,142 @@ FROM win GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------
+# Incrementally-maintained vector index (targets/vector.py): hashed
+# bag-of-tokens embeddings + SimHash LSH cells, ALL integer math — so
+# cell assignment, index contents, and even the multiprobe ANN search
+# are bit-exactly reproducible in SQL.  The oracle recomputes the
+# whole structure from the flagship change log.
+# ---------------------------------------------------------------------
+
+_VEC_QUERY_TOKENS = (5, 9, 13, 21, 21, 34, 55, 89)
+
+
+def _vec_embed_ctes() -> str:
+    """CTE chain: per-doc hashed-bag embedding dims ``vd(doc_id, d,
+    v)``, LSH ``cells(doc_id, cell)`` (empty docs → all-ones cell),
+    and exact integer ``score(doc_id, score)`` against the inlined
+    query vector — the SQL restatement of targets/vector.py's
+    embed_tokens / cells_of / search math."""
+    from rookray.targets.vector import (DIM, N_PLANES, _C1, _C2, _FNV,
+                                        _SALT, embed_tokens, plane_matrix)
+    planes = plane_matrix()
+    plane_rows = ", ".join(f"({p}, {d}, {int(planes[p, d])})"
+                           for p in range(N_PLANES) for d in range(DIM))
+    qv = embed_tokens(pa.array([list(_VEC_QUERY_TOKENS)],
+                               type=pa.list_(pa.int32())))[0]
+    q_rows = ", ".join(f"({d}, {int(qv[d])})" for d in range(DIM))
+    all_ones = (1 << N_PLANES) - 1
+    return f"""
+tok AS (SELECT doc_id, unnest(tokens) AS t FROM win),
+th0 AS (SELECT doc_id,
+        (CAST(t AS HUGEINT) * {_FNV} + {_SALT}) % {_M64}::HUGEINT AS z0
+        FROM tok),
+th1 AS (SELECT doc_id, {_mulmod64(_xorshift64('z0', 30), _C1)} AS z2 FROM th0),
+th2 AS (SELECT doc_id, {_mulmod64(_xorshift64('z2', 27), _C2)} AS z4 FROM th1),
+th AS (SELECT doc_id, {_xorshift64('z4', 31)} AS h FROM th2),
+vd AS (SELECT doc_id, CAST(h % {DIM} AS BIGINT) AS d,
+       CAST(SUM(CASE WHEN (CAST(h AS UBIGINT) >> 8) & 1 = 1
+                     THEN 1 ELSE -1 END) AS BIGINT) AS v
+       FROM th GROUP BY doc_id, d),
+planes(p, d, r) AS (VALUES {plane_rows}),
+dots AS (SELECT vd.doc_id, pl.p, SUM(pl.r * vd.v) AS dp
+         FROM vd JOIN planes pl ON pl.d = vd.d
+         GROUP BY vd.doc_id, pl.p),
+cellt AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+          AS cell FROM dots GROUP BY doc_id),
+cells AS (SELECT w.doc_id, coalesce(c.cell, {all_ones}) AS cell
+          FROM win w LEFT JOIN cellt c USING (doc_id)),
+qtab(d, qv) AS (VALUES {q_rows}),
+score AS (SELECT w.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS score
+          FROM win w LEFT JOIN
+          (SELECT vd.doc_id, SUM(q.qv * vd.v) AS sc
+           FROM vd JOIN qtab q ON q.d = vd.d GROUP BY vd.doc_id) s
+          USING (doc_id))
+"""
+
+
+def vecidx_search(sf_dir: str) -> pd.DataFrame:
+    """Multiprobe ANN search over the incrementally-maintained vector
+    index: replay the flagship in two epochs with an incremental
+    refresh between (the second refresh may only touch the
+    changefeed), then top-10 by exact integer inner product within the
+    query's Hamming-1 LSH cells.  The oracle recomputes embeddings,
+    cells, the probe set, and the scores bit-exactly in SQL — an ANN
+    search with an EXACT oracle, not a recall bound."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.vector import VectorIndex
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_vec_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    index = VectorIndex(lake, num_partitions=8)
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    index.refresh()
+    lake.apply(meta["files"][half:])
+    index.refresh()
+    return index.search(_VEC_QUERY_TOKENS, k=10, probe="hamming1")
+
+
+def _vecidx_search_sql() -> str:
+    from rookray.targets.vector import (N_PLANES, cells_of, embed_tokens)
+    # the probe set is data-independent (query tokens + seeded planes)
+    qv = embed_tokens(pa.array([list(_VEC_QUERY_TOKENS)],
+                               type=pa.list_(pa.int32())))
+    c = int(cells_of(qv)[0])
+    probe = sorted({c} | {c ^ (1 << p) for p in range(N_PLANES)})
+    return f"""
+WITH {_FLAGSHIP_LWW_CTE},
+{_vec_embed_ctes()}
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       AS rank
+FROM (SELECT s.doc_id, s.score FROM score s JOIN cells c USING (doc_id)
+      WHERE c.cell IN ({', '.join(str(c) for c in probe)}))
+ORDER BY rank LIMIT 10
+"""
+
+
+def vecidx_cells(sf_dir: str) -> pd.DataFrame:
+    """Global contents check of the vector index: per-LSH-cell doc
+    counts after the two-epoch incremental build.  A single stale
+    retraction or mis-celled assert breaks the match."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.vector import VectorIndex
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_vec_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    index = VectorIndex(lake, num_partitions=8)
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    index.refresh()
+    lake.apply(meta["files"][half:])
+    index.refresh()
+    t = index.read().to_pandas()
+    return (t.groupby("cell", as_index=False)
+            .agg(docs=("doc_id", "size"))
+            .astype({"cell": np.int64, "docs": np.int64})
+            .sort_values("cell").reset_index(drop=True))
+
+
+def _vecidx_cells_sql() -> str:
+    return f"""
+WITH {_FLAGSHIP_LWW_CTE},
+{_vec_embed_ctes()}
+SELECT cell, CAST(count(*) AS BIGINT) AS docs
+FROM cells GROUP BY cell ORDER BY cell
+"""
+
+
 _BM25_TERMS = (1921, 3613, 5010, 13713)  # df=6 terms of the seeded stream
 
 
@@ -3371,6 +3507,8 @@ QUERIES = {
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
+    "vecidx_search": vecidx_search,
+    "vecidx_cells": vecidx_cells,
     "cdc_patch_replay": cdc_patch_replay,
     "fti_search_bm25": fti_search_bm25,
     "fti_search_phrase": fti_search_phrase,
@@ -3450,6 +3588,8 @@ ORACLES = {
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
+    "vecidx_search": _vecidx_search_sql(),
+    "vecidx_cells": _vecidx_cells_sql(),
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
     "fti_search_bm25": FTI_SEARCH_BM25_SQL,
     "fti_search_phrase": FTI_SEARCH_PHRASE_SQL,
