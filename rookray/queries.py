@@ -2457,6 +2457,64 @@ FROM win GROUP BY source ORDER BY source
 """
 
 
+def cdc_route_tables(sf_dir: str) -> pd.DataFrame:
+    """Multi-table routing with a cross-table consistent commit: ONE
+    change stream maintains TWO lake tables (rook's per-table listener
+    routing, MySQLReplicationStream.java:161-179 — here each table is
+    a :class:`LakeTable` keyed by ``CDCConfig.table``), applied
+    through :class:`AtomicFanout` so readers never see one table's
+    epoch ahead of the other's.  Two overlapping epochs exercise the
+    watermark-skip path on both lakes; reads go through
+    ``consistent_read``.  Oracle: per-table LWW replay in SQL."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.targets.fanout import AtomicFanout
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_route_")
+    seq = LakeTable(os.path.join(root, "seq"), CDCConfig(
+        num_partitions=8, table="sequences",
+        ignored_server_ids=frozenset({999})))
+    noise = LakeTable(os.path.join(root, "noise"), CDCConfig(
+        num_partitions=4, table="ignored_entity"))
+    fan = AtomicFanout({"sequences": seq, "ignored_entity": noise},
+                       os.path.join(root, "fan"))
+    half = len(meta["files"]) // 2
+    fan.apply(meta["files"][:half + 1])
+    fan.apply(meta["files"][half:])
+    rows = []
+    for name in ("ignored_entity", "sequences"):
+        refs = fan.consistent_read(name).to_arrow_refs()
+        state = pa.concat_tables(ray.get(refs), promote_options="default")
+        toks = state.column("tokens").combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        rows.append({"tbl": name, "docs": len(state),
+                     "token_sum": int(flat.astype(np.int64).sum())
+                     if len(flat) else 0})
+    return pd.DataFrame(rows).astype(
+        {"docs": np.int64, "token_sum": np.int64})
+
+
+CDC_ROUTE_TABLES_SQL = f"""
+WITH ev AS (
+  SELECT "table" AS tbl, gtid, op, doc_id, tokens
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE ("table" = 'sequences' AND server_id <> 999)
+     OR "table" = 'ignored_entity'
+),
+win AS (
+  SELECT tbl, doc_id, tokens
+  FROM ev
+  QUALIFY row_number() OVER (PARTITION BY tbl, doc_id
+                             ORDER BY gtid DESC) = 1
+     AND op <> 2
+)
+SELECT tbl, CAST(count(*) AS BIGINT) AS docs,
+       CAST(coalesce(sum(list_aggregate(tokens, 'sum')), 0) AS BIGINT)
+       AS token_sum
+FROM win GROUP BY tbl ORDER BY tbl
+"""
+
+
 # ---------------------------------------------------------------------
 # Incrementally-maintained vector index (targets/vector.py): hashed
 # bag-of-tokens embeddings + SimHash LSH cells, ALL integer math — so
@@ -3507,6 +3565,7 @@ QUERIES = {
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
+    "cdc_route_tables": cdc_route_tables,
     "vecidx_search": vecidx_search,
     "vecidx_cells": vecidx_cells,
     "cdc_patch_replay": cdc_patch_replay,
@@ -3588,6 +3647,7 @@ ORACLES = {
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
+    "cdc_route_tables": CDC_ROUTE_TABLES_SQL,
     "vecidx_search": _vecidx_search_sql(),
     "vecidx_cells": _vecidx_cells_sql(),
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
