@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "join_streams_windowed",
     "zorder_scan_orders",
     "dedup_stream_events",
+    # round-3 wave 5: incremental vector index (multiprobe ANN search)
+    "vecidx_search",
 ]
 
 

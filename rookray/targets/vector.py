@@ -447,7 +447,9 @@ class VectorIndex:
         cand = pa.concat_tables(tabs)
         toks = pa.array([list(query_tokens)], type=pa.list_(pa.int32()))
         q = embed_tokens(toks, self.dim)[0]
-        vecs = np.asarray(cand.column("vec").to_pylist(), dtype=np.int64)
+        flat = pc.list_flatten(cand.column("vec").combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = flat.reshape(len(cand), self.dim)  # fixed-width lists
         scores = vecs @ q
         df = (pd.DataFrame({"doc_id": cand.column("doc_id")
                             .to_numpy(zero_copy_only=False),
