@@ -958,13 +958,21 @@ def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
     from rookray.ops.join import bucketed_join
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    # dimension sides read directly + broadcast (the ray.put pattern —
+    # a full Dataset per tiny dim costs ~1.5 s of executor overhead
+    # each at toy scale and buys nothing at 100 TB either: broadcast
+    # sides are driver-loaded by design)
+    import pyarrow.parquet as _pq
+    nation = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = _pq.read_table(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
     rkeys = set(region[region["r_name"] == "ASIA"]["r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     nat_keys = set(int(k) for k in nat["n_nationkey"])
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
     order = np.argsort(supp["s_suppkey"].to_numpy())
     supp_ref = _ray.put((
         supp["s_suppkey"].to_numpy().astype(np.int64)[order],
