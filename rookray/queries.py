@@ -2465,6 +2465,87 @@ FROM win GROUP BY source ORDER BY source
 """
 
 
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume orders): distributed per-batch
+    quantity pre-aggregation → one small groupby → HAVING filter
+    (the surviving key set is tiny BY CONSTRUCTION — that's what the
+    threshold means) → broadcast it, filter orders distributed, then
+    point-look-up the matched customers with the key filter pushed
+    into the parquet read.  No fact table is ever joined all-to-all:
+    the composition is pre-aggregate → semi-filter → point lookups.
+    Quantity sums are integral doubles (exact under any addition
+    order), so the oracle match is exact."""
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(s, inv, q)
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "qty": pa.array(s)})
+
+    agg = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_orderkey").aggregate(Sum("qty")))
+
+    def having(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(qty)").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(s > 300.0))
+
+    hot = (agg.map_batches(having, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    qty_of = dict(zip(hot["l_orderkey"].astype(np.int64),
+                      hot["sum(qty)"]))
+    keys = np.sort(hot["l_orderkey"].to_numpy(dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+        return batch.filter(pa.array(ks[idx] == ok)) if len(ks) \
+            else batch.slice(0, 0)
+
+    matched = (_read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_totalprice"])
+               .map_batches(pick_orders, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    cust = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in",
+                  sorted(set(matched["o_custkey"].astype(int))))]
+    ).to_pandas()
+    out = matched.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["totalprice_cents"] = _q(out["o_totalprice"], 2)
+    out["sum_qty"] = (out["o_orderkey"].map(qty_of)
+                      .to_numpy(dtype=np.float64).astype(np.int64))
+    return (out[["c_name", "o_orderkey", "totalprice_cents", "sum_qty"]]
+            .sort_values(["totalprice_cents", "o_orderkey"],
+                         ascending=[False, True], kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
+Q18_LARGE_ORDERS_SQL = """
+WITH h AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c_name, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM h
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
 def cdc_route_tables(sf_dir: str) -> pd.DataFrame:
     """Multi-table routing with a cross-table consistent commit: ONE
     change stream maintains TWO lake tables (rook's per-table listener
@@ -3574,6 +3655,7 @@ QUERIES = {
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
     "cdc_route_tables": cdc_route_tables,
+    "q18_large_orders": q18_large_orders,
     "vecidx_search": vecidx_search,
     "vecidx_cells": vecidx_cells,
     "cdc_patch_replay": cdc_patch_replay,
@@ -3656,6 +3738,7 @@ ORACLES = {
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
     "cdc_route_tables": CDC_ROUTE_TABLES_SQL,
+    "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "vecidx_search": _vecidx_search_sql(),
     "vecidx_cells": _vecidx_cells_sql(),
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
