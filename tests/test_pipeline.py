@@ -394,3 +394,42 @@ def test_export_hive_partitioned_roundtrip(tmp_path):
     assert a["source"].tolist() == b["source"].tolist()
     for x, y in zip(a["tokens"], b["tokens"]):
         assert list(x) == list(y)
+
+
+def test_snapshot_isolated_reads_during_apply(tmp_path):
+    """Readers racing a concurrent apply() must always see a complete
+    committed snapshot — either the pre-apply epoch or the post-apply
+    epoch, never a torn mix.  The atomic manifest swap + immutable
+    state files are the mechanism; this pins it under a real race."""
+    import threading
+
+    from rookray.util import stable_table_hash
+
+    cfg = GenConfig(n_docs=80, n_events=4000)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=8)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    lake.apply(meta["files"][:4])
+    h1 = stable_table_hash(lake.state_table())
+
+    done = threading.Event()
+
+    def run_apply():
+        try:
+            lake.apply(meta["files"][3:])  # overlap: watermark-skip
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run_apply, daemon=True)
+    t.start()
+    seen = []
+    while not done.is_set():
+        seen.append(stable_table_hash(lake.state_table()))
+    t.join(timeout=120)
+    assert done.is_set()
+    h2 = stable_table_hash(lake.state_table())
+    assert h2 != h1  # the second epoch really changed the state
+    assert seen, "no reads raced the apply"
+    bad = [h for h in seen if h not in (h1, h2)]
+    assert not bad, f"{len(bad)} torn reads of {len(seen)}"
+    # the final state is still the oracle state
+    assert_tables_equal(lake.state_table(), final_state(cfg))
