@@ -2505,15 +2505,21 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
 
     def pick_orders(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
+        if not len(ks):
+            return batch.slice(0, 0)
         ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
         idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
-        return batch.filter(pa.array(ks[idx] == ok)) if len(ks) \
-            else batch.slice(0, 0)
+        return batch.filter(pa.array(ks[idx] == ok))
 
     matched = (_read(sf_dir, "orders",
                      ["o_orderkey", "o_custkey", "o_totalprice"])
                .map_batches(pick_orders, batch_format="pyarrow",
                             zero_copy_batch=True).to_pandas())
+    if not len(matched):
+        return pd.DataFrame({"c_name": pd.Series([], dtype=object),
+                             "o_orderkey": pd.Series([], dtype=np.int64),
+                             "totalprice_cents": pd.Series([], dtype=np.int64),
+                             "sum_qty": pd.Series([], dtype=np.int64)})
     cust = _pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name"],

@@ -153,6 +153,8 @@ class _MergeVecs:
         self.prior_files = prior_files
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:  # map_groups empty-probe guard
+            return pa.Table.from_pylist([], schema=_MANIFEST_ROW_SCHEMA)
         part = int(group.column("part")[0].as_py())
         delta = pd.DataFrame({
             "cell": group.column("cell").to_numpy(zero_copy_only=False),
