@@ -2465,6 +2465,64 @@ FROM win GROUP BY source ORDER BY source
 """
 
 
+def _smt_truncate(batch: pa.Table) -> pa.Table:
+    """SMT: cap every document at its first 32 tokens (vectorized,
+    null-preserving — delete rows carry null payloads)."""
+    i_t = batch.schema.get_field_index("tokens")
+    i_n = batch.schema.get_field_index("n_tok")
+    toks = pc.list_slice(batch.column("tokens"), 0, 32)
+    n = pc.min_element_wise(
+        batch.column("n_tok"),
+        pa.scalar(32, type=batch.schema.field("n_tok").type),
+        skip_nulls=False)
+    return (batch.set_column(i_t, "tokens", toks)
+                 .set_column(i_n, "n_tok", n))
+
+
+def cdc_smt_replay(sf_dir: str) -> pd.DataFrame:
+    """Ingest-time single-message transform (the Debezium SMT analog;
+    rook's indexing interceptor hook, F7): replay the flagship with a
+    vectorized payload transform — truncate every doc to its first 32
+    tokens — applied INSIDE the normalize stage, before the shuffle
+    (so the transform also shrinks what moves).  Per-event transform ≡
+    transforming the LWW winners (row-local, deterministic), which is
+    how the SQL oracle restates it."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_smt_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1], transform=_smt_truncate)
+    lake.apply(meta["files"][half:], transform=_smt_truncate)
+    state = lake.state_table()
+    toks = state.column("tokens").combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(flat)])
+    bounds = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+    return pd.DataFrame({
+        "doc_id": state.column("doc_id").to_pylist(),
+        "n_tok": np.asarray(state.column("n_tok").to_pylist(),
+                            dtype=np.int64),
+        "token_sum": cum[bounds[1:]] - cum[bounds[:-1]],
+    })
+
+
+CDC_SMT_REPLAY_SQL = f"""
+WITH {_FLAGSHIP_LWW_CTE}
+SELECT doc_id,
+       CAST(least(n_tok, 32) AS BIGINT) AS n_tok,
+       CAST(coalesce(list_aggregate(tokens[1:32], 'sum'), 0) AS BIGINT)
+       AS token_sum
+FROM win
+"""
+
+
 def q18_large_orders(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18 shape (large-volume orders): distributed per-batch
     quantity pre-aggregation → one small groupby → HAVING filter
@@ -3662,6 +3720,7 @@ QUERIES = {
     "cdc_export_by_source": cdc_export_by_source,
     "cdc_route_tables": cdc_route_tables,
     "q18_large_orders": q18_large_orders,
+    "cdc_smt_replay": cdc_smt_replay,
     "vecidx_search": vecidx_search,
     "vecidx_cells": vecidx_cells,
     "cdc_patch_replay": cdc_patch_replay,
@@ -3745,6 +3804,7 @@ ORACLES = {
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
     "cdc_route_tables": CDC_ROUTE_TABLES_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
+    "cdc_smt_replay": CDC_SMT_REPLAY_SQL,
     "vecidx_search": _vecidx_search_sql(),
     "vecidx_cells": _vecidx_cells_sql(),
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
