@@ -2724,14 +2724,10 @@ score AS (SELECT w.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS score
 """
 
 
-def vecidx_search(sf_dir: str) -> pd.DataFrame:
-    """Multiprobe ANN search over the incrementally-maintained vector
-    index: replay the flagship in two epochs with an incremental
+def _vec_index_fixture():
+    """Flagship replay in two epochs with an incremental vector-index
     refresh between (the second refresh may only touch the
-    changefeed), then top-10 by exact integer inner product within the
-    query's Hamming-1 LSH cells.  The oracle recomputes embeddings,
-    cells, the probe set, and the scores bit-exactly in SQL — an ANN
-    search with an EXACT oracle, not a recall bound."""
+    changefeed) — the shared fixture behind both vecidx oracles."""
     import tempfile
     from rookray.pipeline import CDCConfig, LakeTable
     from rookray.targets.vector import VectorIndex
@@ -2747,7 +2743,17 @@ def vecidx_search(sf_dir: str) -> pd.DataFrame:
     index.refresh()
     lake.apply(meta["files"][half:])
     index.refresh()
-    return index.search(_VEC_QUERY_TOKENS, k=10, probe="hamming1")
+    return index
+
+
+def vecidx_search(sf_dir: str) -> pd.DataFrame:
+    """Multiprobe ANN search over the incrementally-maintained vector
+    index: top-10 by exact integer inner product within the query's
+    Hamming-1 LSH cells.  The oracle recomputes embeddings, cells, the
+    probe set, and the scores bit-exactly in SQL — an ANN search with
+    an EXACT oracle, not a recall bound."""
+    return _vec_index_fixture().search(_VEC_QUERY_TOKENS, k=10,
+                                       probe="hamming1")
 
 
 def _vecidx_search_sql() -> str:
@@ -2773,22 +2779,7 @@ def vecidx_cells(sf_dir: str) -> pd.DataFrame:
     """Global contents check of the vector index: per-LSH-cell doc
     counts after the two-epoch incremental build.  A single stale
     retraction or mis-celled assert breaks the match."""
-    import tempfile
-    from rookray.pipeline import CDCConfig, LakeTable
-    from rookray.targets.vector import VectorIndex
-    meta = flagship_stream()
-    root = tempfile.mkdtemp(prefix="rookray_vec_")
-    lake = LakeTable(root, CDCConfig(
-        num_partitions=16,
-        ignored_tables=frozenset({"ignored_entity"}),
-        ignored_server_ids=frozenset({999})))
-    index = VectorIndex(lake, num_partitions=8)
-    half = len(meta["files"]) // 2
-    lake.apply(meta["files"][:half + 1])
-    index.refresh()
-    lake.apply(meta["files"][half:])
-    index.refresh()
-    t = index.read().to_pandas()
+    t = _vec_index_fixture().read().to_pandas()
     return (t.groupby("cell", as_index=False)
             .agg(docs=("doc_id", "size"))
             .astype({"cell": np.int64, "docs": np.int64})

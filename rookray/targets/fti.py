@@ -117,6 +117,12 @@ def _explode_terms(tokens: pa.ChunkedArray | pa.Array, doc_ids: np.ndarray):
     return (term, doc_ids[(uk >> np.int64(32))], tf.astype(np.int64), pos)
 
 
+def _posting_gone_stats(gone: pa.Table) -> dict:
+    """Per-file removed-posting stats for the shared GDPR sweep."""
+    return {"removed_len": int(pc.sum(gone.column("tf")).as_py() or 0),
+            "gone": sorted(set(gone.column("doc_id").to_pylist()))}
+
+
 class _MergePostings:
     """Per-posting-partition merge task (one group per partition):
     read the prior partition file, drop every (term, doc_id) named by
@@ -360,49 +366,18 @@ class InvertedIndex:
         the lake's current epoch, i.e. the purge epoch) becomes the
         index's new base so subsequent refreshes diff from a snapshot
         that still exists."""
-        keys = sorted(set(doc_ids))
+        from rookray.targets.common import (sweep_doc_partitions,
+                                            vacuum_unreferenced)
         m = self.manifest()
         if m is None:
             raise ValueError(f"index at {self.root} has no committed state")
         if lake_epoch is None:
             lake_epoch = int(self.lake.manifest()["epoch"])
         files = {int(p): rel for p, rel in m["files"].items()}
-        keys_ref = ray.put(keys)
-        root, ep = self.root, int(lake_epoch)
-
-        def sweep(batch: pa.Table) -> pa.Table:
-            kset = pa.array(ray.get(keys_ref), type=pa.string())
-            out = []
-            for p, rel in zip(batch.column("part").to_pylist(),
-                              batch.column("rel").to_pylist()):
-                t = pq.read_table(os.path.join(root, rel))
-                hit = pc.is_in(t.column("doc_id"), value_set=kset)
-                if not pc.any(hit).as_py():
-                    out.append({"part": int(p), "file": rel,
-                                "rows": len(t), "removed_len": 0,
-                                "gone": []})
-                    continue
-                gone = t.filter(hit)
-                kept = t.filter(pc.invert(hit))
-                new_rel = f"part-{int(p):05d}-epoch-{ep:06d}.parquet"
-                sink.atomic_write_parquet(kept,
-                                          os.path.join(root, new_rel))
-                out.append({
-                    "part": int(p), "file": new_rel, "rows": len(kept),
-                    "removed_len": int(pc.sum(gone.column("tf"))
-                                       .as_py() or 0),
-                    "gone": sorted(set(gone.column("doc_id")
-                                       .to_pylist()))})
-            return pa.Table.from_pylist(out, schema=pa.schema(
-                [("part", pa.int64()), ("file", pa.string()),
-                 ("rows", pa.int64()), ("removed_len", pa.int64()),
-                 ("gone", pa.list_(pa.string()))]))
-
-        rows = (ray.data.from_items(
-                    [{"part": p, "rel": rel}
-                     for p, rel in sorted(files.items())])
-                .map_batches(sweep, batch_format="pyarrow", batch_size=4)
-                .take_all())
+        rows = sweep_doc_partitions(
+            self.root, files, doc_ids, int(lake_epoch),
+            [("removed_len", pa.int64()), ("gone", pa.list_(pa.string()))],
+            _posting_gone_stats)
         removed_docs: set = set()
         removed_len = 0
         new_files = {}
@@ -411,28 +386,32 @@ class InvertedIndex:
             removed_len += int(r["removed_len"])
             removed_docs.update(r["gone"])
         postings = sum(int(r["rows"]) for r in rows)
+        # every manifest parameter carries through from the COMMITTED
+        # manifest — a differently-constructed instance must not
+        # rewrite the index's geometry
         sink.atomic_write_json(
-            {"lake_epoch": int(lake_epoch),
-             "num_partitions": self.num_partitions,
-             "tokens_col": self.tokens_col,
+            {**m, "lake_epoch": int(lake_epoch),
              "files": {str(p): rel for p, rel in sorted(new_files.items())},
              "postings": int(postings),
              "n_docs": int(m["n_docs"]) - len(removed_docs),
              "total_len": int(m["total_len"]) - removed_len},
             os.path.join(self.root, "fti.json"))
-        # vacuum: no index file outside the new manifest survives
-        referenced = {os.path.join(self.root, rel)
-                      for rel in new_files.values()}
-        swept = 0
-        for name in sorted(os.listdir(self.root)):
-            path = os.path.join(self.root, name)
-            if name.endswith(".parquet") and path not in referenced:
-                os.unlink(path)
-                swept += 1
+        swept = vacuum_unreferenced(self.root, new_files.values())
         return {"lake_epoch": int(lake_epoch),
                 "purged_docs": len(removed_docs),
                 "purged_postings": int(removed_len),
                 "files_removed": swept}
+
+    def vacuum(self) -> int:
+        """Reclaim unreferenced index files (prior generations of
+        rewritten partitions, crash orphans toward epochs the lake has
+        moved past).  Explicit, never automatic — see
+        ``VectorIndex.vacuum`` for the rationale."""
+        from rookray.targets.common import vacuum_unreferenced
+        m = self.manifest()
+        if m is None:
+            return 0
+        return vacuum_unreferenced(self.root, m["files"].values())
 
     # ------------------------------------------------------------- read
 

@@ -40,7 +40,10 @@ changed doc's before-image tokens name the OLD cell (so the
 retraction lands in the right partition without any index lookup);
 the after-image yields the new ``(cell, vec)`` row.  Partition-local
 merge = drop every delta-named ``doc_id``, append the asserted rows —
-the same purge-then-index upsert, restated for vectors.
+the same purge-then-index upsert, restated for vectors.  A same-epoch
+re-refresh overwrites crash orphans; orphans toward an epoch the lake
+has moved past (and prior generations of rewritten partitions) are
+invisible to manifest-driven reads and reclaimed by ``vacuum()``.
 
 Search cost: ``probe="cell"`` reads one cell, ``probe="hamming1"``
 reads the query cell plus its ``n_planes`` bit-flip neighbors (the
@@ -140,6 +143,11 @@ def cells_of(vecs: np.ndarray, planes: np.ndarray | None = None) -> np.ndarray:
     dots = vecs @ planes.T                       # (n × n_planes)
     bits = (dots >= 0).astype(np.int64)
     return bits @ (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+
+def _gone_count(gone: pa.Table) -> dict:
+    """Per-file removed-row stats for the shared GDPR sweep."""
+    return {"gone": len(gone)}
 
 
 class _MergeVecs:
@@ -336,68 +344,51 @@ class VectorIndex:
             os.path.join(self.root, "vec.json"))
         return {"epoch": head_epoch, "refreshed": True, "rows": int(total)}
 
+    def vacuum(self) -> int:
+        """Reclaim unreferenced index files: prior generations of
+        rewritten partitions and crash orphans (a refresh that died
+        between partition writes and the manifest swap toward a lake
+        epoch the lake has since moved past leaves files no future
+        refresh overwrites).  Reads are manifest-driven so orphans are
+        invisible; this is the explicit space-reclaim call — the
+        index-side analog of the lake's ``gc``.  Not automatic: an
+        operator may roll the manifest back by hand, and prior
+        generations are what makes that recovery possible."""
+        from rookray.targets.common import vacuum_unreferenced
+        m = self.manifest()
+        if m is None:
+            return 0
+        return vacuum_unreferenced(self.root, m["files"].values())
+
     def purge_docs(self, doc_ids, lake_epoch: int | None = None) -> dict:
         """GDPR follow-through: physically remove the given docs'
         vectors from every partition, then vacuum unreferenced index
         files (same rationale as ``InvertedIndex.purge_docs`` — the
         changefeed cannot drive this because ``LakeTable.purge``
-        destroys the pre-purge snapshot a diff would need)."""
-        keys = sorted(set(doc_ids))
+        destroys the pre-purge snapshot a diff would need).  All
+        manifest parameters carry through from the COMMITTED manifest
+        (never from this instance — a differently-constructed instance
+        must not rewrite the index's geometry)."""
+        from rookray.targets.common import (sweep_doc_partitions,
+                                            vacuum_unreferenced)
         m = self.manifest()
         if m is None:
             raise ValueError(f"index at {self.root} has no committed state")
         if lake_epoch is None:
             lake_epoch = int(self.lake.manifest()["epoch"])
         files = {int(p): rel for p, rel in m["files"].items()}
-        keys_ref = ray.put(keys)
-        root, ep = self.root, int(lake_epoch)
-
-        def sweep(batch: pa.Table) -> pa.Table:
-            kset = pa.array(ray.get(keys_ref), type=pa.string())
-            out = []
-            for p, rel in zip(batch.column("part").to_pylist(),
-                              batch.column("rel").to_pylist()):
-                t = pq.read_table(os.path.join(root, rel))
-                hit = pc.is_in(t.column("doc_id"), value_set=kset)
-                if not pc.any(hit).as_py():
-                    out.append({"part": int(p), "file": rel,
-                                "rows": len(t), "gone": 0})
-                    continue
-                kept = t.filter(pc.invert(hit))
-                new_rel = f"part-{int(p):05d}-epoch-{ep:06d}.parquet"
-                sink.atomic_write_parquet(kept,
-                                          os.path.join(root, new_rel))
-                out.append({"part": int(p), "file": new_rel,
-                            "rows": len(kept),
-                            "gone": len(t) - len(kept)})
-            return pa.Table.from_pylist(out, schema=pa.schema(
-                [("part", pa.int64()), ("file", pa.string()),
-                 ("rows", pa.int64()), ("gone", pa.int64())]))
-
-        rows = (ray.data.from_items(
-                    [{"part": p, "rel": rel}
-                     for p, rel in sorted(files.items())])
-                .map_batches(sweep, batch_format="pyarrow", batch_size=4)
-                .take_all())
+        rows = sweep_doc_partitions(
+            self.root, files, doc_ids, int(lake_epoch),
+            [("gone", pa.int64())], _gone_count)
         new_files = {int(r["part"]): r["file"] for r in rows}
         gone = sum(int(r["gone"]) for r in rows)
         total = sum(int(r["rows"]) for r in rows)
         sink.atomic_write_json(
-            {"lake_epoch": int(lake_epoch),
-             "num_partitions": self.num_partitions,
-             "tokens_col": self.tokens_col,
-             "dim": self.dim, "n_planes": self.n_planes,
+            {**m, "lake_epoch": int(lake_epoch),
              "files": {str(p): rel for p, rel in sorted(new_files.items())},
              "rows": int(total)},
             os.path.join(self.root, "vec.json"))
-        referenced = {os.path.join(self.root, rel)
-                      for rel in new_files.values()}
-        swept = 0
-        for name in sorted(os.listdir(self.root)):
-            path = os.path.join(self.root, name)
-            if name.endswith(".parquet") and path not in referenced:
-                os.unlink(path)
-                swept += 1
+        swept = vacuum_unreferenced(self.root, new_files.values())
         return {"lake_epoch": int(lake_epoch), "purged_rows": gone,
                 "files_removed": swept}
 
@@ -428,6 +419,12 @@ class VectorIndex:
         m = self.manifest()
         if m is None:
             raise ValueError(f"index at {self.root} has no committed state")
+        if (int(m["dim"]) != self.dim
+                or int(m["n_planes"]) != self.n_planes):
+            raise ValueError(
+                f"index at {self.root} was built with dim={m['dim']}, "
+                f"n_planes={m['n_planes']}; this instance has "
+                f"dim={self.dim}, n_planes={self.n_planes}")
         cells = np.asarray(self.probe_cells(query_tokens, probe),
                            dtype=np.int64)
         files = {int(p): rel for p, rel in m["files"].items()}

@@ -422,8 +422,10 @@ def test_snapshot_isolated_reads_during_apply(tmp_path):
     t = threading.Thread(target=run_apply, daemon=True)
     t.start()
     seen = []
-    while not done.is_set():
+    while True:  # always take at least one read (apply may be fast)
         seen.append(stable_table_hash(lake.state_table()))
+        if done.is_set():
+            break
     t.join(timeout=120)
     assert done.is_set()
     h2 = stable_table_hash(lake.state_table())

@@ -183,3 +183,36 @@ def test_embed_and_cells_determinism_and_empty():
     # zero vector: all dots are 0 >= 0 → all bits set
     assert c[1] == (1 << plane_matrix().shape[0]) - 1
     assert (cells_of(embed_tokens(toks)) == c).all()
+
+
+def test_purge_via_mismatched_instance_keeps_geometry(tmp_path):
+    """purge_docs through a differently-constructed instance must
+    carry the COMMITTED manifest's geometry (num_partitions / dim /
+    n_planes), never the instance's — otherwise the next refresh
+    routes retractions to wrong partitions (silent stale rows)."""
+    cfg = GenConfig(n_docs=30, n_events=600, vocab=40)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+    lake.apply(meta["files"][:2])
+    VectorIndex(lake, num_partitions=8).refresh()
+    lake2 = LakeTable(str(tmp_path / "lake"))
+
+    # a second process constructs with DIFFERENT parameters
+    other = VectorIndex(lake2, num_partitions=4)
+    victims = VectorIndex(lake2, num_partitions=8).read() \
+        .column("doc_id").to_pylist()[:2]
+    other.purge_docs(victims)
+    m = other.manifest()
+    assert int(m["num_partitions"]) == 8  # committed geometry survives
+    # and the mismatch guard still fires on the next refresh attempt
+    lake.apply(meta["files"][1:])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different parameters"):
+        other.refresh()
+    # while a correctly-constructed instance refreshes cleanly and the
+    # incremental result over the UNCHANGED geometry equals a rebuild
+    # (purge doesn't fence future events — replayed victims re-create,
+    # exactly like LakeTable.purge)
+    good = VectorIndex(lake, num_partitions=8)
+    assert good.refresh()["refreshed"]
+    pd.testing.assert_frame_equal(_got(good), _expected(lake))
