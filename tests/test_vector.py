@@ -216,3 +216,30 @@ def test_purge_via_mismatched_instance_keeps_geometry(tmp_path):
     good = VectorIndex(lake, num_partitions=8)
     assert good.refresh()["refreshed"]
     pd.testing.assert_frame_equal(_got(good), _expected(lake))
+
+
+def test_vacuum_reclaims_prior_generations(tmp_path):
+    """After several refreshes, rewritten partitions leave prior
+    generations on disk (reads are manifest-driven, so they're
+    invisible); vacuum() reclaims exactly those, and the index state
+    is byte-identical before/after."""
+    import glob
+
+    cfg = GenConfig(n_docs=40, n_events=800, vocab=40)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+    index = VectorIndex(lake, num_partitions=4)
+    lake.apply(meta["files"][:2])
+    index.refresh()
+    lake.apply(meta["files"][1:])
+    index.refresh()
+
+    before = _got(index)
+    n_files = len(glob.glob(os.path.join(index.root, "*.parquet")))
+    n_ref = len(index.manifest()["files"])
+    assert n_files > n_ref  # prior generations really leaked
+    swept = index.vacuum()
+    assert swept == n_files - n_ref
+    assert len(glob.glob(os.path.join(index.root, "*.parquet"))) == n_ref
+    pd.testing.assert_frame_equal(_got(index), before)
+    assert index.vacuum() == 0  # idempotent
