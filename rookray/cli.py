@@ -192,6 +192,36 @@ def cmd_fti(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    """Operational snapshot from the committed manifest — no Ray
+    session, no data files opened."""
+    from rookray.pipeline import LakeTable
+
+    print(json.dumps(LakeTable(args.table).metrics(), indent=1))
+    return 0
+
+
+def cmd_vec(args) -> int:
+    """Vector-index operations: refresh (build or incremental),
+    multiprobe ANN search, space reclaim."""
+    from rookray.pipeline import LakeTable
+    from rookray.targets.vector import VectorIndex
+
+    lake = LakeTable(args.table)
+    index = VectorIndex(lake, name=args.name,
+                        num_partitions=args.partitions)
+    if args.action == "refresh":
+        _ensure_ray(args.num_cpus)
+        print(json.dumps(index.refresh()))
+    elif args.action == "search":
+        tokens = [int(t) for t in args.tokens.split(",") if t]
+        out = index.search(tokens, k=args.k, probe=args.probe)
+        print(json.dumps({"ranked": out.to_dict("records")}))
+    elif args.action == "vacuum":
+        print(json.dumps({"files_removed": index.vacuum()}))
+    return 0
+
+
 def cmd_restore(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -287,6 +317,25 @@ def main(argv=None) -> int:
     ft.add_argument("--k", type=int, default=10)
     ft.add_argument("--num-cpus", type=int, default=None)
     ft.set_defaults(fn=cmd_fti)
+
+    vx = sub.add_parser("vec", help="vector index: refresh / search "
+                                    "(multiprobe ANN) / vacuum")
+    vx.add_argument("action", choices=["refresh", "search", "vacuum"])
+    vx.add_argument("--table", required=True)
+    vx.add_argument("--name", default="vec")
+    vx.add_argument("--partitions", type=int, default=8)
+    vx.add_argument("--tokens", default="",
+                    help="comma-separated query token ids")
+    vx.add_argument("--k", type=int, default=10)
+    vx.add_argument("--probe", default="hamming1",
+                    choices=["cell", "hamming1", "all"])
+    vx.add_argument("--num-cpus", type=int, default=None)
+    vx.set_defaults(fn=cmd_vec)
+
+    mt = sub.add_parser("metrics", help="operational snapshot from the "
+                                        "committed manifest (no Ray)")
+    mt.add_argument("--table", required=True)
+    mt.set_defaults(fn=cmd_metrics)
 
     pg = sub.add_parser("purge", help="physically expunge keys from "
                                       "state and history (GDPR)")

@@ -1093,6 +1093,57 @@ class LakeTable:
         return {"partition_col": partition_col, "rows": sum(counts.values()),
                 "partitions": counts}
 
+    def metrics(self) -> dict:
+        """Operational snapshot served ENTIRELY from the committed
+        manifest (no data files opened; state bytes come from file
+        sizes): per-partition lineage (rows, gtid watermark, delta
+        backlog, last events_applied) plus table-level ingest metrics
+        — the "resumable from checkpoint with per-partition lineage +
+        metrics" surface of the north rule.  ``watermark_skew`` is
+        max−min per-partition watermark (a stalled partition shows up
+        here before it shows up as data loss); ``delta_backlog_files``
+        is what ``compact(min_deltas=...)`` would drain.  ``rows`` are
+        the manifest-recorded FRAGMENT rows: in delta (merge-on-read)
+        mode they include tombstones and superseded versions until
+        compaction, so rows ≥ live rows — equality after
+        ``compact()``."""
+        m = self.manifest()
+        if m is None:
+            return {"committed": False}
+        parts = m["partitions"]
+        wms = [int(p["gtid_watermark"]) for p in parts.values()]
+        state_bytes = 0
+        per_part = {}
+        for pid, p in sorted(parts.items(), key=lambda kv: int(kv[0])):
+            rels = ([p["file"]] if p.get("file") else []) \
+                + list(p.get("delta_files", ()))
+            sz = sum(os.path.getsize(os.path.join(self.root, r))
+                     for r in rels if os.path.exists(os.path.join(self.root, r)))
+            state_bytes += sz
+            per_part[int(pid)] = {
+                "rows": int(p["rows"]),
+                "gtid_watermark": int(p["gtid_watermark"]),
+                "delta_files": len(p.get("delta_files", ())),
+                "events_applied": int(p.get("events_applied", 0)),
+                "bytes": sz,
+            }
+        return {
+            "committed": True,
+            "epoch": int(m["epoch"]),
+            "num_partitions": int(m["num_partitions"]),
+            "rows": sum(int(p["rows"]) for p in parts.values()),
+            "state_bytes": state_bytes,
+            "closed_watermark": int(m["closed_watermark"]),
+            "max_gtid_seen": int(m["max_gtid_seen"]),
+            "watermark_min": min(wms) if wms else -1,
+            "watermark_max": max(wms) if wms else -1,
+            "watermark_skew": (max(wms) - min(wms)) if wms else 0,
+            "delta_backlog_files": sum(len(p.get("delta_files", ()))
+                                       for p in parts.values()),
+            "epochs_retained": len(self.epochs()),
+            "partitions": per_part,
+        }
+
     def repartition(self, new_partitions: int) -> dict:
         """Re-shard the committed state into a different partition
         count — the ONLY sanctioned way to change ``num_partitions``

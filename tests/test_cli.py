@@ -1,0 +1,57 @@
+"""CLI smoke: the operational surface (`ray job submit` entry) for
+the wave-5 additions — metrics (manifest-only, no Ray) and the
+vector-index subcommands."""
+
+import json
+
+from rookray.cli import main
+from rookray.gen import GenConfig, write_shards
+from rookray.pipeline import CDCConfig, LakeTable
+
+
+def _lake(tmp_path):
+    cfg = GenConfig(n_docs=40, n_events=800, vocab=40)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    lake = LakeTable(str(tmp_path / "lake"),
+                     CDCConfig(num_partitions=2, write_mode="delta"))
+    lake.apply(meta["files"])
+    return lake
+
+
+def test_cli_metrics(tmp_path, capsys):
+    lake = _lake(tmp_path)
+    assert main(["metrics", "--table", lake.root]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["committed"] and out["epoch"] == 0
+    # delta mode: fragment rows include tombstones until compaction
+    assert out["rows"] >= len(lake.state_table())
+    assert out["delta_backlog_files"] >= out["num_partitions"] == 2
+    assert out["watermark_max"] >= out["watermark_min"] >= 0
+    assert out["state_bytes"] > 0
+    assert set(out["partitions"]) == {"0", "1"} or \
+        set(out["partitions"]) == {0, 1}
+    # metrics equals the library call
+    assert out == json.loads(json.dumps(lake.metrics()))
+    # after compaction the fragment rows ARE the live rows and the
+    # delta backlog drains
+    lake.compact()
+    m2 = lake.metrics()
+    assert m2["rows"] == len(lake.state_table())
+    assert m2["delta_backlog_files"] == 0
+
+
+def test_cli_vec_refresh_search_vacuum(tmp_path, capsys):
+    lake = _lake(tmp_path)
+    t = lake.root
+    assert main(["vec", "refresh", "--table", t, "--partitions", "4"]) == 0
+    r = json.loads(capsys.readouterr().out)
+    assert r["refreshed"] and r["rows"] == len(lake.state_table())
+
+    assert main(["vec", "search", "--table", t, "--partitions", "4",
+                 "--tokens", "3,7,11", "--probe", "all", "--k", "5"]) == 0
+    ranked = json.loads(capsys.readouterr().out)["ranked"]
+    assert 0 < len(ranked) <= 5
+    assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+
+    assert main(["vec", "vacuum", "--table", t, "--partitions", "4"]) == 0
+    assert json.loads(capsys.readouterr().out)["files_removed"] >= 0
