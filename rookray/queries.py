@@ -2270,6 +2270,69 @@ ORDER BY window_start, rank
 """
 
 
+def session_stream_users(sf_dir: str) -> pd.DataFrame:
+    """Streaming SESSION windows over the unbounded tail: the events
+    table streamed in id order, per-user sessions (gap 500 in
+    event-id time) emitted exactly once as the watermark closes them —
+    the streaming counterpart of the batch ``cdc_session_windows``.
+    The oracle is the batch sessionization (lag/gap + running session
+    id) in SQL; a split, merged, double-emitted, or dropped session
+    breaks the match."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rookray.source import stream_events
+    from rookray.streaming import session_stream
+
+    df = _pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"]
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="rookray_ss_")
+    cuts = np.linspace(0, len(df), 7).astype(int)
+    for i in range(6):
+        _pq.write_table(
+            pa.Table.from_pandas(df.iloc[cuts[i]:cuts[i + 1]],
+                                 preserve_index=False),
+            os.path.join(d, f"events-{i:05d}.parquet"))
+    open(os.path.join(d, "_STREAM_EOF"), "w").close()
+
+    out = []
+    for tbl in session_stream(stream_events(d, parallelism=2),
+                              gap=500, ts_col="event_id",
+                              key_col="user_id", n_sources=2):
+        out.append(tbl.to_pandas())
+    res = pd.concat(out, ignore_index=True)
+    res["user_id"] = res["user_id"].astype(np.int64)
+    return (res[["user_id", "session_start", "session_end", "n_events"]]
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+
+
+SESSION_STREAM_USERS_SQL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(event_id) OVER w IS NULL
+                OR event_id - lag(event_id) OVER w > 500
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+g AS (
+  SELECT user_id, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+  FROM s
+)
+SELECT user_id,
+       CAST(min(event_id) AS BIGINT) AS session_start,
+       CAST(max(event_id) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def cdc_patch_replay(sf_dir: str) -> pd.DataFrame:
     """COLUMN-LEVEL CDC replay (partial updates / MINIMAL row images):
     the flagship full-image stream is reduced to patch events carrying
@@ -3712,6 +3775,7 @@ QUERIES = {
     "cdc_route_tables": cdc_route_tables,
     "q18_large_orders": q18_large_orders,
     "cdc_smt_replay": cdc_smt_replay,
+    "session_stream_users": session_stream_users,
     "vecidx_search": vecidx_search,
     "vecidx_cells": vecidx_cells,
     "cdc_patch_replay": cdc_patch_replay,
@@ -3796,6 +3860,7 @@ ORACLES = {
     "cdc_route_tables": CDC_ROUTE_TABLES_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "cdc_smt_replay": CDC_SMT_REPLAY_SQL,
+    "session_stream_users": SESSION_STREAM_USERS_SQL,
     "vecidx_search": _vecidx_search_sql(),
     "vecidx_cells": _vecidx_cells_sql(),
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,
