@@ -85,6 +85,15 @@ class CDCConfig:
     #: the merge key (doc_id) is rejected.  Tuple of (old, new) pairs
     #: (frozen dataclass — pass dict.items() as a tuple).
     column_renames: tuple = ()
+    #: ingest expectation (the Delta-Live-Tables "expectations" analog;
+    #: rook has no row validation — a poison row kills the listener,
+    #: ReplicationEventExceptionHandler.java:21-23).  A module-level
+    #: function mapping the FLAT normalized event batch to a boolean
+    #: valid-mask; invalid rows never reach the merge — they divert to
+    #: ``<root>/quarantine/`` parquet with content-deterministic names
+    #: (task retries overwrite, never duplicate) and are readable via
+    #: ``LakeTable.quarantine_table()`` for audit/replay-after-fix.
+    expect_fn: object = None
 
 
 class PartitionStage:
@@ -98,15 +107,30 @@ class PartitionStage:
 
     def __init__(self, ncfg: NormalizeConfig, num_partitions: int,
                  part_watermarks: np.ndarray, closed_wm: int,
-                 transform=None):
+                 transform=None, expect_fn=None, quarantine_dir=None):
         self.ncfg = ncfg
         self.P = num_partitions
         self.wms = part_watermarks  # int64[P], -1 when partition unseen
         self.closed_wm = closed_wm
         self.transform = transform  # derived-target row transform (F7 hook)
+        self.expect_fn = expect_fn  # row expectation (valid-mask)
+        self.quarantine_dir = quarantine_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat = normalize_batch(batch, self.ncfg)
+        if self.expect_fn is not None and len(flat):
+            mask = np.asarray(self.expect_fn(flat), dtype=bool)
+            if not mask.all():
+                bad = flat.filter(pa.array(~mask))
+                # content-deterministic name: a retried task overwrites
+                # its own quarantine file instead of duplicating it;
+                # distinct batchings of the same rows dedupe by gtid at
+                # read time (quarantine_table)
+                from rookray.util import stable_table_hash
+                name = f"q-{stable_table_hash(bad, sort_key='gtid')}.parquet"
+                sink.atomic_write_parquet(
+                    bad, os.path.join(self.quarantine_dir, name))
+                flat = flat.filter(pa.array(mask))
         if self.transform is not None:
             flat = self.transform(flat)
         if len(flat) == 0:
@@ -1093,6 +1117,23 @@ class LakeTable:
         return {"partition_col": partition_col, "rows": sum(counts.values()),
                 "partitions": counts}
 
+    def quarantine_table(self) -> pa.Table:
+        """Rows diverted by ``CDCConfig.expect_fn``, deduped by gtid
+        (distinct batchings of the same retried rows may land in more
+        than one audit file) and sorted by gtid — the audit/
+        replay-after-fix surface of the expectations gate."""
+        import glob as _glob
+        qdir = os.path.join(self.root, "quarantine")
+        files = sorted(_glob.glob(os.path.join(qdir, "q-*.parquet")))
+        if not files:
+            return pa.table({"gtid": pa.array([], type=pa.int64())})
+        t = pa.concat_tables([pq.read_table(f) for f in files],
+                             promote_options="default")
+        t = t.sort_by("gtid")
+        g = t.column("gtid").to_numpy(zero_copy_only=False)
+        keep = np.concatenate([[True], g[1:] != g[:-1]])
+        return t.filter(pa.array(keep))
+
     def metrics(self) -> dict:
         """Operational snapshot served ENTIRELY from the committed
         manifest (no data files opened; state bytes come from file
@@ -1351,8 +1392,14 @@ class LakeTable:
             manifest_payload = unify_additive(schemas)
         P = self._num_partitions(m)
         wms = self.watermarks()
+        qdir = None
+        if cfg.expect_fn is not None:
+            qdir = os.path.join(self.root, "quarantine")
+            os.makedirs(qdir, exist_ok=True)
         stage = PartitionStage(ncfg, P, wms, closed_wm,
-                               transform=transform)
+                               transform=transform,
+                               expect_fn=cfg.expect_fn,
+                               quarantine_dir=qdir)
         prior_files, prior_wms = {}, {}
         if m:
             for pid, p in m["partitions"].items():

@@ -2586,6 +2586,81 @@ FROM win
 """
 
 
+def _expect_short_docs(flat: pa.Table) -> np.ndarray:
+    """Expectation: non-delete events must carry n_tok <= 96 (a
+    max-sequence-length ingest policy); deletes always pass."""
+    op = flat.column("op").to_numpy(zero_copy_only=False)
+    n = flat.column("n_tok").to_pandas().fillna(0).to_numpy(np.int64)
+    return (op == 2) | (n <= 96)
+
+
+def cdc_expectations(sf_dir: str) -> pd.DataFrame:
+    """Ingest expectations with row quarantine (the Delta-Live-Tables
+    expectations analog; rook's poison row kills the listener,
+    ReplicationEventExceptionHandler.java:21-23): replay the flagship
+    under a max-sequence-length gate — violating events never reach
+    the merge, diverting to the quarantine audit table instead.  The
+    oracle restates the gate as a SQL predicate on the change log
+    BEFORE the LWW window, so a row that leaked past the gate (or a
+    valid row wrongly diverted) breaks the state match.  The returned
+    digest also carries the DISTINCT quarantined-event count."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_exp_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999}),
+        expect_fn=_expect_short_docs))
+    half = len(meta["files"]) // 2
+    lake.apply(meta["files"][:half + 1])
+    lake.apply(meta["files"][half:])
+    state = lake.state_table()
+    toks = state.column("tokens").combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(flat)])
+    bounds = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+    nq = len(lake.quarantine_table())
+    return pd.DataFrame({
+        "doc_id": state.column("doc_id").to_pylist(),
+        "n_tok": np.asarray(state.column("n_tok").to_pylist(),
+                            dtype=np.int64),
+        "token_sum": cum[bounds[1:]] - cum[bounds[:-1]],
+        "quarantined": np.full(len(state), nq, dtype=np.int64),
+    })
+
+
+CDC_EXPECTATIONS_SQL = f"""
+WITH ev AS (
+  SELECT gtid, op, doc_id, tokens, n_tok
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+    AND (op = 2 OR n_tok <= 96)
+),
+q AS (
+  SELECT count(*) AS nq
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences' AND server_id <> 999
+    AND NOT (op = 2 OR n_tok <= 96)
+),
+win AS (
+  SELECT gtid, doc_id, tokens, n_tok
+  FROM ev
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(coalesce(list_aggregate(tokens, 'sum'), 0) AS BIGINT)
+       AS token_sum,
+       CAST(q.nq AS BIGINT) AS quarantined
+FROM win CROSS JOIN q
+"""
+
+
 def q18_large_orders(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18 shape (large-volume orders): distributed per-batch
     quantity pre-aggregation → one small groupby → HAVING filter
@@ -3776,6 +3851,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "cdc_smt_replay": cdc_smt_replay,
     "session_stream_users": session_stream_users,
+    "cdc_expectations": cdc_expectations,
     "vecidx_search": vecidx_search,
     "vecidx_cells": vecidx_cells,
     "cdc_patch_replay": cdc_patch_replay,
@@ -3861,6 +3937,7 @@ ORACLES = {
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "cdc_smt_replay": CDC_SMT_REPLAY_SQL,
     "session_stream_users": SESSION_STREAM_USERS_SQL,
+    "cdc_expectations": CDC_EXPECTATIONS_SQL,
     "vecidx_search": _vecidx_search_sql(),
     "vecidx_cells": _vecidx_cells_sql(),
     "cdc_patch_replay": CDC_REPLAY_SEQUENCES_SQL,

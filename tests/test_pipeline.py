@@ -435,3 +435,49 @@ def test_snapshot_isolated_reads_during_apply(tmp_path):
     assert not bad, f"{len(bad)} torn reads of {len(seen)}"
     # the final state is still the oracle state
     assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_expectations_quarantine_and_state(tmp_path):
+    """CDCConfig.expect_fn: violating rows divert to the quarantine
+    audit table (gtid-deduped across overlapping epochs) and never
+    reach the merge — the state equals a serial replay of only the
+    passing events.  (The expectation must live in an importable
+    library module — Ray workers unpickle it by reference.)"""
+    from rookray.queries import _expect_short_docs
+
+    cfg = GenConfig(n_docs=50, n_events=1000)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4, expect_fn=_expect_short_docs))
+    lake.apply(meta["files"][:3])
+    lake.apply(meta["files"][2:])  # overlap: re-presented bad rows dedupe
+
+    # expected: serial replay over the event stream with the same gate
+    ev = generate_events(cfg)
+    after = ev.column("after").combine_chunks()
+    n = after.field("n_tok").to_pandas().fillna(0).to_numpy("int64")
+    op = ev.column("op").to_numpy(zero_copy_only=False)
+    passing = (op == 2) | (n <= 96)
+    df = pd.DataFrame({
+        "gtid": ev.column("gtid").to_numpy(zero_copy_only=False),
+        "op": op, "key": ev.column("key").to_pylist(),
+        "n_tok": n, "tokens": after.field("tokens").to_pylist(),
+    })
+    live = {}
+    for r in df[passing].sort_values("gtid").itertuples():
+        if r.op == 2:
+            live.pop(r.key, None)
+        else:
+            live[r.key] = list(r.tokens)
+    got = lake.state_table().to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == sorted(live)
+    for d, t in zip(got["doc_id"], got["tokens"]):
+        assert list(t) == live[d]
+
+    # quarantine: exactly the distinct violating events, each once
+    q = lake.quarantine_table()
+    bad = df[~passing]
+    assert sorted(q.column("gtid").to_pylist()) == sorted(bad["gtid"])
+    qn = dict(zip(q.column("gtid").to_pylist(),
+                  q.column("n_tok").to_pylist()))
+    assert all(v > 96 for v in qn.values())
