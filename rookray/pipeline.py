@@ -22,6 +22,7 @@ order-insensitive once all events of a key meet in one partition
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -588,16 +589,100 @@ class _CompactPartition:
         return pa.Table.from_pylist(out, schema=_COMPACT_SCHEMA)
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted a mutating operation while another
+    holds the table's write lease."""
+
+
+def _leased(fn):
+    """Run a mutating LakeTable method under the single-writer lease."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lease():
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class LakeTable:
     """A lake-resident upsert table: Parquet partitions + manifest.
 
     ``apply()`` is the exactly-once ingest step; ``read()`` exposes the
     committed state as a ``ray.data.Dataset``."""
 
+    #: a lease older than this is considered abandoned (writer died
+    #: without cleanup) and may be broken by the next writer
+    LEASE_TTL_S = 900.0
+
     def __init__(self, root: str, config: CDCConfig | None = None):
         self.root = root
         self.config = config or CDCConfig()
+        self._lease_depth = 0  # reentrant within one LakeTable instance
         os.makedirs(root, exist_ok=True)
+
+    def _write_lease(self):
+        """Single-writer guard for every mutating entry point (apply /
+        bootstrap / compact / purge / restore / repartition).  The
+        commit protocol itself is a single atomic manifest swap, but
+        two interleaved WRITERS would race the read-modify-write of
+        the manifest (both read epoch N, both commit N+1 — one
+        epoch's work silently vanishes).  rook gets this for free by
+        being one process; a lake needs an explicit lease: an
+        O_CREAT|O_EXCL json under the root, holder pid + expiry.  A
+        live foreign lease raises ``ConcurrentWriterError``; a lease
+        past ``LEASE_TTL_S`` is broken (crashed writer — its partial
+        work is invisible anyway: nothing swapped the manifest).
+        Reentrant within an instance so mutators can compose."""
+        import contextlib
+        import time as _time
+
+        lake = self
+        path = os.path.join(self.root, "_write_lease.json")
+
+        @contextlib.contextmanager
+        def lease():
+            if lake._lease_depth > 0:
+                lake._lease_depth += 1
+                try:
+                    yield
+                finally:
+                    lake._lease_depth -= 1
+                return
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    with os.fdopen(fd, "w") as f:
+                        json.dump({"pid": os.getpid(),
+                                   "acquired": _time.time()}, f)
+                    break
+                except FileExistsError:
+                    try:
+                        with open(path) as f:
+                            held = json.load(f)
+                        age = _time.time() - float(held.get("acquired", 0))
+                    except (OSError, ValueError):
+                        held, age = {}, float("inf")  # unreadable → stale
+                    if held.get("pid") == os.getpid():
+                        age = float("inf")  # our own orphan (an earlier
+                        # call died mid-raise): depth==0 proves we don't
+                        # actually hold it — break it immediately
+                    if age <= lake.LEASE_TTL_S:
+                        raise ConcurrentWriterError(
+                            f"another writer (pid {held.get('pid')}) holds "
+                            f"the lease on {lake.root} (age {age:.0f}s); "
+                            f"concurrent writers would race the manifest")
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)  # stale: break and retry acquire
+            lake._lease_depth = 1
+            try:
+                yield
+            finally:
+                lake._lease_depth = 0
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+
+        return lease()
 
     def _num_partitions(self, m: dict | None = None) -> int:
         """Effective partition count: once a manifest exists its
@@ -675,6 +760,7 @@ class LakeTable:
                 f"older snapshots")
         return m
 
+    @_leased
     def restore(self, epoch: int) -> dict:
         """Roll the table back to a committed snapshot (the Delta
         RESTORE analog): commits a NEW epoch whose partition map,
@@ -777,6 +863,7 @@ class LakeTable:
         ).repartition(len(frags))
         return parts_ds.map_batches(reader, batch_format="pyarrow", batch_size=1)
 
+    @_leased
     def bootstrap(self, snapshot, gtid_watermark: int) -> dict:
         """Snapshot bootstrap — the initial-load→streaming handoff every
         CDC deployment needs (Debezium's snapshot phase; rook leaves
@@ -929,6 +1016,7 @@ class LakeTable:
 
     # ------------------------------------------------------- compaction
 
+    @_leased
     def compact(self, max_concurrency: int = 64,
                 min_deltas: int = 1) -> dict:
         """Collapse partitions' base + deltas into fresh bases (the
@@ -978,6 +1066,7 @@ class LakeTable:
         sink.commit_manifest(self.root, manifest)
         return {"compacted": len(rows), "epoch": epoch}
 
+    @_leased
     def purge(self, doc_ids) -> dict:
         """Right-to-be-forgotten: PHYSICALLY expunge keys from the
         table and its history (the GDPR DELETE+VACUUM pair — distinct
@@ -1120,8 +1209,16 @@ class LakeTable:
     def quarantine_table(self) -> pa.Table:
         """Rows diverted by ``CDCConfig.expect_fn``, deduped by gtid
         (distinct batchings of the same retried rows may land in more
-        than one audit file) and sorted by gtid — the audit/
-        replay-after-fix surface of the expectations gate."""
+        than one audit file) and sorted by gtid — the audit surface of
+        the expectations gate.
+
+        Re-ingesting after fixing a gate: quarantined gtids sit BELOW
+        the committed watermark (the epoch that skipped them still
+        advanced), so merely re-presenting their shards is a no-op.
+        The sanctioned path is ``restore(epoch)`` to the snapshot
+        before the bad epoch, then re-``apply`` the shards under the
+        corrected expectation — restore resets the watermarks, and
+        applies are idempotent for everything else."""
         import glob as _glob
         qdir = os.path.join(self.root, "quarantine")
         files = sorted(_glob.glob(os.path.join(qdir, "q-*.parquet")))
@@ -1185,6 +1282,7 @@ class LakeTable:
             "partitions": per_part,
         }
 
+    @_leased
     def repartition(self, new_partitions: int) -> dict:
         """Re-shard the committed state into a different partition
         count — the ONLY sanctioned way to change ``num_partitions``
@@ -1274,6 +1372,7 @@ class LakeTable:
         the derived-index maintenance path (targets/derived.py)."""
         return self.apply(events, epoch=epoch, transform=transform)
 
+    @_leased
     def apply(self, events: "Sequence[str] | ray.data.Dataset",
               epoch: int | None = None, transform=None) -> dict:
         """Apply one epoch of change events exactly-once.

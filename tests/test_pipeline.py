@@ -481,3 +481,37 @@ def test_expectations_quarantine_and_state(tmp_path):
     qn = dict(zip(q.column("gtid").to_pylist(),
                   q.column("n_tok").to_pylist()))
     assert all(v > 96 for v in qn.values())
+
+
+def test_single_writer_lease(tmp_path):
+    """Mutators refuse to run while a LIVE foreign lease exists, break
+    STALE leases (crashed writer), and always release on exit."""
+    import json as _json
+    import time as _time
+
+    from rookray.pipeline import ConcurrentWriterError
+
+    cfg = GenConfig(n_docs=20, n_events=300)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+    lease = str(tmp_path / "lake" / "_write_lease.json")
+
+    # live foreign lease → refuse
+    with open(lease, "w") as f:
+        _json.dump({"pid": 999999, "acquired": _time.time()}, f)
+    with pytest.raises(ConcurrentWriterError, match="pid 999999"):
+        lake.apply(meta["files"])
+    import os as _os
+    assert _os.path.exists(lease)  # a refused writer must not break it
+
+    # stale lease (crashed writer) → broken, apply proceeds
+    with open(lease, "w") as f:
+        _json.dump({"pid": 999999,
+                    "acquired": _time.time() - lake.LEASE_TTL_S - 1}, f)
+    lake.apply(meta["files"])
+    assert not _os.path.exists(lease)  # released on exit
+    assert_tables_equal(lake.state_table(), final_state(cfg))
+
+    # reentrancy: compact (itself leased) under a normal sequence
+    lake.compact()
+    assert not _os.path.exists(lease)
