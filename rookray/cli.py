@@ -54,6 +54,14 @@ def cmd_ingest(args) -> int:
             print(json.dumps({"noop": True,
                               "reason": "all shards at or below committed watermark"}))
             return 0
+    expect_fn = None
+    if getattr(args, "expect", None):
+        # dotted path "package.module:function" — the expectation must
+        # live in an importable module (Ray workers unpickle it by
+        # reference)
+        import importlib
+        mod, _, fn = args.expect.partition(":")
+        expect_fn = getattr(importlib.import_module(mod), fn)
     cfg = CDCConfig(
         table=args.source_table,
         num_partitions=args.partitions,
@@ -61,6 +69,7 @@ def cmd_ingest(args) -> int:
         ignored_tables=frozenset(args.ignore_table or ()),
         ignored_server_ids=frozenset(args.ignore_server or ()),
         tx_atomic=not args.no_tx_atomic,
+        expect_fn=expect_fn,
     )
     lake = LakeTable(args.table, cfg)
     res = lake.apply(shards)
@@ -263,6 +272,10 @@ def main(argv=None) -> int:
     ing.add_argument("--prune", action="store_true",
                      help="skip shards entirely below the committed watermark "
                           "(footer statistics only)")
+    ing.add_argument("--expect", default=None, metavar="MODULE:FN",
+                     help="row expectation (dotted path to an importable "
+                          "valid-mask function); violating rows divert to "
+                          "<table>/quarantine/")
     ing.add_argument("--num-cpus", type=int, default=None)
     ing.set_defaults(fn=cmd_ingest)
 

@@ -1279,6 +1279,7 @@ class LakeTable:
             "delta_backlog_files": sum(len(p.get("delta_files", ()))
                                        for p in parts.values()),
             "epochs_retained": len(self.epochs()),
+            "quarantined_rows": len(self.quarantine_table()),
             "partitions": per_part,
         }
 

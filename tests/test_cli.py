@@ -55,3 +55,29 @@ def test_cli_vec_refresh_search_vacuum(tmp_path, capsys):
 
     assert main(["vec", "vacuum", "--table", t, "--partitions", "4"]) == 0
     assert json.loads(capsys.readouterr().out)["files_removed"] >= 0
+
+
+def test_cli_ingest_expect_and_metrics_quarantine(tmp_path, capsys):
+    """`ingest --expect module:fn` gates rows at the CLI surface and
+    the quarantine shows up in `metrics`."""
+    cfg = GenConfig(n_docs=40, n_events=800)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=2)
+    t = str(tmp_path / "lake")
+    assert main(["ingest", "--shards", str(tmp_path / "s"),
+                 "--table", t, "--partitions", "2",
+                 "--expect", "rookray.queries:_expect_short_docs"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["epoch"] == 0
+
+    lake = LakeTable(t)
+    q = lake.quarantine_table()
+    assert len(q) > 0
+    n = q.column("n_tok").to_pylist()
+    assert all(v > 96 for v in n)
+    # no quarantined doc version reached the final state with n_tok>96
+    state = lake.state_table().to_pandas()
+    assert (state["n_tok"] <= 96).all()
+
+    assert main(["metrics", "--table", t]) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["quarantined_rows"] == len(q)
