@@ -60,8 +60,16 @@ def cmd_ingest(args) -> int:
         # live in an importable module (Ray workers unpickle it by
         # reference)
         import importlib
-        mod, _, fn = args.expect.partition(":")
-        expect_fn = getattr(importlib.import_module(mod), fn)
+        mod, sep, fn = args.expect.partition(":")
+        if not sep or not mod or not fn:
+            print(json.dumps({"error": f"--expect must be MODULE:FN, "
+                                       f"got {args.expect!r}"}))
+            return 2
+        try:
+            expect_fn = getattr(importlib.import_module(mod), fn)
+        except (ImportError, AttributeError) as e:
+            print(json.dumps({"error": f"--expect {args.expect!r}: {e}"}))
+            return 2
     cfg = CDCConfig(
         table=args.source_table,
         num_partitions=args.partitions,

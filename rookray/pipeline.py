@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading as _threading
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -594,6 +595,11 @@ class ConcurrentWriterError(RuntimeError):
     holds the table's write lease."""
 
 
+#: same-process writer serialization (cross-process = the on-disk lease)
+_LEASE_REGISTRY: dict = {}
+_LEASE_REGISTRY_LOCK = _threading.Lock()
+
+
 def _leased(fn):
     """Run a mutating LakeTable method under the single-writer lease."""
     import functools
@@ -628,59 +634,118 @@ class LakeTable:
         two interleaved WRITERS would race the read-modify-write of
         the manifest (both read epoch N, both commit N+1 — one
         epoch's work silently vanishes).  rook gets this for free by
-        being one process; a lake needs an explicit lease: an
-        O_CREAT|O_EXCL json under the root, holder pid + expiry.  A
-        live foreign lease raises ``ConcurrentWriterError``; a lease
-        past ``LEASE_TTL_S`` is broken (crashed writer — its partial
-        work is invisible anyway: nothing swapped the manifest).
-        Reentrant within an instance so mutators can compose."""
+        being one process; a lake needs an explicit lease.
+
+        Mechanics (each closes a measured hole):
+
+        - acquisition is write-temp-then-``os.link`` so the lease file
+          NEVER exists without its payload (an O_EXCL-create-then-dump
+          window would let a contender read an empty file, judge it
+          unreadable→stale, and break a LIVE lease);
+        - a heartbeat thread re-stamps ``renewed`` every
+          ``LEASE_TTL_S/3`` while held, so a healthy long mutator
+          (hours-long apply at real scale) is never mistaken for a
+          crashed one — only a lease whose LAST stamp is older than
+          ``LEASE_TTL_S`` is broken;
+        - same-process writers are serialized by a module-global
+          registry (re-entrant for the HOLDING instance only), not by
+          pid inspection — a second thread or second ``LakeTable``
+          over the same root gets ``ConcurrentWriterError`` instead of
+          silently breaking its sibling's live lease.
+
+        A live foreign lease raises ``ConcurrentWriterError``; a stale
+        one is broken (the crashed writer's partial work is invisible
+        — nothing swapped the manifest)."""
         import contextlib
+        import threading
         import time as _time
 
         lake = self
         path = os.path.join(self.root, "_write_lease.json")
+        key = os.path.realpath(self.root)
+
+        def _stamp():
+            tmp = path + f".tmp.{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                json.dump({"pid": os.getpid(), "renewed": _time.time()}, f)
+            return tmp
 
         @contextlib.contextmanager
         def lease():
-            if lake._lease_depth > 0:
-                lake._lease_depth += 1
+            with _LEASE_REGISTRY_LOCK:
+                holder = _LEASE_REGISTRY.get(key)
+                if holder is lake:
+                    lake._lease_depth += 1
+                    reenter = True
+                elif holder is not None:
+                    raise ConcurrentWriterError(
+                        f"another writer in this process holds the lease "
+                        f"on {lake.root}")
+                else:
+                    _LEASE_REGISTRY[key] = lake
+                    lake._lease_depth = 1
+                    reenter = False
+            if reenter:
                 try:
                     yield
                 finally:
                     lake._lease_depth -= 1
                 return
-            while True:
-                try:
-                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    with os.fdopen(fd, "w") as f:
-                        json.dump({"pid": os.getpid(),
-                                   "acquired": _time.time()}, f)
-                    break
-                except FileExistsError:
-                    try:
-                        with open(path) as f:
-                            held = json.load(f)
-                        age = _time.time() - float(held.get("acquired", 0))
-                    except (OSError, ValueError):
-                        held, age = {}, float("inf")  # unreadable → stale
-                    if held.get("pid") == os.getpid():
-                        age = float("inf")  # our own orphan (an earlier
-                        # call died mid-raise): depth==0 proves we don't
-                        # actually hold it — break it immediately
-                    if age <= lake.LEASE_TTL_S:
-                        raise ConcurrentWriterError(
-                            f"another writer (pid {held.get('pid')}) holds "
-                            f"the lease on {lake.root} (age {age:.0f}s); "
-                            f"concurrent writers would race the manifest")
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(path)  # stale: break and retry acquire
-            lake._lease_depth = 1
             try:
-                yield
+                while True:
+                    tmp = _stamp()
+                    try:
+                        os.link(tmp, path)  # atomic: payload rides along
+                        break
+                    except FileExistsError:
+                        try:
+                            with open(path) as f:
+                                held = json.load(f)
+                            age = _time.time() - float(
+                                held.get("renewed",
+                                         held.get("acquired", 0)))
+                        except (OSError, ValueError):
+                            # unreadable is impossible for OUR format
+                            # (link is atomic) — treat a garbled file
+                            # as live until its mtime goes stale
+                            try:
+                                age = _time.time() - os.path.getmtime(path)
+                            except OSError:
+                                continue  # vanished: retry acquire
+                            held = {}
+                        if age <= lake.LEASE_TTL_S:
+                            raise ConcurrentWriterError(
+                                f"another writer (pid {held.get('pid')}) "
+                                f"holds the lease on {lake.root} (last "
+                                f"renewal {age:.0f}s ago); concurrent "
+                                f"writers would race the manifest")
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(path)  # stale: break, retry
+                    finally:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(tmp)
+                stop = threading.Event()
+
+                def heartbeat():
+                    while not stop.wait(lake.LEASE_TTL_S / 3.0):
+                        with contextlib.suppress(OSError):
+                            t = _stamp()
+                            os.replace(t, path)  # atomic re-stamp
+
+                hb = threading.Thread(target=heartbeat, daemon=True)
+                hb.start()
+                try:
+                    yield
+                finally:
+                    stop.set()
+                    hb.join(timeout=5.0)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)
             finally:
+                with _LEASE_REGISTRY_LOCK:
+                    if _LEASE_REGISTRY.get(key) is lake:
+                        del _LEASE_REGISTRY[key]
                 lake._lease_depth = 0
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
 
         return lease()
 
@@ -880,6 +945,17 @@ class LakeTable:
         in parallel; nothing lands on the driver."""
         if self.manifest():
             raise ValueError("bootstrap requires an empty table")
+        if self.config.expect_fn is not None:
+            # the expectation contract is a FLAT EVENT batch (op, gtid,
+            # payload); snapshot rows have no op/gtid, so silently
+            # skipping the gate here would break the "invalid rows
+            # never reach the merge" invariant on the initial-load
+            # path.  Force an explicit choice.
+            raise ValueError(
+                "bootstrap cannot enforce CDCConfig.expect_fn (snapshot "
+                "rows are not change events): pre-filter the snapshot "
+                "yourself, or bootstrap through a config without the "
+                "expectation")
         if isinstance(snapshot, pa.Table):
             snapshot = ray.data.from_arrow(snapshot)
         cfg = self.config
@@ -1182,8 +1258,47 @@ class LakeTable:
                 if path not in referenced:
                     os.unlink(path)
                     removed += 1
+        # GDPR follow-through for the QUARANTINE audit files: a
+        # gated row carries its full payload there, so the purge must
+        # sweep those too or the key's bytes survive the vacuum
+        q_purged = self._sweep_quarantine(keys)
         return {"epoch": epoch, "purged_rows": int(purged_rows),
-                "purged_partitions": len(rows), "files_removed": removed}
+                "purged_partitions": len(rows), "files_removed": removed,
+                "quarantine_rows_purged": q_purged}
+
+    def _sweep_quarantine(self, keys) -> int:
+        """Drop the given doc_ids from every quarantine audit file
+        (rewrite or delete-if-empty).  Returns rows removed."""
+        import glob as _glob
+        qdir = os.path.join(self.root, "quarantine")
+        kset = pa.array(sorted(set(keys)), type=pa.string())
+        removed = 0
+        for f in sorted(_glob.glob(os.path.join(qdir, "q-*.parquet"))):
+            t = pq.read_table(f)
+            hit = pc.is_in(t.column("doc_id"), value_set=kset)
+            if not pc.any(hit).as_py():
+                continue
+            kept = t.filter(pc.invert(hit))
+            removed += len(t) - len(kept)
+            if len(kept):
+                sink.atomic_write_parquet(kept, f)
+            else:
+                os.unlink(f)
+        return removed
+
+    def quarantine_clear(self) -> int:
+        """Drop ALL quarantine audit files (e.g. after the documented
+        restore-and-reapply remediation has re-ingested them, or after
+        the audit has been archived elsewhere) — the files otherwise
+        accumulate across replays (distinct batchings of the same rows
+        write distinct content-named files; reads dedupe, disk does
+        not).  Returns files removed."""
+        import glob as _glob
+        qdir = os.path.join(self.root, "quarantine")
+        files = sorted(_glob.glob(os.path.join(qdir, "q-*.parquet")))
+        for f in files:
+            os.unlink(f)
+        return len(files)
 
     def export(self, out_dir: str, partition_col: str = "source",
                as_of: int | None = None) -> dict:
@@ -1218,7 +1333,14 @@ class LakeTable:
         The sanctioned path is ``restore(epoch)`` to the snapshot
         before the bad epoch, then re-``apply`` the shards under the
         corrected expectation — restore resets the watermarks, and
-        applies are idempotent for everything else."""
+        applies are idempotent for everything else.  After the
+        remediation call :meth:`quarantine_clear` or the stale audit
+        rows keep reporting (re-ingested) rows as quarantined.
+
+        With nothing quarantined the returned table has only a typed
+        empty ``gtid`` column (the full event schema is unknowable
+        without files) — check ``len()`` before touching payload
+        columns."""
         import glob as _glob
         qdir = os.path.join(self.root, "quarantine")
         files = sorted(_glob.glob(os.path.join(qdir, "q-*.parquet")))
@@ -1233,8 +1355,9 @@ class LakeTable:
 
     def metrics(self) -> dict:
         """Operational snapshot served ENTIRELY from the committed
-        manifest (no data files opened; state bytes come from file
-        sizes): per-partition lineage (rows, gtid watermark, delta
+        manifest (state bytes come from file sizes; the only data
+        read is the gtid COLUMN of quarantine audit files — cheap to
+        poll): per-partition lineage (rows, gtid watermark, delta
         backlog, last events_applied) plus table-level ingest metrics
         — the "resumable from checkpoint with per-partition lineage +
         metrics" surface of the north rule.  ``watermark_skew`` is
@@ -1279,9 +1402,23 @@ class LakeTable:
             "delta_backlog_files": sum(len(p.get("delta_files", ()))
                                        for p in parts.values()),
             "epochs_retained": len(self.epochs()),
-            "quarantined_rows": len(self.quarantine_table()),
+            "quarantined_rows": self._quarantined_count(),
             "partitions": per_part,
         }
+
+    def _quarantined_count(self) -> int:
+        """Distinct quarantined events, reading ONLY the gtid column
+        of the audit files (metrics stays cheap to poll even with a
+        large quarantine backlog of full row payloads)."""
+        import glob as _glob
+        qdir = os.path.join(self.root, "quarantine")
+        files = sorted(_glob.glob(os.path.join(qdir, "q-*.parquet")))
+        if not files:
+            return 0
+        gtids = np.concatenate([
+            pq.read_table(f, columns=["gtid"]).column("gtid")
+            .to_numpy(zero_copy_only=False) for f in files])
+        return int(np.unique(gtids).size)
 
     @_leased
     def repartition(self, new_partitions: int) -> dict:

@@ -515,3 +515,61 @@ def test_single_writer_lease(tmp_path):
     # reentrancy: compact (itself leased) under a normal sequence
     lake.compact()
     assert not _os.path.exists(lease)
+
+
+def test_lease_same_process_and_purge_sweeps_quarantine(tmp_path):
+    """(1) A second writer in the SAME process (another instance over
+    the same root, or a thread) is refused while the lease is held —
+    it must never break its sibling's live lease.  (2) GDPR purge
+    expunges the victims from the quarantine audit files too, and
+    quarantine_clear() reclaims the rest."""
+    import threading
+
+    from rookray.pipeline import ConcurrentWriterError
+    from rookray.queries import _expect_short_docs
+
+    cfg = GenConfig(n_docs=40, n_events=800)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=2, expect_fn=_expect_short_docs))
+
+    # hold the lease on a thread, probe from a sibling instance
+    entered, release = threading.Event(), threading.Event()
+
+    def hold():
+        with lake._write_lease():
+            entered.set()
+            release.wait(30)
+
+    t = threading.Thread(target=hold, daemon=True)
+    t.start()
+    assert entered.wait(10)
+    sibling = LakeTable(str(tmp_path / "lake"),
+                        CDCConfig(num_partitions=2))
+    with pytest.raises(ConcurrentWriterError, match="this process"):
+        sibling.apply(meta["files"])
+    release.set()
+    t.join(10)
+
+    lake.apply(meta["files"])
+    q0 = lake.quarantine_table()
+    assert len(q0) > 0
+    victims = sorted(set(q0.column("doc_id").to_pylist()))[:2]
+    r = lake.purge(victims)
+    assert r["quarantine_rows_purged"] > 0
+    q1 = lake.quarantine_table()
+    assert not set(victims) & set(q1.column("doc_id").to_pylist())
+    # and the victims' bytes are gone from the audit files themselves
+    import glob as _glob
+    for f in _glob.glob(str(tmp_path / "lake" / "quarantine" / "*.parquet")):
+        t2 = pq.read_table(f)
+        assert not set(victims) & set(t2.column("doc_id").to_pylist())
+    assert lake.metrics()["quarantined_rows"] == len(q1)
+    assert lake.quarantine_clear() > 0
+    assert len(lake.quarantine_table()) == 0
+
+    # bootstrap under an expectation is refused loudly
+    empty = LakeTable(str(tmp_path / "lake2"), CDCConfig(
+        num_partitions=2, expect_fn=_expect_short_docs))
+    with pytest.raises(ValueError, match="expect_fn"):
+        empty.bootstrap(lake.state_table(), gtid_watermark=10)
