@@ -2992,10 +2992,18 @@ score AS (SELECT w.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS score
 """
 
 
+_VEC_FIXTURE = None
+
+
 def _vec_index_fixture():
     """Flagship replay in two epochs with an incremental vector-index
     refresh between (the second refresh may only touch the
-    changefeed) — the shared fixture behind both vecidx oracles."""
+    changefeed) — the shared fixture behind both vecidx oracles.
+    Memoized per process: the two driver queries read the same
+    committed index instead of rebuilding it."""
+    global _VEC_FIXTURE
+    if _VEC_FIXTURE is not None:
+        return _VEC_FIXTURE
     import tempfile
     from rookray.pipeline import CDCConfig, LakeTable
     from rookray.targets.vector import VectorIndex
@@ -3011,6 +3019,7 @@ def _vec_index_fixture():
     index.refresh()
     lake.apply(meta["files"][half:])
     index.refresh()
+    _VEC_FIXTURE = index
     return index
 
 
