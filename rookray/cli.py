@@ -206,6 +206,8 @@ def cmd_fti(args) -> int:
         out = index.search_bm25(terms, k=args.k)
         print(json.dumps({"ranked": out[["doc_id", "rank"]]
                           .to_dict("records")}))
+    elif args.action == "vacuum":
+        print(json.dumps({"files_removed": index.vacuum()}))
     return 0
 
 
@@ -236,6 +238,21 @@ def cmd_vec(args) -> int:
         print(json.dumps({"ranked": out.to_dict("records")}))
     elif args.action == "vacuum":
         print(json.dumps({"files_removed": index.vacuum()}))
+    return 0
+
+
+def cmd_quarantine(args) -> int:
+    """Expectations audit surface: dump quarantined rows (gtid-deduped)
+    or reclaim the audit files after remediation."""
+    from rookray.pipeline import LakeTable
+
+    lake = LakeTable(args.table)
+    if args.clear:
+        print(json.dumps({"files_removed": lake.quarantine_clear()}))
+        return 0
+    t = lake.quarantine_table()
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
     return 0
 
 
@@ -329,7 +346,8 @@ def main(argv=None) -> int:
     ft = sub.add_parser("fti", help="inverted index: refresh / "
                                     "search / phrase / bm25")
     ft.add_argument("action",
-                    choices=["refresh", "search", "phrase", "bm25"])
+                    choices=["refresh", "search", "phrase", "bm25",
+                             "vacuum"])
     ft.add_argument("--table", required=True)
     ft.add_argument("--name", default="fti")
     ft.add_argument("--partitions", type=int, default=16)
@@ -357,6 +375,13 @@ def main(argv=None) -> int:
                                         "committed manifest (no Ray)")
     mt.add_argument("--table", required=True)
     mt.set_defaults(fn=cmd_metrics)
+
+    qr = sub.add_parser("quarantine", help="dump or clear the "
+                                           "expectations audit table")
+    qr.add_argument("--table", required=True)
+    qr.add_argument("--clear", action="store_true",
+                    help="reclaim all audit files (after remediation)")
+    qr.set_defaults(fn=cmd_quarantine)
 
     pg = sub.add_parser("purge", help="physically expunge keys from "
                                       "state and history (GDPR)")

@@ -81,3 +81,20 @@ def test_cli_ingest_expect_and_metrics_quarantine(tmp_path, capsys):
     assert main(["metrics", "--table", t]) == 0
     m = json.loads(capsys.readouterr().out)
     assert m["quarantined_rows"] == len(q)
+
+
+def test_cli_quarantine_dump_and_clear(tmp_path, capsys):
+    cfg = GenConfig(n_docs=30, n_events=600)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=2)
+    t = str(tmp_path / "lake")
+    assert main(["ingest", "--shards", str(tmp_path / "s"),
+                 "--table", t, "--partitions", "2",
+                 "--expect", "rookray.queries:_expect_short_docs"]) == 0
+    capsys.readouterr()
+    assert main(["quarantine", "--table", t]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(r["n_tok"] > 96 for r in lines)
+    assert main(["quarantine", "--table", t, "--clear"]) == 0
+    assert json.loads(capsys.readouterr().out)["files_removed"] > 0
+    assert len(LakeTable(t).quarantine_table()) == 0
