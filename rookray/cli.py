@@ -38,22 +38,6 @@ def _ensure_ray(num_cpus: int | None):
 def cmd_ingest(args) -> int:
     from rookray.pipeline import CDCConfig, LakeTable
 
-    _ensure_ray(args.num_cpus)
-    shards = sorted(glob.glob(os.path.join(args.shards, args.pattern)))
-    if not shards:
-        print(json.dumps({"error": f"no shards matching {args.pattern} in {args.shards}"}))
-        return 1
-    if args.prune:
-        from rookray.source import shards_above
-        lake_probe = LakeTable(args.table)
-        m = lake_probe.manifest()
-        floor = (m or {}).get("closed_watermark")
-        if floor is not None:
-            shards = shards_above(shards, floor)
-        if not shards:
-            print(json.dumps({"noop": True,
-                              "reason": "all shards at or below committed watermark"}))
-            return 0
     expect_fn = None
     if getattr(args, "expect", None):
         # dotted path "package.module:function" — the expectation must
@@ -70,6 +54,23 @@ def cmd_ingest(args) -> int:
         except (ImportError, AttributeError) as e:
             print(json.dumps({"error": f"--expect {args.expect!r}: {e}"}))
             return 2
+
+    _ensure_ray(args.num_cpus)
+    shards = sorted(glob.glob(os.path.join(args.shards, args.pattern)))
+    if not shards:
+        print(json.dumps({"error": f"no shards matching {args.pattern} in {args.shards}"}))
+        return 1
+    if args.prune:
+        from rookray.source import shards_above
+        lake_probe = LakeTable(args.table)
+        m = lake_probe.manifest()
+        floor = (m or {}).get("closed_watermark")
+        if floor is not None:
+            shards = shards_above(shards, floor)
+        if not shards:
+            print(json.dumps({"noop": True,
+                              "reason": "all shards at or below committed watermark"}))
+            return 0
     cfg = CDCConfig(
         table=args.source_table,
         num_partitions=args.partitions,

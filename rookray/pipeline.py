@@ -120,7 +120,24 @@ class PartitionStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat = normalize_batch(batch, self.ncfg)
-        if self.expect_fn is not None and len(flat):
+        if len(flat) == 0:
+            return self._empty(flat)
+        # watermark filter FIRST (part computed locally — the column is
+        # appended only after the transform, whose contract is the bare
+        # flat event batch and which may drop/alter rows)
+        part = partition_of(flat.column("doc_id"), self.P)
+        gtid = flat.column("gtid").to_numpy(zero_copy_only=False)
+        keep = (gtid <= self.closed_wm) & (gtid > self.wms[part])
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+        if len(flat) == 0:
+            return self._empty(flat)
+        # expectation gate AFTER the watermark filter: only rows this
+        # epoch actually applies can quarantine, so re-presenting old
+        # shards (boundary re-present, restore remediation, duplicate
+        # replay) can never resurrect audit bytes a purge swept — every
+        # bad event is above the watermark exactly once
+        if self.expect_fn is not None:
             mask = np.asarray(self.expect_fn(flat), dtype=bool)
             if not mask.all():
                 bad = flat.filter(pa.array(~mask))
@@ -133,18 +150,14 @@ class PartitionStage:
                 sink.atomic_write_parquet(
                     bad, os.path.join(self.quarantine_dir, name))
                 flat = flat.filter(pa.array(mask))
+                if len(flat) == 0:
+                    return self._empty(flat)
         if self.transform is not None:
             flat = self.transform(flat)
-        if len(flat) == 0:
-            return self._empty(flat)
+            if len(flat) == 0:
+                return self._empty(flat)
         part = partition_of(flat.column("doc_id"), self.P)
-        gtid = flat.column("gtid").to_numpy(zero_copy_only=False)
-        keep = (gtid <= self.closed_wm) & (gtid > self.wms[part])
         flat = flat.append_column("part", pa.array(part, type=pa.int32()))
-        if not keep.all():
-            flat = flat.filter(pa.array(keep))
-        if len(flat) == 0:
-            return self._empty(flat)
         return merge.keep_last(flat)
 
     @staticmethod
@@ -659,37 +672,51 @@ class LakeTable:
         import contextlib
         import threading
         import time as _time
+        import uuid
 
         lake = self
         path = os.path.join(self.root, "_write_lease.json")
         key = os.path.realpath(self.root)
+        me = (id(self), threading.get_ident())
+        token = uuid.uuid4().hex  # ownership proof for re-stamp/release
 
         def _stamp():
             tmp = path + f".tmp.{os.getpid()}.{threading.get_ident()}"
             with open(tmp, "w") as f:
-                json.dump({"pid": os.getpid(), "renewed": _time.time()}, f)
+                json.dump({"pid": os.getpid(), "token": token,
+                           "renewed": _time.time()}, f)
             return tmp
+
+        def _owned() -> bool:
+            try:
+                with open(path) as f:
+                    return json.load(f).get("token") == token
+            except (OSError, ValueError):
+                return False
 
         @contextlib.contextmanager
         def lease():
             with _LEASE_REGISTRY_LOCK:
                 holder = _LEASE_REGISTRY.get(key)
-                if holder is lake:
+                if holder == me:
                     lake._lease_depth += 1
                     reenter = True
                 elif holder is not None:
+                    # a DIFFERENT instance OR a different thread of the
+                    # same instance — both are concurrent writers
                     raise ConcurrentWriterError(
                         f"another writer in this process holds the lease "
                         f"on {lake.root}")
                 else:
-                    _LEASE_REGISTRY[key] = lake
+                    _LEASE_REGISTRY[key] = me
                     lake._lease_depth = 1
                     reenter = False
             if reenter:
                 try:
                     yield
                 finally:
-                    lake._lease_depth -= 1
+                    with _LEASE_REGISTRY_LOCK:
+                        lake._lease_depth -= 1
                 return
             try:
                 while True:
@@ -719,8 +746,18 @@ class LakeTable:
                                 f"holds the lease on {lake.root} (last "
                                 f"renewal {age:.0f}s ago); concurrent "
                                 f"writers would race the manifest")
+                        # break the stale lease by CLAIMING it: rename
+                        # is atomic, so of N contenders exactly one
+                        # wins; a blind unlink would let the loser
+                        # delete the winner's freshly-linked LIVE lease
+                        claim = path + f".claim.{os.getpid()}" \
+                                       f".{threading.get_ident()}"
+                        try:
+                            os.rename(path, claim)
+                        except FileNotFoundError:
+                            continue  # another contender claimed it
                         with contextlib.suppress(FileNotFoundError):
-                            os.unlink(path)  # stale: break, retry
+                            os.unlink(claim)
                     finally:
                         with contextlib.suppress(FileNotFoundError):
                             os.unlink(tmp)
@@ -728,9 +765,13 @@ class LakeTable:
 
                 def heartbeat():
                     while not stop.wait(lake.LEASE_TTL_S / 3.0):
+                        # re-stamp only while the lease is still OURS: a
+                        # holder that stalled past TTL and was broken
+                        # must not clobber its successor's live lease
                         with contextlib.suppress(OSError):
-                            t = _stamp()
-                            os.replace(t, path)  # atomic re-stamp
+                            if _owned():
+                                t = _stamp()
+                                os.replace(t, path)
 
                 hb = threading.Thread(target=heartbeat, daemon=True)
                 hb.start()
@@ -739,13 +780,15 @@ class LakeTable:
                 finally:
                     stop.set()
                     hb.join(timeout=5.0)
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(path)
+                    # release only our own lease (same stall scenario)
+                    if _owned():
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(path)
             finally:
                 with _LEASE_REGISTRY_LOCK:
-                    if _LEASE_REGISTRY.get(key) is lake:
+                    if _LEASE_REGISTRY.get(key) == me:
                         del _LEASE_REGISTRY[key]
-                lake._lease_depth = 0
+                    lake._lease_depth = 0
 
         return lease()
 
@@ -1286,6 +1329,7 @@ class LakeTable:
                 os.unlink(f)
         return removed
 
+    @_leased
     def quarantine_clear(self) -> int:
         """Drop ALL quarantine audit files (e.g. after the documented
         restore-and-reapply remediation has re-ingested them, or after
