@@ -130,6 +130,7 @@ class PartitionStage:
         keep = (gtid <= self.closed_wm) & (gtid > self.wms[part])
         if not keep.all():
             flat = flat.filter(pa.array(keep))
+            part = part[keep]
         if len(flat) == 0:
             return self._empty(flat)
         # expectation gate AFTER the watermark filter: only rows this
@@ -150,13 +151,15 @@ class PartitionStage:
                 sink.atomic_write_parquet(
                     bad, os.path.join(self.quarantine_dir, name))
                 flat = flat.filter(pa.array(mask))
+                part = part[mask]
                 if len(flat) == 0:
                     return self._empty(flat)
         if self.transform is not None:
+            # the transform may drop/alter rows — recompute placement
             flat = self.transform(flat)
             if len(flat) == 0:
                 return self._empty(flat)
-        part = partition_of(flat.column("doc_id"), self.P)
+            part = partition_of(flat.column("doc_id"), self.P)
         flat = flat.append_column("part", pa.array(part, type=pa.int32()))
         return merge.keep_last(flat)
 
