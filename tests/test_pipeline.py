@@ -573,3 +573,34 @@ def test_lease_same_process_and_purge_sweeps_quarantine(tmp_path):
         num_partitions=2, expect_fn=_expect_short_docs))
     with pytest.raises(ValueError, match="expect_fn"):
         empty.bootstrap(lake.state_table(), gtid_watermark=10)
+
+
+@pytest.mark.parametrize("mode_kw", [
+    dict(write_mode="delta"),           # merge-on-read path
+    dict(salt=4),                       # hot-key salted shuffle path
+])
+def test_expectations_compose_with_merge_modes(tmp_path, mode_kw):
+    """The expectations gate must compose with BOTH special merge
+    paths (delta/merge-on-read and hot-key salting): state equals the
+    gated serial replay, and compaction/overlap keep it byte-stable."""
+    from rookray.queries import _expect_short_docs
+
+    cfg = GenConfig(n_docs=40, n_events=900, zipf_a=1.3)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=3)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4, expect_fn=_expect_short_docs, **mode_kw))
+    lake.apply(meta["files"][:2])
+    lake.apply(meta["files"][1:])
+    if mode_kw.get("write_mode") == "delta":
+        lake.compact()
+
+    ev = generate_events(cfg)
+    after = ev.column("after").combine_chunks()
+    n = after.field("n_tok").to_pandas().fillna(0).to_numpy("int64")
+    op = ev.column("op").to_numpy(zero_copy_only=False)
+    passing = (op == 2) | (n <= 96)
+    expected = replay(ev.filter(pa.array(passing)))
+    assert_tables_equal(lake.state_table(), expected)
+    q = lake.quarantine_table()
+    assert sorted(q.column("gtid").to_pylist()) == sorted(
+        ev.filter(pa.array(~passing)).column("gtid").to_pylist())
