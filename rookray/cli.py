@@ -124,6 +124,26 @@ def cmd_tail(args) -> int:
     return 0
 
 
+def cmd_tail_socket(args) -> int:
+    """Network ingest: drain a live TCP change stream (length-framed
+    Arrow IPC, the binlog-connection analog) into the lake as ONE
+    epoch.  Backpressure is physical: the read task pulls the socket
+    only as the executor consumes, so a fast producer blocks in
+    send() on TCP flow control.  The stream ends at the producer's
+    EOF frame; exactly-once comes from the same watermark-skip apply,
+    so reconnect-and-rerun after a crash is safe."""
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.source import stream_events_socket
+
+    _ensure_ray(args.num_cpus)
+    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    ds = stream_events_socket(args.host, args.port,
+                              connect_timeout_s=args.connect_timeout)
+    res = lake.apply(ds.materialize())
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -319,6 +339,17 @@ def main(argv=None) -> int:
     tail.add_argument("--connect-timeout", type=float, default=None)
     tail.add_argument("--num-cpus", type=int, default=None)
     tail.set_defaults(fn=cmd_tail)
+
+    ts = sub.add_parser("tail-socket", help="ingest a live TCP change "
+                                            "stream (framed Arrow IPC)")
+    ts.add_argument("--host", required=True)
+    ts.add_argument("--port", type=int, required=True)
+    ts.add_argument("--table", required=True)
+    from rookray.pipeline import CDCConfig as _C3
+    ts.add_argument("--partitions", type=int, default=_C3.num_partitions)
+    ts.add_argument("--connect-timeout", type=float, default=10.0)
+    ts.add_argument("--num-cpus", type=int, default=None)
+    ts.set_defaults(fn=cmd_tail_socket)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")

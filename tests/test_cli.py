@@ -98,3 +98,36 @@ def test_cli_quarantine_dump_and_clear(tmp_path, capsys):
     assert main(["quarantine", "--table", t, "--clear"]) == 0
     assert json.loads(capsys.readouterr().out)["files_removed"] > 0
     assert len(LakeTable(t).quarantine_table()) == 0
+
+
+def test_cli_tail_socket_ingest(tmp_path, capsys):
+    """`tail-socket` drains a live framed-IPC TCP stream into one
+    exactly-once epoch (the network-connector CLI surface)."""
+    import pyarrow.parquet as pq
+
+    from rookray.gen import GenConfig as GC, generate_events, final_state
+    from rookray.source import ChangeStreamServer
+
+    cfg = GC(n_docs=25, n_events=400)
+    ev = generate_events(cfg)
+    srv = ChangeStreamServer()
+    try:
+        # pre-queue frames + EOF: the CLI connects and drains
+        for i in range(0, len(ev), 100):
+            srv.push(ev.slice(i, 100))
+        srv.close()
+        t = str(tmp_path / "lake")
+        assert main(["tail-socket", "--host", srv.host,
+                     "--port", str(srv.port), "--table", t,
+                     "--partitions", "2"]) == 0
+        res = json.loads(capsys.readouterr().out)
+        assert res["epoch"] == 0
+        state = LakeTable(t).state_table().to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = final_state(cfg).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert state["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert all(list(a) == list(b)
+                   for a, b in zip(state["tokens"], exp["tokens"]))
+    finally:
+        srv.close()  # idempotent; the serve thread exits at EOF
