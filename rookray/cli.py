@@ -140,8 +140,18 @@ def cmd_tail_socket(args) -> int:
     ds = stream_events_socket(args.host, args.port,
                               connect_timeout_s=args.connect_timeout)
     res = lake.apply(ds.materialize())
+    # a directory tail re-presents the boundary shard next epoch; a
+    # drained socket CANNOT — if the producer ended mid-transaction,
+    # the held-back events exist nowhere to replay from, so say so
+    if (res.get("max_gtid_seen") or -1) > (res.get("closed_watermark")
+                                           or -1):
+        res["warning"] = (
+            "stream ended mid-transaction: events above "
+            f"gtid {res['closed_watermark']} were held back and the "
+            "drained socket cannot re-present them — the producer must "
+            "resend the open transaction on reconnect")
     print(json.dumps(res))
-    return 0
+    return 1 if "warning" in res else 0
 
 
 def cmd_repartition(args) -> int:

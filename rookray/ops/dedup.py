@@ -509,6 +509,15 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
             if len(sub) < 2:
                 continue
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(sub) > 64:
+                # same loud-truncation contract as the MinHash path:
+                # the ray logger's records reach driver stdout, a bare
+                # warnings.warn in a worker would vanish
+                import logging
+                logging.getLogger("ray.data").warning(
+                    "SimHash band bucket with %d docs truncated to 64; "
+                    "recall may drop — dedup exact duplicates first",
+                    len(sub))
             docs = sub["doc_id"].to_numpy()[:64]
             sh = sub["simhash"].to_numpy().astype(np.uint64)[:64]
             for i in range(len(docs)):

@@ -109,7 +109,8 @@ class PartitionStage:
 
     def __init__(self, ncfg: NormalizeConfig, num_partitions: int,
                  part_watermarks: np.ndarray, closed_wm: int,
-                 transform=None, expect_fn=None, quarantine_dir=None):
+                 transform=None, expect_fn=None, quarantine_dir=None,
+                 purged_keys=None):
         self.ncfg = ncfg
         self.P = num_partitions
         self.wms = part_watermarks  # int64[P], -1 when partition unseen
@@ -117,14 +118,25 @@ class PartitionStage:
         self.transform = transform  # derived-target row transform (F7 hook)
         self.expect_fn = expect_fn  # row expectation (valid-mask)
         self.quarantine_dir = quarantine_dir
+        # GDPR tombstones: keys a purge swept from the quarantine must
+        # never be re-quarantined by a replay (small by nature — the
+        # set of right-to-be-forgotten requests)
+        self.purged_keys = sorted(purged_keys or ())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat = normalize_batch(batch, self.ncfg)
         if len(flat) == 0:
             return self._empty(flat)
-        # watermark filter FIRST (part computed locally — the column is
-        # appended only after the transform, whose contract is the bare
-        # flat event batch and which may drop/alter rows)
+        if self.transform is not None:
+            # derived path: the transform may REMAP doc_id (container
+            # cascade), so the watermark filter below must run on the
+            # POST-transform keys or duplicate replay re-applies rows
+            # whose derived partition already advanced.  (expect_fn is
+            # rejected alongside a transform in apply() — the gate's
+            # placement guarantees don't compose with key remapping.)
+            flat = self.transform(flat)
+            if len(flat) == 0:
+                return self._empty(flat)
         part = partition_of(flat.column("doc_id"), self.P)
         gtid = flat.column("gtid").to_numpy(zero_copy_only=False)
         keep = (gtid <= self.closed_wm) & (gtid > self.wms[part])
@@ -136,30 +148,34 @@ class PartitionStage:
         # expectation gate AFTER the watermark filter: only rows this
         # epoch actually applies can quarantine, so re-presenting old
         # shards (boundary re-present, restore remediation, duplicate
-        # replay) can never resurrect audit bytes a purge swept — every
-        # bad event is above the watermark exactly once
+        # replay) can not re-write audit bytes a purge swept — and the
+        # one residual hole (a partition whose EVERY row quarantined,
+        # leaving its watermark unadvanced) is closed by the purged-key
+        # tombstones below
         if self.expect_fn is not None:
             mask = np.asarray(self.expect_fn(flat), dtype=bool)
             if not mask.all():
                 bad = flat.filter(pa.array(~mask))
-                # content-deterministic name: a retried task overwrites
-                # its own quarantine file instead of duplicating it;
-                # distinct batchings of the same rows dedupe by gtid at
-                # read time (quarantine_table)
-                from rookray.util import stable_table_hash
-                name = f"q-{stable_table_hash(bad, sort_key='gtid')}.parquet"
-                sink.atomic_write_parquet(
-                    bad, os.path.join(self.quarantine_dir, name))
+                if self.purged_keys:
+                    unpurged = pc.invert(pc.is_in(
+                        bad.column("doc_id"),
+                        value_set=pa.array(self.purged_keys,
+                                           type=pa.string())))
+                    bad = bad.filter(unpurged)
+                if len(bad):
+                    # content-deterministic name: a retried task
+                    # overwrites its own quarantine file instead of
+                    # duplicating it; distinct batchings of the same
+                    # rows dedupe by gtid at read (quarantine_table)
+                    from rookray.util import stable_table_hash
+                    name = (f"q-{stable_table_hash(bad, sort_key='gtid')}"
+                            f".parquet")
+                    sink.atomic_write_parquet(
+                        bad, os.path.join(self.quarantine_dir, name))
                 flat = flat.filter(pa.array(mask))
                 part = part[mask]
                 if len(flat) == 0:
                     return self._empty(flat)
-        if self.transform is not None:
-            # the transform may drop/alter rows — recompute placement
-            flat = self.transform(flat)
-            if len(flat) == 0:
-                return self._empty(flat)
-            part = partition_of(flat.column("doc_id"), self.P)
         flat = flat.append_column("part", pa.array(part, type=pa.int32()))
         return merge.keep_last(flat)
 
@@ -671,7 +687,18 @@ class LakeTable:
 
         A live foreign lease raises ``ConcurrentWriterError``; a stale
         one is broken (the crashed writer's partial work is invisible
-        — nothing swapped the manifest)."""
+        — nothing swapped the manifest).
+
+        Honesty note: without an atomic compare-and-swap primitive on
+        shared storage there remains a narrow TOCTOU window — a holder
+        that stalls past the TTL, is broken, and resumes BETWEEN its
+        ownership check and its re-stamp/unlink can still disturb the
+        successor's lease.  The token check shrinks that window from
+        "any time after the TTL" to "microseconds around one syscall";
+        full closure needs a CAS-capable lock service (the standard
+        answer on real clusters — e.g. a DynamoDB/ZK/etcd lock, which
+        is exactly what Delta's S3 commit service does).  The lease is
+        operational-error protection, not distributed consensus."""
         import contextlib
         import threading
         import time as _time
@@ -1312,9 +1339,19 @@ class LakeTable:
                 "purged_partitions": len(rows), "files_removed": removed,
                 "quarantine_rows_purged": q_purged}
 
+    def _quarantine_purged_keys(self) -> tuple:
+        """GDPR tombstones for the quarantine: keys past purges swept
+        (replays must never re-write their audit bytes)."""
+        path = os.path.join(self.root, "quarantine", "_purged.json")
+        if not os.path.exists(path):
+            return ()
+        with open(path) as f:
+            return tuple(json.load(f))
+
     def _sweep_quarantine(self, keys) -> int:
         """Drop the given doc_ids from every quarantine audit file
-        (rewrite or delete-if-empty).  Returns rows removed."""
+        (rewrite or delete-if-empty) and tombstone them so replays
+        cannot re-quarantine their bytes.  Returns rows removed."""
         import glob as _glob
         qdir = os.path.join(self.root, "quarantine")
         kset = pa.array(sorted(set(keys)), type=pa.string())
@@ -1330,6 +1367,11 @@ class LakeTable:
                 sink.atomic_write_parquet(kept, f)
             else:
                 os.unlink(f)
+        if os.path.isdir(qdir):
+            merged = sorted(set(self._quarantine_purged_keys())
+                            | set(keys))
+            sink.atomic_write_json(merged,
+                                   os.path.join(qdir, "_purged.json"))
         return removed
 
     @_leased
@@ -1677,13 +1719,22 @@ class LakeTable:
         P = self._num_partitions(m)
         wms = self.watermarks()
         qdir = None
+        purged_keys = ()
         if cfg.expect_fn is not None:
+            if transform is not None:
+                raise ValueError(
+                    "expect_fn does not compose with a derived-row "
+                    "transform (the transform may remap doc_id, which "
+                    "breaks the gate's quarantine placement guarantees); "
+                    "gate the primary table and derive from it instead")
             qdir = os.path.join(self.root, "quarantine")
             os.makedirs(qdir, exist_ok=True)
+            purged_keys = self._quarantine_purged_keys()
         stage = PartitionStage(ncfg, P, wms, closed_wm,
                                transform=transform,
                                expect_fn=cfg.expect_fn,
-                               quarantine_dir=qdir)
+                               quarantine_dir=qdir,
+                               purged_keys=purged_keys)
         prior_files, prior_wms = {}, {}
         if m:
             for pid, p in m["partitions"].items():

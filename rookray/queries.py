@@ -1313,6 +1313,26 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6).to_pandas()
 
 
+#: shared word-shingling CTE restatement (= ops.dedup's
+#: `_word_shingle_hashes` pre-hash step: lowercase, whitespace split,
+#: distinct word 3-grams, <3-word docs collapse to one joined shingle)
+#: — interpolated into BOTH dedup oracles so the two can't drift
+_SHINGLE_CTES = """d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(words) < 3 THEN array_to_string(words, ' ')
+              ELSE words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+         END AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1,
+       CASE WHEN len(words) < 3 THEN 2 ELSE len(words) - 1 END)) AS i) t(i)
+)"""
+
+
 def _minhash_sql() -> str:
     """EXACT SQL restatement of the whole MinHash-LSH cluster pipeline
     (shingle → 64 minhashes with the engine's inlined RandomState(42)
@@ -1332,20 +1352,8 @@ def _minhash_sql() -> str:
     P64 = 1 << 64
     F = _H_BASE
     return f"""
-WITH RECURSIVE d AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     w -> w <> '') AS words
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN len(words) < 3 THEN array_to_string(words, ' ')
-              ELSE words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-         END AS shingle
-  FROM d, LATERAL (SELECT unnest(range(1,
-       CASE WHEN len(words) < 3 THEN 2 ELSE len(words) - 1 END)) AS i) t(i)
-),
+WITH RECURSIVE
+{_SHINGLE_CTES},
 {hash_strings_ctes('sh', 'shingle', 'doc_id')},
 hset AS (SELECT DISTINCT doc_id, hh FROM hashed),
 ab(j, a, b) AS (VALUES {ab_rows}),
@@ -1407,20 +1415,8 @@ FROM reach GROUP BY doc ORDER BY doc_id
 # drop engine pairs — it does not fire on the fixtures, and fires
 # LOUDLY when it does.)
 DEDUP_SIMHASH_SQL = f"""
-WITH d AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     w -> w <> '') AS words
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN len(words) < 3 THEN array_to_string(words, ' ')
-              ELSE words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-         END AS shingle
-  FROM d, LATERAL (SELECT unnest(range(1,
-       CASE WHEN len(words) < 3 THEN 2 ELSE len(words) - 1 END)) AS i) t(i)
-),
+WITH
+{_SHINGLE_CTES},
 {hash_strings_ctes('sh', 'shingle', 'doc_id')},
 bits AS (SELECT unnest(range(0, 64)) AS b),
 vb AS (

@@ -604,3 +604,41 @@ def test_expectations_compose_with_merge_modes(tmp_path, mode_kw):
     q = lake.quarantine_table()
     assert sorted(q.column("gtid").to_pylist()) == sorted(
         ev.filter(pa.array(~passing)).column("gtid").to_pylist())
+
+
+def test_purged_quarantine_never_resurrected_by_replay(tmp_path):
+    """The review-found hole: if a partition's rows ALL quarantined,
+    its watermark never advances, and a duplicate replay would re-gate
+    (and re-write) audit bytes a GDPR purge swept.  The purge
+    tombstones close it: victims never re-enter the quarantine, other
+    bad rows still audit normally."""
+    from rookray.queries import _expect_short_docs
+
+    # min_tokens=97 ⇒ EVERY non-delete event violates the n_tok<=96
+    # gate — the maximal version of the all-quarantined scenario
+    cfg = GenConfig(n_docs=20, n_events=300, min_tokens=97)
+    meta = write_shards(cfg, str(tmp_path / "s"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=2, expect_fn=_expect_short_docs))
+    lake.apply(meta["files"])
+    q0 = lake.quarantine_table()
+    assert len(q0) > 0
+    assert len(lake.state_table()) == 0  # nothing passed the gate
+
+    victims = sorted(set(q0.column("doc_id").to_pylist()))[:3]
+    lake.purge(victims)
+    assert not set(victims) & set(
+        lake.quarantine_table().column("doc_id").to_pylist())
+
+    # duplicate replay: bad rows re-gate, but the tombstoned victims'
+    # bytes must NOT come back; everything else re-audits normally
+    lake.apply(meta["files"])
+    q1 = lake.quarantine_table()
+    assert not set(victims) & set(q1.column("doc_id").to_pylist())
+    survivors = set(q0.column("doc_id").to_pylist()) - set(victims)
+    assert survivors <= set(q1.column("doc_id").to_pylist())
+    import glob as _glob
+    for f in _glob.glob(str(tmp_path / "lake" / "quarantine" /
+                            "*.parquet")):
+        t = pq.read_table(f)
+        assert not set(victims) & set(t.column("doc_id").to_pylist())
