@@ -19,13 +19,19 @@ Correctness and effectiveness are deliberately decoupled:
   every dimension at once (a plain sort by one column only prunes
   that column).
 
-Scale shape: one tiny stats pass (per-batch min/max partials → driver
-fold over ≤ a handful of numbers), one stateless ``map_batches`` that
-computes the curve value per row (pure numpy bit-interleave), one
-range exchange on the curve value (stride-sampled boundaries — the
-same no-global-sort trick as ``ops/corpus.deterministic_shuffle``),
-and one write task per output file.  Scans read ONLY the surviving
-files, with the residual predicate pushed into the parquet reads.
+Scale shape: ONE tiny streaming stats pass (per-batch min/max + row/
+byte counts + a capped stride sample of the raw clustering columns →
+driver fold over small partials; the input is NEVER materialized),
+then one stateless ``map_batches`` pass that recomputes the curve
+value per row (pure numpy bit-interleave — recomputing beats holding
+the whole dataset in the object store) feeding a range exchange on
+the curve value and one write task per output range.  The number of
+output ranges is sized by TOTAL BYTES / ``target_file_bytes`` (never
+fewer than the requested ``num_files``), so per-task memory is
+bounded by the target file size while the file count grows with the
+data — a 100 TB input becomes ~400 k bounded write tasks, not 16
+6-TB ones.  Scans read ONLY the surviving files, with the residual
+predicate pushed into the parquet reads.
 """
 
 from __future__ import annotations
@@ -68,60 +74,77 @@ def _morton(cells: list[np.ndarray], bits: int) -> np.ndarray:
 
 def zorder_write(ds: "ray.data.Dataset", cols: list[str], out_dir: str,
                  num_files: int = 16, bits: int = 16,
-                 sample_stride: int = 37) -> dict:
+                 sample_stride: int = 37,
+                 target_file_bytes: int = 128 << 20,
+                 max_samples_per_block: int = 128) -> dict:
     """Rewrite ``ds`` clustered by the Z-curve of ``cols`` into
-    ``num_files`` parquet files under ``out_dir`` plus an
-    ``index.json`` of per-file min/max stats for every clustering
-    column.  Two-phase: files land first, the index swaps last."""
+    parquet files under ``out_dir`` plus an ``index.json`` of per-file
+    min/max stats for every clustering column.  Two-phase: files land
+    first, the index swaps last.
+
+    File count = max(``num_files``, total_bytes / ``target_file_bytes``)
+    so one write task never holds more than ~a file's worth of rows no
+    matter the input size; ``num_files`` is a floor (layout knob), not
+    a memory bound.  The input dataset is consumed twice (stats pass,
+    then write pass) but never materialized — the curve value is
+    recomputed in the write pass, which is a cheap vectorized map.
+
+    The boundary sample is capped at ``max_samples_per_block`` values
+    per block so driver-side fold memory stays ~samples × blocks; on a
+    very large cluster run, raise the stride / lower the cap (the
+    boundaries only need ~file-count quantiles to be useful — skewed
+    boundaries cost balance, never correctness)."""
     os.makedirs(out_dir, exist_ok=True)
 
-    # 1. tiny stats pass: per-batch min/max partials, driver fold
-    def minmax(batch: pa.Table) -> pa.Table:
-        row = {}
+    # 1. ONE tiny streaming pass: min/max partials + row/byte counts +
+    #    a capped stride sample of the raw clustering columns.  The
+    #    sample is of RAW values (not the curve) because the curve
+    #    needs the global ranges this same pass is computing; the
+    #    driver folds ranges first, then curves the tiny sample.
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        stride = max(sample_stride, -(-n // max_samples_per_block) or 1)
+        row = {"_rows": [n], "_bytes": [batch.nbytes]}
         for c in cols:
             v = batch.column(c).to_numpy(zero_copy_only=False)
-            row[f"{c}_min"] = [float(np.min(v))] if len(v) else [np.inf]
-            row[f"{c}_max"] = [float(np.max(v))] if len(v) else [-np.inf]
+            row[f"{c}_min"] = [float(np.min(v))] if n else [np.inf]
+            row[f"{c}_max"] = [float(np.max(v))] if n else [-np.inf]
+            row[f"{c}_smp"] = [v[::stride].astype(np.float64)]
         return pa.table(row)
 
-    parts = ds.map_batches(minmax, batch_format="pyarrow",
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
     ranges = {c: (min(r[f"{c}_min"] for r in parts),
                   max(r[f"{c}_max"] for r in parts)) for c in cols}
+    total_bytes = sum(int(r["_bytes"]) for r in parts)
+    n_out = max(int(num_files), -(-total_bytes // int(target_file_bytes)))
     ref = ray.put(ranges)
 
-    # 2. curve value per row (stateless, vectorized)
-    def add_z(batch: pa.Table) -> pa.Table:
-        rg = ray.get(ref)
-        cells = [_quantize(batch.column(c).to_numpy(zero_copy_only=False),
-                           rg[c][0], rg[c][1], bits) for c in cols]
-        return batch.append_column(
-            "_z", pa.array(_morton(cells, bits).astype(np.int64)))
-
-    with_z = ds.map_batches(add_z, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-
-    # 3. range boundaries from a stride sample (no global sort)
-    def sample(batch: pa.Table) -> pa.Table:
-        z = batch.column("_z").to_numpy(zero_copy_only=False)
-        return pa.table({"z": pa.array(z[::sample_stride])})
-
-    zs = np.sort(np.array(
-        [r["z"] for r in with_z.map_batches(
-            sample, batch_format="pyarrow").take_all()],
-        dtype=np.int64))
+    # 2. boundaries: curve the folded sample on the driver (tiny)
+    smp_cells = [_quantize(
+        np.concatenate([np.asarray(r[f"{c}_smp"], dtype=np.float64)
+                        for r in parts]) if parts
+        else np.array([], dtype=np.float64),
+        ranges[c][0], ranges[c][1], bits) for c in cols]
+    zs = np.sort(_morton(smp_cells, bits).astype(np.int64)) \
+        if parts and len(smp_cells[0]) else np.array([], dtype=np.int64)
     if len(zs):
-        cut_idx = (np.arange(1, num_files) * len(zs)) // num_files
+        cut_idx = (np.arange(1, n_out) * len(zs)) // n_out
         bounds = np.unique(zs[cut_idx])
     else:
         bounds = np.array([], dtype=np.int64)
-
     bounds_ref = ray.put(bounds)
 
-    def assign(batch: pa.Table) -> pa.Table:
+    # 3. write pass: recompute the curve per batch (stateless,
+    #    vectorized — cheaper than materializing the dataset), range
+    #    exchange on it, one bounded write task per range.
+    def add_z_and_range(batch: pa.Table) -> pa.Table:
+        rg = ray.get(ref)
         b = ray.get(bounds_ref)
-        z = batch.column("_z").to_numpy(zero_copy_only=False)
-        return batch.append_column(
+        cells = [_quantize(batch.column(c).to_numpy(zero_copy_only=False),
+                           rg[c][0], rg[c][1], bits) for c in cols]
+        z = _morton(cells, bits).astype(np.int64)
+        return batch.append_column("_z", pa.array(z)).append_column(
             "_file", pa.array(np.searchsorted(b, z, side="right")
                               .astype(np.int64)))
 
@@ -141,8 +164,8 @@ def zorder_write(ds: "ray.data.Dataset", cols: list[str], out_dir: str,
 
     wf = WriteFile()
     wf.__name__ = "ZOrderWrite"
-    rows = (with_z.map_batches(assign, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    rows = (ds.map_batches(add_z_and_range, batch_format="pyarrow",
+                           zero_copy_batch=True)
             .groupby("_file").map_groups(wf, batch_format="pyarrow")
             .take_all())
     index = {"cols": list(cols), "bits": bits,

@@ -60,6 +60,37 @@ def test_zorder_pruning_effective_on_both_dims(tmp_path):
     assert len(kept_ab) <= min(len(kept_a), len(kept_b))
 
 
+def test_zorder_write_streams_and_scales_file_count(tmp_path):
+    """Scale shape (round-4): the write must never materialize the
+    whole dataset, and file count must grow with input bytes (one
+    bounded write task per output file) instead of being pinned to
+    ``num_files``."""
+    import inspect
+
+    import pyarrow as pa
+
+    from rookray.ops import zorder as zmod
+
+    src = inspect.getsource(zmod.zorder_write)
+    assert ".materialize(" not in src, \
+        "zorder_write must stream, not materialize the input"
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    t = pa.table({"a": rng.integers(0, 1_000_000, n),
+                  "b": rng.random(n),
+                  "pad": [f"row-{i:07d}" * 4 for i in range(n)]})
+    out = str(tmp_path / "z")
+    r = zorder_write(ray.data.from_arrow(t).repartition(8), ["a", "b"],
+                     out, num_files=4, target_file_bytes=64 * 1024)
+    assert r["rows"] == n
+    assert r["files"] > 16, f"expected byte-scaled file count, got {r}"
+    assert len(glob.glob(os.path.join(out, "z-*.parquet"))) == r["files"]
+    # scan is still lossless after the range exchange
+    got = zorder_scan(out, {"a": (-1, 2_000_000)}).to_pandas()
+    assert len(got) == n
+
+
 def test_zorder_degenerate_constant_column(tmp_path):
     import pyarrow as pa
 
