@@ -19,6 +19,7 @@ CDC semantics are exercised two ways:
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -1880,6 +1881,16 @@ FLAGSHIP_DIR = "/tmp/rookray_streams/flagship-20000"
 FLAGSHIP_EVENTS = 20000
 
 
+def _flagship_cfg():
+    """The one GenConfig behind every flagship-replay query (and its
+    Debezium-dump restatement) — keep in one place so the SQL oracle,
+    the shards and the wire dump can never drift apart."""
+    from rookray.gen import GenConfig
+    n_events = FLAGSHIP_EVENTS
+    return GenConfig(n_docs=max(200, n_events // 20), n_events=n_events,
+                     noise_pct=5, evolve_at=n_events // 2 + 1, zipf_a=1.2)
+
+
 def flagship_stream() -> dict:
     """Deterministic flagship change stream (cached on disk).
 
@@ -1896,9 +1907,7 @@ def flagship_stream() -> dict:
     stale = (os.path.exists(clog)
              and "lang" not in _pq.read_schema(clog).names)
     if not (os.path.exists(meta_path) and os.path.exists(clog)) or stale:
-        n_events = FLAGSHIP_EVENTS
-        cfg = GenConfig(n_docs=max(200, n_events // 20), n_events=n_events,
-                        noise_pct=5, evolve_at=n_events // 2 + 1, zipf_a=1.2)
+        cfg = _flagship_cfg()
         write_shards(cfg, out, n_shards=16)
         tbl = generate_events(cfg)
         after = tbl.column("after").combine_chunks()
@@ -1964,7 +1973,12 @@ def cdc_replay_sequences(sf_dir: str) -> pd.DataFrame:
     lake.apply(meta["files"][:half + 1])
     lake.apply(meta["files"][half:])  # overlap: watermark-skip dedup
     lake.compact()
-    state = lake.state_table()
+    return _state_digest(lake.state_table())
+
+
+def _state_digest(state: pa.Table) -> pd.DataFrame:
+    """(doc_id, n_tok, source, token_sum) digest of a lake state table
+    — the SQL-comparable restatement of the replayed final state."""
     toks = state.column("tokens").combine_chunks()
     sums = np.zeros(len(state), dtype=np.int64)
     if len(state):
@@ -1989,6 +2003,54 @@ SELECT doc_id,
        CAST(coalesce(list_aggregate(tokens, 'sum'), 0) AS BIGINT) AS token_sum
 FROM win
 """
+
+
+def _flagship_debezium() -> dict:
+    """Deterministic Debezium-JSON restatement of the flagship stream
+    (cached next to it): the recorded public-wire-format dump the
+    adapter queries decode.  Same GenConfig → same events → the LWW
+    oracle over ``changelog.parquet`` stays the ground truth."""
+    from rookray import wire
+    from rookray.gen import generate_events
+    flagship_stream()  # ensure changelog.parquet exists for the oracle
+    out = os.path.join(FLAGSHIP_DIR, "debezium")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        d = wire.debezium_dump(generate_events(_flagship_cfg()), out,
+                               n_files=8)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(d, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def cdc_wire_debezium(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest (the reference's day-one use case,
+    MySQLReplicationStream.java:71-120 restated for the public
+    Debezium-JSON envelope): decode a recorded connector dump — data
+    topic + transaction topic — into change events and replay them
+    through the full lake apply.  The oracle is the same LWW SQL as
+    the flagship, so any decode defect (op mapping, before/after
+    typing, binlog-coordinate gtid ordering, tx-completeness counts
+    from the transaction topic) surfaces as a state-digest mismatch."""
+    import tempfile
+    from rookray import wire
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_debezium()
+    ds = wire.read_debezium(d["data_files"], tx_topic=[d["tx_file"]],
+                            payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_dbz_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+CDC_WIRE_DEBEZIUM_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
 def fti_postings(sf_dir: str) -> pd.DataFrame:
@@ -3979,6 +4041,7 @@ QUERIES = {
     "stats_grouped_quantiles": stats_grouped_quantiles,
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
+    "cdc_wire_debezium": cdc_wire_debezium,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
@@ -4067,6 +4130,7 @@ ORACLES = {
     # full-engine flagship: DuckDB replays the same change log
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
+    "cdc_wire_debezium": CDC_WIRE_DEBEZIUM_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,

@@ -1,0 +1,437 @@
+"""Public CDC wire-format adapter: Debezium-JSON envelopes.
+
+rook's entire reason to exist is tailing a live MySQL binlog
+(rook-source-mysql/.../MySQLReplicationStream.java:71-120 — host/port/
+user/password → BinaryLogClient).  No database exists in this sandbox,
+so the public-protocol analog is the de-facto standard CDC wire format:
+the Debezium JSON envelope that a MySQL/Postgres connector publishes to
+Kafka.  This module decodes Debezium-shaped dumps (JSON-lines files) and
+live socket feeds into the engine's change-event schema
+(``rookray.schema.change_event_schema``), so a Debezium pipeline can
+drive the lake without the producer being rookray-shaped.
+
+Envelope shape (public, per the Debezium documentation):
+
+  data record::
+
+    {"payload": {"before": {...}|null, "after": {...}|null,
+                 "source": {"name", "db", "table", "server_id",
+                            "file", "pos", "row", "gtid", "ts_ms"},
+                 "op": "c"|"u"|"d"|"r", "ts_ms": ...,
+                 "transaction": {"id", "total_order",
+                                 "data_collection_order"}|null}}
+
+  transaction-topic record (transaction metadata enabled)::
+
+    {"status": "BEGIN"|"END", "id": "...", "event_count": N,
+     "data_collections": [{"data_collection": "db.table",
+                           "event_count": n}, ...]}
+
+Mapping into the engine's model:
+
+- ``op``: "c"/"r" (create / snapshot read) → INSERT, "u" → UPDATE,
+  "d" → DELETE.
+- ``gtid``: the engine needs a per-EVENT monotone int64; a binlog
+  offers exactly that as (file sequence, position, row-in-statement) —
+  the same coordinates rook checkpoints.  Decoded as
+  ``file_seq << 40 | pos`` (positions are < 2^40 in any real binlog
+  file); MySQL's GTID string ("uuid:txno") is per-TRANSACTION, so it
+  is only a fallback (``txno << 16 | total_order-1``).
+- ``tx_id`` / ``seq_in_tx``: from the envelope's ``transaction`` block.
+- ``tx_events`` (rows per tx — the engine's local tx-completeness
+  count): from the transaction topic's END records (``event_count``),
+  or, when no transaction topic is supplied, from a counting pass over
+  the dump itself (bounded replay only — a live feed needs the topic).
+
+Decoding is vectorized end-to-end: ``pyarrow.json`` parses the lines in
+C++, and the envelope→event mapping below is pure Arrow struct-field
+algebra — no per-row Python.  The ENCODER (``debezium_dump``) is the
+test/bench producer (the stand-in for a real connector) and is allowed
+to be per-row Python; it never runs inside a pipeline.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
+                            change_event_schema)
+from rookray.source import ChangeStreamServer, _read_exact
+
+__all__ = [
+    "debezium_dump", "decode_envelopes", "read_debezium",
+    "DebeziumSocketDatasource", "stream_debezium_socket",
+    "DebeziumStreamServer", "parse_tx_topic",
+]
+
+_OP_TO_DBZ = {OP_INSERT: "c", OP_UPDATE: "u", OP_DELETE: "d"}
+_BINLOG_FILE = "rookray-bin.000001"
+
+
+# ------------------------------------------------------------- encoder
+
+def _row_payload(struct_val) -> dict | None:
+    if struct_val is None:
+        return None
+    return {k: (v.tolist() if hasattr(v, "tolist") else v)
+            for k, v in struct_val.items()}
+
+
+def debezium_dump(events: pa.Table, out_dir: str, n_files: int = 4,
+                  connector: str = "mysql",
+                  server_name: str = "rookray") -> dict:
+    """Serialize a change-event table into a Debezium-JSON dump:
+    ``data-%05d.jsonl`` files (the data topic) plus ``tx-00000.jsonl``
+    (the transaction topic, BEGIN/END records with event counts).
+    Deterministic: same input table → byte-identical dump.  This is
+    the recorded-connector-output producer for tests and benches."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = events.to_pylist()
+    per = -(-len(rows) // max(1, n_files)) or 1
+    paths = []
+    for fi in range(0, len(rows), per):
+        chunk = rows[fi:fi + per]
+        path = os.path.join(out_dir, f"data-{fi // per:05d}.jsonl")
+        with open(path, "w") as f:
+            for r in chunk:
+                env = {"payload": {
+                    "before": _row_payload(r["before"]),
+                    "after": _row_payload(r["after"]),
+                    "source": {
+                        "version": "2.5.0.Final", "connector": connector,
+                        "name": server_name, "ts_ms": 0,
+                        "db": r["db"], "table": r["table"],
+                        "server_id": r["server_id"],
+                        "file": _BINLOG_FILE, "pos": r["gtid"], "row": 0,
+                        "gtid": f"{server_name}:{r['tx_id']}",
+                    },
+                    "op": _OP_TO_DBZ[r["op"]],
+                    "ts_ms": 0,
+                    "transaction": {
+                        "id": str(r["tx_id"]),
+                        "total_order": r["seq_in_tx"] + 1,
+                        "data_collection_order": r["seq_in_tx"] + 1,
+                    },
+                }}
+                f.write(json.dumps(env, separators=(",", ":")) + "\n")
+        paths.append(path)
+    # transaction topic: one BEGIN + one END per tx, in tx order
+    tx_counts: dict[int, int] = {}
+    for r in rows:
+        tx_counts[r["tx_id"]] = r["tx_events"]
+    tx_path = os.path.join(out_dir, "tx-00000.jsonl")
+    with open(tx_path, "w") as f:
+        for txid in sorted(tx_counts):
+            f.write(json.dumps({"status": "BEGIN", "id": str(txid),
+                                "event_count": None},
+                               separators=(",", ":")) + "\n")
+            f.write(json.dumps(
+                {"status": "END", "id": str(txid),
+                 "event_count": tx_counts[txid],
+                 "data_collections": [{"data_collection": "rook.sequences",
+                                       "event_count": tx_counts[txid]}]},
+                separators=(",", ":")) + "\n")
+    return {"data_files": paths, "tx_file": tx_path, "events": len(rows)}
+
+
+# ------------------------------------------------------------- decoder
+
+def _json_table(data: bytes) -> pa.Table:
+    import pyarrow.json as pj
+    return pj.read_json(io.BytesIO(data))
+
+
+def parse_tx_topic(paths: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted tx ids, event counts) from transaction-topic dumps —
+    the END records carry ``event_count``.  Small by construction (two
+    records per transaction), parsed once on the driver and broadcast."""
+    ids, counts = [], []
+    for p in paths:
+        with open(p, "rb") as f:
+            t = _json_table(f.read())
+        end = t.filter(pc.equal(t.column("status"), "END"))
+        ids.extend(int(x) for x in end.column("id").to_pylist())
+        counts.extend(int(x) for x in end.column("event_count").to_pylist())
+    ids_a = np.asarray(ids, dtype=np.int64)
+    counts_a = np.asarray(counts, dtype=np.int64)
+    order = np.argsort(ids_a, kind="stable")
+    return ids_a[order], counts_a[order]
+
+
+def _field_or_null(struct_col: pa.ChunkedArray | pa.Array, name: str,
+                   typ: pa.DataType, n: int) -> pa.Array:
+    """Struct field extraction robust to JSON inference gaps: a file
+    where every value of a field is absent/null infers no field (or a
+    null type) — decode must still emit the typed column."""
+    if isinstance(struct_col, pa.ChunkedArray):
+        struct_col = struct_col.combine_chunks()
+    if pa.types.is_struct(struct_col.type):
+        idx = struct_col.type.get_field_index(name)
+        if idx >= 0:
+            out = struct_col.field(idx)
+            if pa.types.is_null(out.type):
+                return pa.nulls(n, typ)
+            return out.cast(typ)
+    return pa.nulls(n, typ)
+
+
+def _payload_struct(col, payload: pa.Schema, n: int) -> pa.Array:
+    """JSON-inferred before/after struct → typed payload struct with
+    the original row validity (insert rows have null before, etc.)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col is None or not pa.types.is_struct(col.type):  # all-null/absent
+        return pa.nulls(n, pa.struct(list(payload)))
+    children = [_field_or_null(col, f.name, f.type, n) for f in payload]
+    mask = col.is_null()
+    return pa.StructArray.from_arrays(
+        children, names=payload.names,
+        mask=mask.combine_chunks() if isinstance(mask, pa.ChunkedArray)
+        else mask)
+
+
+def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
+                     tx_index: tuple[np.ndarray, np.ndarray] | None = None,
+                     ) -> pa.Table:
+    """One batch of JSON-parsed Debezium envelopes → the change-event
+    schema.  Pure Arrow/numpy kernels throughout."""
+    n = tbl.num_rows
+    schema = change_event_schema(payload)
+    if n == 0:
+        return schema.empty_table()
+    p = tbl.column("payload").combine_chunks()
+
+    # op: "c"/"r" → insert, "u" → update, "d" → delete
+    op_s = p.field("op")
+    code = pc.index_in(op_s, value_set=pa.array(["c", "r", "u", "d"]))
+    op = pc.take(pa.array([OP_INSERT, OP_INSERT, OP_UPDATE, OP_DELETE],
+                          pa.int8()), code)
+
+    src = p.field("source")
+    db = _field_or_null(src, "db", pa.string(), n)
+    table = _field_or_null(src, "table", pa.string(), n)
+    server_id = _field_or_null(src, "server_id", pa.int64(), n)
+
+    # gtid: binlog coordinates preferred (per-event exact); MySQL GTID
+    # string is per-transaction → fallback composite
+    pos = _field_or_null(src, "pos", pa.int64(), n)
+    file_s = _field_or_null(src, "file", pa.string(), n)
+    txb = p.field("transaction") if "transaction" in [
+        f.name for f in p.type] else None
+    tx_id = _field_or_null(txb, "id", pa.string(), n) if txb is not None \
+        else pa.nulls(n, pa.string())
+    total_order = _field_or_null(txb, "total_order", pa.int64(), n) \
+        if txb is not None else pa.nulls(n, pa.int64())
+    tx_id_a = pc.cast(tx_id, pa.int64())
+    tx_valid = tx_id_a.is_valid().to_numpy(zero_copy_only=False)
+    tx_id_i = tx_id_a.fill_null(-1).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    seq0 = pc.coalesce(total_order, pa.scalar(1, pa.int64()))
+    seq0 = pc.subtract(seq0, pa.scalar(1, pa.int64()))
+    seq_np = seq0.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    pos_np = pos.to_numpy(zero_copy_only=False)
+    if pos.null_count == 0 and n:
+        fseq = pc.extract_regex(file_s, r"(?P<n>\d+)$")
+        fseq_np = np.where(
+            fseq.is_valid().to_numpy(zero_copy_only=False),
+            pc.cast(pc.struct_field(fseq, "n"),
+                    pa.int64()).fill_null(0)
+            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        gtid = (fseq_np << np.int64(40)) | pos_np.astype(np.int64)
+    else:
+        src_gtid = _field_or_null(src, "gtid", pa.string(), n)
+        txno = pc.cast(pc.replace_substring_regex(src_gtid, r"^.*:", ""),
+                       pa.int64()).fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        gtid = (txno << np.int64(16)) | seq_np
+        # no transaction block (e.g. snapshot reads): the GTID string's
+        # per-tx number is the best available transaction identity
+        tx_id_i = np.where(tx_valid, tx_id_i, txno)
+
+    # tx_events from the transaction-topic index (searchsorted on the
+    # broadcast sorted arrays — no Python per row)
+    if tx_index is not None and len(tx_index[0]):
+        ids_a, counts_a = tx_index
+        loc = np.searchsorted(ids_a, tx_id_i)
+        loc_c = np.clip(loc, 0, len(ids_a) - 1)
+        hit = ids_a[loc_c] == tx_id_i
+        tx_events = np.where(hit, counts_a[loc_c], -1).astype(np.int32)
+    else:
+        tx_events = np.full(n, -1, dtype=np.int32)
+
+    before = _payload_struct(p.field("before") if "before" in
+                             [f.name for f in p.type] else None, payload, n)
+    after = _payload_struct(p.field("after") if "after" in
+                            [f.name for f in p.type] else None, payload, n)
+    key_field = payload.names[0]  # merge key = first payload column
+    bkey = pc.struct_field(before, key_field)
+    akey = pc.struct_field(after, key_field)
+    key = pc.if_else(pc.greater(op, pa.scalar(OP_INSERT, pa.int8())),
+                     bkey, akey)
+
+    return pa.table({
+        "gtid": pa.array(gtid, pa.int64()),
+        "tx_id": pa.array(tx_id_i, pa.int64()),
+        "seq_in_tx": pa.array(seq_np.astype(np.int32), pa.int32()),
+        "tx_events": pa.array(tx_events, pa.int32()),
+        "server_id": server_id,
+        "db": db,
+        "table": table,
+        "op": op,
+        "key": key,
+        "before": before,
+        "after": after,
+    }, schema=schema)
+
+
+def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
+                  payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
+    """A ``ray.data.Dataset`` of engine change events decoded from
+    Debezium-JSON dump files.  ``pyarrow.json`` does the parsing inside
+    the read tasks (C++, block-parallel); the envelope mapping is one
+    vectorized ``map_batches``.
+
+    Without ``tx_topic``, per-transaction event counts are recovered by
+    a counting pass over the dump (tiny partial-count partials →
+    groupby sum → broadcast) — valid for a bounded recorded dump; a
+    LIVE feed must supply the transaction topic, exactly as a real
+    Debezium consumer needs it for transaction boundaries."""
+    import ray
+    import ray.data
+
+    raw = ray.data.read_json(paths)
+    if tx_topic is not None:
+        tx_index = parse_tx_topic(tx_topic)
+    else:
+        def tx_partial(tbl: pa.Table) -> pa.Table:
+            p = tbl.column("payload").combine_chunks()
+            txs = pc.cast(pc.struct_field(p.field("transaction"), "id"),
+                          pa.int64())
+            import pandas as _pd
+            vc = _pd.Series(txs.to_numpy(zero_copy_only=False)).value_counts()
+            return pa.table({"tx_id": pa.array(vc.index.to_numpy(), pa.int64()),
+                             "n": pa.array(vc.to_numpy(), pa.int64())})
+
+        from ray.data.aggregate import Sum
+        counts = (ray.data.read_json(paths)
+                  .map_batches(tx_partial, batch_format="pyarrow")
+                  .groupby("tx_id").aggregate(Sum("n", alias_name="n"))
+                  .take_all())
+        ids_a = np.asarray([r["tx_id"] for r in counts], dtype=np.int64)
+        cnt_a = np.asarray([r["n"] for r in counts], dtype=np.int64)
+        order = np.argsort(ids_a, kind="stable")
+        tx_index = (ids_a[order], cnt_a[order])
+
+    ref = ray.put(tx_index)
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        import ray as _ray
+        return decode_envelopes(tbl, payload=payload,
+                                tx_index=_ray.get(ref))
+
+    return raw.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ------------------------------------------------------- socket variant
+
+class DebeziumStreamServer(ChangeStreamServer):
+    """Test producer for the socket path: frames carry raw Debezium
+    JSON-lines bytes instead of Arrow IPC."""
+
+    def push_lines(self, lines: list[str]) -> None:
+        self._q.put(("\n".join(lines) + "\n").encode())
+
+    def push_file(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self._q.put(f.read())
+
+
+from ray.data.datasource import Datasource  # noqa: E402
+
+
+class DebeziumSocketDatasource(Datasource):
+    """Unbounded Debezium change stream over the frame protocol
+    (``rookray.source.SocketStreamDatasource`` with JSON-lines frames):
+    one ordered read task — a replication connection is one stream —
+    decoding each frame with the same vectorized envelope mapping.
+    ``tx_index`` must come from the transaction topic (live feeds have
+    no bounded dump to count)."""
+
+    def __init__(self, host: str, port: int,
+                 tx_index: tuple[np.ndarray, np.ndarray],
+                 payload: pa.Schema = SEQ_SCHEMA,
+                 connect_timeout_s: float = 10.0):
+        self.host, self.port = host, port
+        self.tx_index = tx_index
+        self.payload = payload
+        self.connect_timeout_s = connect_timeout_s
+
+    def get_name(self) -> str:
+        return f"DebeziumSocketStream({self.host}:{self.port})"
+
+    def estimate_inmemory_data_size(self):
+        return None
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        host, port = self.host, self.port
+        timeout, payload, tx_index = (self.connect_timeout_s, self.payload,
+                                      self.tx_index)
+
+        def read_fn():
+            import socket
+            import struct
+            import time as _t
+
+            deadline = _t.monotonic() + timeout
+            sock = None
+            while sock is None:
+                try:
+                    sock = socket.create_connection((host, port), timeout=2.0)
+                except OSError:
+                    if _t.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"could not connect to {host}:{port} within "
+                            f"{timeout}s")
+                    _t.sleep(0.05)
+            sock.settimeout(None)
+            try:
+                while True:
+                    (ln,) = struct.unpack(">I", _read_exact(sock, 4))
+                    if ln == 0:
+                        return
+                    frame = _read_exact(sock, ln)
+                    yield decode_envelopes(_json_table(frame),
+                                           payload=payload,
+                                           tx_index=tx_index)
+            finally:
+                sock.close()
+
+        meta = BlockMetadata(num_rows=None, size_bytes=None,
+                             exec_stats=None, input_files=None)
+        return [ReadTask(read_fn, meta)]
+
+
+def stream_debezium_socket(host: str, port: int,
+                           tx_index: tuple[np.ndarray, np.ndarray],
+                           payload: pa.Schema = SEQ_SCHEMA,
+                           connect_timeout_s: float = 10.0):
+    """Unbounded Dataset of engine change events from a live
+    Debezium-JSON socket feed — the network adapter a real consumer
+    points at a connector's output."""
+    import ray.data
+
+    return ray.data.read_datasource(
+        DebeziumSocketDatasource(host, port, tx_index, payload,
+                                 connect_timeout_s),
+        override_num_blocks=1)
