@@ -407,9 +407,38 @@ class _AhoCorasick:
         return len(seen)
 
 
+_SEED_B = np.uint64(1099511628211)  # odd → invertible mod 2^64
+
+
+def _modinv_pow2_64(b: np.uint64) -> np.uint64:
+    """Inverse of an odd b modulo 2^64 (Newton iteration: x ← x(2-bx)
+    doubles correct bits; 6 steps from the trivial 3-bit seed)."""
+    with np.errstate(over="ignore"):
+        x = b  # b ≡ b^-1 mod 8 for odd b
+        two = np.uint64(2)
+        for _ in range(6):
+            x = x * (two - b * x)
+    return x
+
+
+def _string_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated utf-8 bytes, int64 offsets) of a string column —
+    zero-copy from the Arrow buffers; nulls read as empty."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    a = a.fill_null("")
+    odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
+        a.offset: a.offset + len(a) + 1].astype(np.int64)
+    buf = a.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None else np.zeros(0, np.uint8))
+    lo = offs[0]
+    return data[lo: offs[-1]], offs - lo
+
+
 def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
                   text_col: str = "text",
-                  max_snippets: int = 100_000,
+                  max_snippets: int = 64,
                   method: str = "auto") -> "ray.data.Dataset":
     """Benchmark decontamination: flag every corpus doc containing any
     of the benchmark ``snippets`` as an exact substring — the "remove
@@ -417,38 +446,40 @@ def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
 
     The snippet list is the BENCHMARK side (eval sets are thousands of
     prompts, not corpus-sized) — broadcast once via ``ray.put``, never
-    re-shipped per batch.  Two scan engines:
+    re-shipped per batch.  Three scan engines:
 
     * ``kernels`` — one vectorized Arrow ``match_substring`` kernel
       per snippet (O(rows × snippets) inside C++, zero Python per
       row).  Fastest for small snippet lists.
-    * ``aho`` — an Aho-Corasick automaton compiled ONCE per actor in
-      ``__init__``; each doc is one O(bytes) pass independent of the
-      snippet count.  The per-byte loop is Python (no codec libs in
-      scope) so its constant is worse, but it is the asymptotic scale
-      path for 10⁵⁺-snippet benchmark suites, and actor-pool
-      parallelism hides the constant.
+    * ``seed`` — rolling-hash seed-and-extend, the scale path: one
+      vectorized O(bytes) pass hashes every window of length L* (the
+      shortest snippet) with a mod-2^64 polynomial (odd base → sliding
+      via the base's modular inverse, pure uint64 numpy), membership-
+      tests the windows against the snippet-prefix hash set
+      (searchsorted), and exact-verifies the rare candidates byte-for-
+      byte (so hash collisions can never produce a false hit).  Cost
+      is independent of the snippet COUNT; very short L* degrades it
+      gracefully toward verification-bound (real eval snippets are
+      ≥16 chars).
+    * ``aho`` — a byte-level Aho-Corasick automaton compiled once per
+      actor.  O(bytes) like ``seed`` but the per-byte loop is Python;
+      kept as an independent exactness cross-check of the other two.
 
-    ``method="auto"`` picks kernels at or below ``max_snippets`` and
-    switches to the automaton above it; ``method="kernels"`` raises
-    above the budget instead (the pre-automaton behavior).
+    ``method="auto"`` picks kernels at or below ``max_snippets``
+    (where the C++ per-snippet sweep still wins) and the seed engine
+    above it — no size ceiling anywhere.
 
     Returns (doc_id, n_hits): docs containing ≥1 distinct snippet and
-    how many distinct snippets each contains (identical under both
+    how many distinct snippets each contains (identical under all
     engines — tested).
     """
     import ray
 
     uniq = sorted(set(s for s in snippets if s))
-    if method not in ("auto", "kernels", "aho"):
+    if method not in ("auto", "kernels", "aho", "seed"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "kernels" and len(uniq) > max_snippets:
-        raise ValueError(
-            f"{len(uniq)} snippets > max_snippets={max_snippets}; "
-            "use method='aho' (Aho-Corasick automaton stage) for "
-            "benchmark sets this large")
-    use_aho = method == "aho" or (method == "auto"
-                                  and len(uniq) > max_snippets)
+    if method == "auto":
+        method = "kernels" if len(uniq) <= max_snippets else "seed"
     snip_ref = ray.put(uniq)
 
     class Scan:
@@ -482,5 +513,72 @@ def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
                 "n_hits": pa.array(hits[keep]),
             })
 
-    return ds.map_batches(ACScan if use_aho else Scan,
-                          batch_format="pyarrow", concurrency=(1, 8))
+    class SeedScan:
+        def __init__(self):
+            snips = ray.get(snip_ref)
+            enc = [s.encode("utf-8") for s in snips]
+            self.L = min(len(b) for b in enc)
+            B, L = _SEED_B, self.L
+            self.Binv = _modinv_pow2_64(B)
+            # prefix hash of each snippet's first L bytes: Σ b[j]·B^j
+            pw = np.empty(L, np.uint64)
+            pw[0] = 1
+            if L > 1:
+                np.cumprod(np.full(L - 1, B, np.uint64), out=pw[1:])
+            with np.errstate(over="ignore"):
+                hs = np.array(
+                    [(np.frombuffer(b[:L], np.uint8).astype(np.uint64)
+                      * pw).sum(dtype=np.uint64) for b in enc], np.uint64)
+            order = np.argsort(hs, kind="stable")
+            self.hs_sorted = hs[order]
+            # hash → snippets sharing that L-prefix (verification bucket)
+            self.buckets: dict[int, list[tuple[int, bytes]]] = {}
+            for sid in order:
+                self.buckets.setdefault(int(hs[sid]), []).append(
+                    (int(sid), enc[sid]))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            data, offs = _string_bytes(batch.column(text_col))
+            N, L = len(data), self.L
+            hits = np.zeros(batch.num_rows, dtype=np.int64)
+            if N >= L and len(self.hs_sorted):
+                B, Binv = _SEED_B, self.Binv
+                with np.errstate(over="ignore"):
+                    pw = np.empty(N, np.uint64)
+                    pw[0] = 1
+                    if N > 1:
+                        np.cumprod(np.full(N - 1, B, np.uint64),
+                                   out=pw[1:])
+                    ipw = np.empty(N - L + 1, np.uint64)
+                    ipw[0] = 1
+                    if N - L > 0:
+                        np.cumprod(np.full(N - L, Binv, np.uint64),
+                                   out=ipw[1:])
+                    q = np.zeros(N + 1, np.uint64)
+                    np.cumsum(data.astype(np.uint64) * pw,
+                              dtype=np.uint64, out=q[1:])
+                    w = (q[L:] - q[:-L]) * ipw
+                idx = np.searchsorted(self.hs_sorted, w)
+                idx_c = np.minimum(idx, len(self.hs_sorted) - 1)
+                cand = np.nonzero(self.hs_sorted[idx_c] == w)[0]
+                if len(cand):
+                    # exact verification of the rare seed hits
+                    doc_of = np.searchsorted(offs, cand, side="right") - 1
+                    seen: set[tuple[int, int]] = set()
+                    for p, d in zip(cand.tolist(), doc_of.tolist()):
+                        end = int(offs[d + 1])
+                        for sid, sb in self.buckets[int(w[p])]:
+                            if (p + len(sb) <= end
+                                    and data[p:p + len(sb)].tobytes() == sb):
+                                seen.add((d, sid))
+                    for d, _sid in seen:
+                        hits[d] += 1
+            keep = hits > 0
+            return pa.table({
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep]),
+            })
+
+    impl = {"kernels": Scan, "aho": ACScan, "seed": SeedScan}[method]
+    return ds.map_batches(impl, batch_format="pyarrow",
+                          concurrency=(1, 8))

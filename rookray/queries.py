@@ -1599,6 +1599,44 @@ GROUP BY 1
 """
 
 
+def decontaminate_scale(sf_dir: str) -> pd.DataFrame:
+    """The seed-and-extend decontamination engine (rolling-hash window
+    membership + exact verification) on a 3× larger snippet set than
+    ``decontaminate_docs`` — pinned to ``method='seed'`` so the scale
+    path itself carries a hash-exact SQL oracle."""
+    from rookray.ops.corpus import decontaminate
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_snippets(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.column("text").filter(pa.array((d % 3) == 1))
+        return pa.table({"snippet": pc.utf8_slice_codeunits(t, 0, 20)})
+
+    snips = [r["snippet"] for r in
+             ds.map_batches(bench_snippets, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()]
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d % 3) != 1))
+
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return decontaminate(corpus, snips, method="seed").to_pandas()
+
+
+DECONTAMINATE_SCALE_SQL = """
+WITH bench AS (
+  SELECT DISTINCT substr(text, 1, 20) AS snippet
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT d.doc_id, count(*) AS n_hits
+FROM documents d JOIN bench b ON contains(d.text, b.snippet)
+WHERE d.doc_id % 3 <> 1
+GROUP BY 1
+"""
+
+
 def vocab_topk(sf_dir: str) -> pd.DataFrame:
     """Global top-32 vocabulary by corpus token frequency (combiner →
     groupby-sum → bounded per-block top-k)."""
@@ -4031,6 +4069,7 @@ QUERIES = {
     "corpus_clean_pack": corpus_clean_pack,
     "shuffle_training_order": shuffle_training_order,
     "decontaminate_docs": decontaminate_docs,
+    "decontaminate_scale": decontaminate_scale,
     "vocab_topk": vocab_topk,
     "dedup_incremental": dedup_incremental,
     "chunk_content_defined": chunk_content_defined,
@@ -4156,6 +4195,7 @@ ORACLES = {
     "corpus_clean_pack": CORPUS_CLEAN_PACK_SQL,
     "shuffle_training_order": SHUFFLE_TRAINING_ORDER_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
+    "decontaminate_scale": DECONTAMINATE_SCALE_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "chunk_content_defined": CHUNK_CONTENT_DEFINED_SQL,

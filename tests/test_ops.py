@@ -601,10 +601,13 @@ def test_decontaminate_hits_and_budget():
     assert out["doc_id"].tolist() == [1, 3]
     assert out["n_hits"].tolist() == [1, 2]
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        decontaminate(ds, [f"s{i}" for i in range(10)], max_snippets=5,
-                      method="kernels")
+    # above the auto threshold the seed engine kicks in — no size
+    # ceiling anywhere, same answer
+    pats = ["quick brown", "SECRET PROMPT"] + [f"zzz-{i}" for i in range(10)]
+    big = (decontaminate(ds, pats, max_snippets=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert big["doc_id"].tolist() == [1, 3]
+    assert big["n_hits"].tolist() == [1, 2]
 
 
 def test_mixture_resample_repeats_and_determinism():
@@ -670,7 +673,10 @@ def test_decontaminate_aho_matches_kernels():
     kern = run("kernels")
     aho = run("aho")
     assert kern == aho
-    # auto switches to the automaton above the budget, same answer
+    # the rolling-hash seed engine agrees too — including 1-byte
+    # minimum snippet length (every matching byte becomes a candidate)
+    assert run("seed") == kern
+    # auto switches to the seed engine above the threshold, same answer
     assert run("auto", max_snippets=3) == kern
 
     # direct automaton checks: distinct counting, not occurrences
