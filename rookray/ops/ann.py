@@ -105,16 +105,47 @@ def make_queries(ds: "ray.data.Dataset", n_queries: int,
     return ids, mat
 
 
-class _LshBucket:
-    """Deterministic random-hyperplane bucketing (stateful stage)."""
+#: fixed-point scale for integer bucket math: float32 embeddings widen
+#: to float64 exactly, ×2^20 then floor is bit-identical in numpy and
+#: SQL, and 64-dim dot products of ±1 planes stay far inside int64
+_LSH_QUANT = 1 << 20
 
-    def __init__(self, dim: int, n_planes: int, seed: int, vec_col: str):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+
+def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 hyperplanes (sign-quantized Gaussian) — the
+    integer-math plane family shared by the engine and the SQL oracle
+    (inlined as a VALUES table, the targets/vector.py construction)."""
+    rng = np.random.RandomState(seed)
+    return np.where(rng.standard_normal((dim, n_planes)) > 0, 1, -1) \
+        .astype(np.int64)
+
+
+class _LshBucket:
+    """Deterministic random-hyperplane bucketing (stateful stage).
+
+    ``integer=True`` (default): ±1 planes against the fixed-point
+    quantized embedding — every bucket bit is exact integer math, so
+    the APPROXIMATE search carries an exact SQL oracle (no bit can
+    flip between numpy's and the database's float summation order).
+    ``integer=False`` keeps the classic Gaussian planes."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int, vec_col: str,
+                 integer: bool = True):
+        self.integer = integer
+        if integer:
+            self.planes = lsh_planes(dim, n_planes, seed)
+        else:
+            rng = np.random.RandomState(seed)
+            self.planes = rng.standard_normal((dim, n_planes))
         self.vec_col = vec_col
 
     def bucket_of(self, m: np.ndarray) -> np.ndarray:
-        bits = (m @ self.planes) > 0
+        if self.integer:
+            q = np.floor(m.astype(np.float64) * np.float64(_LSH_QUANT)) \
+                .astype(np.int64)
+            bits = (q @ self.planes) > 0
+        else:
+            bits = (m @ self.planes) > 0
         return (bits * (1 << np.arange(bits.shape[1]))).sum(1).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -128,14 +159,19 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
              query_matrix: np.ndarray, k: int = 10, n_planes: int = 4,
              seed: int = 42, vec_col: str = "embedding",
              id_col: str = "vec_id", exclude_self: bool = True,
-             concurrency: int = 4) -> "ray.data.Dataset":
+             concurrency: int = 4,
+             bucket_math: str = "int") -> "ray.data.Dataset":
     """LSH-bucketed cosine top-k: each query searches only its bucket.
 
     ``n_planes`` controls the fan-in (2^planes buckets); recall vs
-    ``bruteforce_topk`` is the quality metric (measured in tests)."""
+    ``bruteforce_topk`` is the quality metric (measured in tests).
+    ``bucket_math="int"`` (default) uses the ±1-plane fixed-point
+    bucketing, making even the approximate setting SQL-oracle-exact;
+    ``"float"`` keeps Gaussian planes."""
     rows = ds.take(1)
     dim = len(rows[0][vec_col])
-    bucketer = _LshBucket(dim, n_planes, seed, vec_col)
+    bucketer = _LshBucket(dim, n_planes, seed, vec_col,
+                          integer=(bucket_math == "int"))
     qbuckets = bucketer.bucket_of(np.asarray(query_matrix))
     by_bucket: dict[int, list[int]] = {}
     for i, b in enumerate(qbuckets):

@@ -1714,11 +1714,50 @@ QUALIFY rank <= 10
 
 
 def ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN at its APPROXIMATE setting (8 buckets) — with
+    an EXACT oracle: the ±1-plane fixed-point bucketing is pure
+    integer math (targets/vector.py's construction ported to float
+    embeddings via a 2^20 quantizer), so the SQL below recomputes the
+    buckets bit-identically and ranks the same candidates."""
     from rookray.ops import ann as A
     ds = _read(sf_dir, "embeddings")
     qids, qmat = A.make_queries(ds, 8)
     out = A.lsh_topk(ds, qids, qmat, k=10, n_planes=3).to_pandas()
     return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _ann_lsh_sql() -> str:
+    from rookray.ops.ann import _LSH_QUANT, lsh_planes
+    planes = lsh_planes(64, 3, seed=42)  # (dim, planes), data-independent
+    plane_rows = ", ".join(f"({p}, {d}, {int(planes[d, p])})"
+                           for p in range(planes.shape[1])
+                           for d in range(planes.shape[0]))
+    return f"""
+WITH ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_LSH_QUANT})
+                 AS BIGINT) AS qv
+            FROM embeddings),
+planes(p, d, r) AS (VALUES {plane_rows}),
+dots AS (SELECT vec_id, p, SUM(r * qv) AS dp
+         FROM ed JOIN planes USING (d) GROUP BY vec_id, p),
+cells AS (SELECT vec_id,
+          CAST(SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+          AS cell FROM dots GROUP BY vec_id),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, c.cell
+      FROM embeddings e JOIN cells c USING (vec_id)
+      ORDER BY e.vec_id LIMIT 8)
+SELECT query_id, n.vec_id AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qe, n.embedding::DOUBLE[]) DESC,
+                     n.vec_id) AS BIGINT) AS rank
+FROM q JOIN (SELECT e.vec_id, e.embedding, c.cell
+             FROM embeddings e JOIN cells c USING (vec_id)) n
+     ON n.cell = q.cell AND n.vec_id <> q.query_id
+QUALIFY rank <= 10
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def ann_ivf(sf_dir: str) -> pd.DataFrame:
@@ -4161,6 +4200,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    "ann_lsh": ANN_LSH_SQL,
     # exhaustive-setting variants degenerate to brute force exactly,
     # pinning the LSH/IVF machinery to the same SQL oracle
     "ann_lsh_exhaustive": ANN_BRUTEFORCE_SQL,
