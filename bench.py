@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "dedup_stream_events",
     # round-3 wave 5: incremental vector index (multiprobe ANN search)
     "vecidx_search",
+    # round-4: vectorized patch fold, seed-engine decontamination,
+    # public wire-format decode, oracle-exact approximate LSH
+    "cdc_patch_replay",
+    "decontaminate_scale",
+    "cdc_wire_debezium",
+    "ann_lsh",
 ]
 
 

@@ -149,33 +149,57 @@ def fold_patches(patches: "ray.data.Dataset",
         return batch.append_column("_part", pa.array(part))
 
     def fold(group: pa.Table) -> pa.Table:
+        # fully vectorized: one gtid sort-gather, dictionary-encoded
+        # keys, then last-writer selection by ascending scatter into a
+        # per-key slot array (rows are gtid-sorted, so later scatters
+        # win) and one Arrow take per field — no pandas conversion, no
+        # per-key Python, list payloads never leave Arrow
         out_schema = pa.schema(
             [(key_col, pa.string())]
             + [(f, group.schema.field(f).type) for f in payload_fields]
         ) if group.schema.names else pa.schema([(key_col, pa.string())])
         if len(group) == 0:  # map_groups schema probe
             return pa.Table.from_pylist([], schema=out_schema)
-        df = group.to_pandas().sort_values("gtid", kind="mergesort")
+        g = group.take(pc.sort_indices(
+            group, sort_keys=[("gtid", "ascending")]))
+        gtid = g.column("gtid").to_numpy(zero_copy_only=False)
+        op = g.column("op").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column(key_col).combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+
         # existence + birth: the last insert/delete decides life; a
         # patch never creates a row
-        life = df[df["op"].isin([OP_INSERT, OP_DELETE])]
-        last_life = life.groupby(key_col, sort=False).tail(1)
-        alive = last_life[last_life["op"] == OP_INSERT]
-        birth = dict(zip(alive[key_col], alive["gtid"]))
-        if not birth:
+        life_rows = np.nonzero((op == OP_INSERT) | (op == OP_DELETE))[0]
+        last_life = np.full(nk, -1, dtype=np.int64)
+        last_life[codes[life_rows]] = life_rows
+        alive = (last_life >= 0) & (op[np.maximum(last_life, 0)]
+                                    == OP_INSERT)
+        if not alive.any():
             return pa.Table.from_pylist([], schema=out_schema)
-        live_keys = df[key_col].map(birth)
-        post_birth = df[df["gtid"] >= live_keys.fillna(np.inf)]
-        base = pd.DataFrame({key_col: sorted(birth)})
-        mask = post_birth["patch_mask"].to_numpy(dtype=np.int64)
+        birth = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        birth[alive] = gtid[last_life[alive]]
+        # a patch from a previous life of the key must not leak
+        # through a delete+reinsert
+        post = gtid >= birth[codes]
+        mask = g.column("patch_mask").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        # output keys: alive, in lexical order
+        dict_order = pc.sort_indices(enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_codes = dict_order[alive[dict_order]]
+        cols: dict[str, pa.Array] = {
+            key_col: pc.take(enc.dictionary,
+                             pa.array(out_codes, pa.int64()))}
         for i, f in enumerate(payload_fields):
-            present = post_birth[(mask & (1 << i)) != 0]
-            # rows are gtid-sorted: last row per key = field winner
-            lastv = (present.drop_duplicates(subset=key_col, keep="last")
-                     .set_index(key_col)[f])
-            base[f] = base[key_col].map(lastv)
-        return pa.Table.from_pandas(base, schema=out_schema,
-                                    preserve_index=False)
+            pres_rows = np.nonzero(post & ((mask & (1 << i)) != 0))[0]
+            win = np.full(nk, -1, dtype=np.int64)
+            win[codes[pres_rows]] = pres_rows
+            sel = win[out_codes]
+            idx = pa.array(np.maximum(sel, 0), pa.int64(), mask=sel < 0)
+            cols[f] = pc.take(g.column(f).combine_chunks(), idx)
+        return pa.table(cols, schema=out_schema)
 
     fold.__name__ = "FoldPatches"
     return (patches.map_batches(add_part, batch_format="pyarrow",

@@ -83,20 +83,26 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return out
 
 
-def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Document fingerprints: md5 of the raw text (cross-checkable with
-    SQL ``md5()``) + a vectorized 64-bit rolling hash (engine-internal,
-    used for cheap equality bucketing)."""
+def fingerprint_batch(batch: pa.Table, col: str = "text",
+                      with_md5: bool = False) -> pa.Table:
+    """Document fingerprints: a vectorized 64-bit rolling hash
+    (engine-internal, used for cheap equality bucketing), plus —
+    opt-in — md5 of the raw text.  md5 exists ONLY for SQL
+    cross-checkability (DuckDB ``md5()``); it is a per-row hashlib
+    call, so the hot path defaults it OFF and the oracle-checked
+    driver query turns it on explicitly."""
     from rookray.util import hash_strings
 
-    text_np = batch.column(col).to_pandas()
-    md5 = text_np.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
     roll = hash_strings(batch.column(col)).astype(np.int64)
-    return (
-        batch.select(["doc_id"])
-        .append_column("fingerprint_md5", pa.array(md5, pa.string()))
-        .append_column("fingerprint_64", pa.array(roll, pa.int64()))
-    )
+    out = (batch.select(["doc_id"])
+           .append_column("fingerprint_64", pa.array(roll, pa.int64())))
+    if with_md5:
+        text_np = batch.column(col).to_pandas()
+        md5 = text_np.map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        out = out.append_column("fingerprint_md5",
+                                pa.array(md5, pa.string()))
+    return out
 
 
 class LangId:
@@ -243,8 +249,13 @@ def quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+def fingerprints(ds: "ray.data.Dataset",
+                 with_md5: bool = False) -> "ray.data.Dataset":
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        return fingerprint_batch(batch, with_md5=with_md5)
+
+    return ds.map_batches(fingerprint, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def redact(ds: "ray.data.Dataset", col: str = "text",

@@ -803,7 +803,8 @@ FROM sig
 
 def text_fingerprint(sf_dir: str) -> pd.DataFrame:
     from rookray.ops import text as T
-    out = T.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = T.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         with_md5=True).to_pandas()
     return out[["doc_id", "fingerprint_md5"]]
 
 

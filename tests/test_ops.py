@@ -48,10 +48,17 @@ def test_quality(docs):
 def test_fingerprints(docs):
     from rookray.ops import text as T
 
-    out = T.fingerprints(docs).to_pandas().set_index("doc_id")
+    # hot path: md5 (per-row hashlib, SQL-crosscheck only) is OFF
+    lean = T.fingerprints(docs).to_pandas()
+    assert "fingerprint_md5" not in lean.columns
+    assert "fingerprint_64" in lean.columns
+
+    out = T.fingerprints(docs, with_md5=True).to_pandas().set_index("doc_id")
     raw = docs.to_pandas().set_index("doc_id")
     d = raw.index[0]
     assert out.loc[d, "fingerprint_md5"] == hashlib.md5(raw.loc[d, "text"].encode()).hexdigest()
+    assert (out["fingerprint_64"].sort_index()
+            == lean.set_index("doc_id")["fingerprint_64"].sort_index()).all()
 
 
 def test_lang_id(docs):
