@@ -79,7 +79,7 @@ def exact_groups(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset
 # ------------------------------------------------------------- shingling
 
 
-def _word_shingle_hashes(texts: pd.Series, n: int = 3) -> list[np.ndarray]:
+def _word_shingle_hashes(texts, n: int = 3) -> list[np.ndarray]:
     """Per doc: uint64 hashes of word n-gram shingles (distinct)."""
     out = []
     for s in texts:
@@ -124,10 +124,11 @@ class MinHasher:
         self.seed = seed
         self.col = col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = _word_shingle_hashes(batch[self.col], self.n)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = _word_shingle_hashes(batch.column(self.col).to_pylist(),
+                                  self.n)
         sigs = _minhash_batch(sh, self.k, self.seed)
-        n = len(batch)
+        n = batch.num_rows
         band_hash = np.empty((n, self.bands), dtype=np.uint64)
         for b in range(self.bands):
             seg = sigs[:, b * self.rows:(b + 1) * self.rows]
@@ -135,12 +136,16 @@ class MinHasher:
             for r in range(self.rows):
                 h = h * np.uint64(1099511628211) + seg[:, r]
             band_hash[:, b] = h
-        doc = np.repeat(batch["doc_id"].to_numpy(), self.bands)
+        doc = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            self.bands)
         band = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        return pd.DataFrame(
-            {"doc_id": doc, "band": band,
-             "band_hash": band_hash.reshape(-1).astype(np.int64)}
-        )
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "band": pa.array(band, pa.int32()),
+            "band_hash": pa.array(
+                band_hash.reshape(-1).astype(np.int64), pa.int64()),
+        })
 
 
 def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
@@ -150,22 +155,42 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
     driver-side; a near-dup-heavy 100-TB corpus would OOM it).
 
     Groups by a COARSE bucket of the band hash (≤``coarse`` Ray groups)
-    and does the exact per-(band, band_hash) grouping vectorized in
-    pandas inside each group — thousands of tiny Ray groups would pay
+    and does the exact per-(band, band_hash) grouping with one numpy
+    lexsort inside each group — thousands of tiny Ray groups would pay
     ~1ms each in per-group overhead, the coarse bucketing amortizes it."""
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["bucket"] = (batch["band_hash"].to_numpy().astype(np.uint64)
-                           % np.uint64(coarse)).astype(np.int64)
-        return batch
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("n_trunc", pa.int64())])
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((bh % np.uint64(coarse)).astype(np.int64)))
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # map_groups schema probe
+            return pair_schema.empty_table()
+        band = g.column("band").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        new = np.empty(len(band), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(band))
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
         n_truncated = 0
-        for _, sub in g.groupby(["band", "band_hash"], sort=False):
-            if len(sub) < 2:
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            docs = np.unique(doc[s:e])
+            if len(docs) < 2:
                 continue
-            docs = sorted(set(sub["doc_id"]))
             if len(docs) > max_group:
                 # no silent caps: oversized buckets (usually exact-dup
                 # floods — run exact dedup first) are truncated LOUDLY.
@@ -179,22 +204,27 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
                     "raise max_group", len(docs), max_group)
                 n_truncated += 1
                 docs = docs[:max_group]
-            out.extend((a, b) for i, a in enumerate(docs) for b in docs[i + 1:])
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "n_trunc": pd.Series([], dtype="int64")})
-        df = pd.DataFrame(sorted(set(out)), columns=["a", "b"])
+            iu = np.triu_indices(len(docs), k=1)
+            a_out.append(docs[iu[0]])
+            b_out.append(docs[iu[1]])
+        if not a_out:
+            return pair_schema.empty_table()
+        pairs = np.unique(np.stack([np.concatenate(a_out),
+                                    np.concatenate(b_out)], axis=1), axis=0)
         # side channel: the group's truncated-bucket count rides on the
         # first pair row (a truncating bucket always yields ≥1 pair, so
         # the count is never orphaned); the caller sums the column and
         # re-raises the warning DRIVER-side where the user can see it
-        df["n_trunc"] = 0
-        df.iloc[0, df.columns.get_loc("n_trunc")] = n_truncated
-        return df
+        nt = np.zeros(len(pairs), dtype=np.int64)
+        nt[0] = n_truncated
+        return pa.table({"a": pa.array(pairs[:, 0]),
+                         "b": pa.array(pairs[:, 1]),
+                         "n_trunc": pa.array(nt)}, schema=pair_schema)
 
-    pair_ds = grouped.map_batches(add_bucket, batch_format="pandas").groupby(
-        "bucket").map_groups(pairs_of, batch_format="pandas")
+    pairs_of.__name__ = "CandidatePairs"
+    pair_ds = grouped.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True).groupby(
+        "bucket").map_groups(pairs_of, batch_format="pyarrow")
     # NOTE deliberately NOT globally distinct: a (band, band_hash)
     # bucket lives in exactly one coarse group (deduped there via
     # set()), so duplicates arise only across DIFFERENT bands.  They
@@ -205,7 +235,7 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
     return pair_ds
 
 
-def _shingle_sets_batch(batch: pd.DataFrame, shingle_n: int, col: str,
+def _shingle_sets_batch(batch: pa.Table, shingle_n: int, col: str,
                         out_key: str, out_col: str) -> pa.Table:
     """doc → distinct shingle-hash set, packed as a single BINARY cell
     (the little-endian bytes of the sorted int64 hash array).  64-bit
@@ -216,9 +246,9 @@ def _shingle_sets_batch(batch: pd.DataFrame, shingle_n: int, col: str,
     payload columns.  A plain task stage (not an actor pool): it is
     stateless, and actor-pool CPU floors stacked with join aggregators
     can starve a small session into deadlock."""
-    sh = _word_shingle_hashes(batch[col], shingle_n)
+    sh = _word_shingle_hashes(batch.column(col).to_pylist(), shingle_n)
     packed = [np.sort(h.astype(np.int64)).tobytes() for h in sh]
-    return pa.table({out_key: pa.array(batch["doc_id"].to_numpy()),
+    return pa.table({out_key: batch.column("doc_id"),
                      out_col: pa.array(packed, pa.binary())})
 
 
@@ -253,12 +283,12 @@ def _verified_pair_ds(ds, pair_ds, threshold: float, shingle_n: int,
         _shingle_sets_batch,
         fn_kwargs=dict(shingle_n=shingle_n, col=col, out_key="a",
                        out_col="_sh_a"),
-        batch_format="pandas", batch_size=2048)
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
     sh_b = ds.map_batches(
         _shingle_sets_batch,
         fn_kwargs=dict(shingle_n=shingle_n, col=col, out_key="b",
                        out_col="_sh_b"),
-        batch_format="pandas", batch_size=2048)
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
     P = num_partitions or _join_partitions()
     # barrier: complete the banding/candidate stage before the join
     # pipeline spins up its aggregator actors — running the MinHasher
@@ -270,12 +300,17 @@ def _verified_pair_ds(ds, pair_ds, threshold: float, shingle_n: int,
     j = j.join(sh_b, join_type="inner", on=("b",),
                num_partitions=P, aggregator_ray_remote_args=_JOIN_ARGS)
 
-    def verify(batch: pd.DataFrame) -> pa.Table:
-        # returns TYPED ARROW even when empty: empty pandas blocks lose
-        # their schema in Ray's shuffle and poison downstream joins
+    def verify(batch: pa.Table) -> pa.Table:
+        # returns TYPED ARROW even when empty (empty blocks otherwise
+        # lose their schema in Ray's shuffle and poison downstream
+        # joins); the per-pair loop intersects the two sorted hash
+        # arrays — variable-length sets, so no batch-level kernel fits
         a_out, b_out, jac_out = [], [], []
-        for a, b, sa, sb in zip(batch["a"], batch["b"],
-                                batch["_sh_a"], batch["_sh_b"]):
+        for a, b, sa, sb in zip(
+                batch.column("a").to_numpy(zero_copy_only=False).tolist(),
+                batch.column("b").to_numpy(zero_copy_only=False).tolist(),
+                batch.column("_sh_a").to_pylist(),
+                batch.column("_sh_b").to_pylist()):
             sa = np.frombuffer(sa, dtype=np.int64)
             sb = np.frombuffer(sb, dtype=np.int64)
             if sa.size == 0 or sb.size == 0:
@@ -290,7 +325,8 @@ def _verified_pair_ds(ds, pair_ds, threshold: float, shingle_n: int,
                          "b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(jac_out, pa.float64())})
 
-    return j.map_batches(verify, batch_format="pandas")
+    return j.map_batches(verify, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def _hashmin_labels(edges: "ray.data.Dataset", max_iters: int = 50,
@@ -384,7 +420,8 @@ def minhash_lsh_clusters(ds: "ray.data.Dataset", threshold: float = 0.8,
     rows = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(k=k, bands=bands,
                                               shingle_n=shingle_n, col=col),
-        batch_format="pandas", batch_size=2048, concurrency=(1, concurrency),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=2048,
+        concurrency=(1, concurrency),
     )
     pairs = _candidate_pair_ds(rows).materialize()
     n_trunc = pairs.sum("n_trunc") or 0
@@ -411,8 +448,11 @@ def minhash_lsh_clusters(ds: "ray.data.Dataset", threshold: float = 0.8,
                 x = parent[x]
             return x
 
-        for blk in edges.iter_batches(batch_format="pandas", batch_size=65536):
-            for a, b in zip(blk["a"].to_numpy(), blk["b"].to_numpy()):
+        for blk in edges.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+            for a, b in zip(
+                    blk.column("a").to_numpy(zero_copy_only=False),
+                    blk.column("b").to_numpy(zero_copy_only=False)):
                 ra, rb = find(int(a)), find(int(b))
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
@@ -448,20 +488,19 @@ class SimHasher:
     def __init__(self, shingle_n: int = 3, col: str = "text"):
         self.n, self.col = shingle_n, col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = _word_shingle_hashes(batch[self.col], self.n)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = _word_shingle_hashes(batch.column(self.col).to_pylist(),
+                                  self.n)
         bits = np.arange(64, dtype=np.uint64)
-        sigs = np.empty(len(batch), dtype=np.uint64)
+        sigs = np.empty(batch.num_rows, dtype=np.uint64)
         for i, h in enumerate(sh):
             if h.size == 0:
                 sigs[i] = 0
                 continue
             v = (((h[:, None] >> bits) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(0)
             sigs[i] = np.uint64(((v > 0).astype(np.uint64) << bits).sum())
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(),
-             "simhash": sigs.astype(np.int64)}
-        )
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(sigs.astype(np.int64))})
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
@@ -479,37 +518,62 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
     dedup tail that would OOM the driver on a near-dup-heavy corpus."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(shingle_n=shingle_n, col=col),
-        batch_format="pandas", batch_size=2048, concurrency=(1, concurrency),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=2048,
+        concurrency=(1, concurrency),
     )
 
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
-    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for b in range(bands):
-            band_val = (s >> np.uint64(width * b)) & mask
-            rows.append(pd.DataFrame({
-                "doc_id": batch["doc_id"].to_numpy(),
-                "simhash": batch["simhash"].to_numpy(),
-                "band": b,
-                "band_val": band_val.astype(np.int64),
-            }))
-        return pd.concat(rows, ignore_index=True)
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        s = batch.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        shifts = (np.uint64(width)
+                  * np.arange(bands, dtype=np.uint64))[:, None]
+        vals = ((s[None, :] >> shifts) & mask).reshape(-1)
+        return pa.table({
+            "doc_id": pa.array(np.tile(doc, bands)),
+            "simhash": pa.array(np.tile(s.astype(np.int64), bands)),
+            "band": pa.array(np.repeat(
+                np.arange(bands, dtype=np.int64), len(s))),
+            "band_val": pa.array(vals.astype(np.int64)),
+        })
 
-    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        # coarse group: exact (band, band_val) grouping done in pandas;
-        # returns TYPED ARROW (empty pandas blocks lose their schema in
-        # the downstream dedup shuffle)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("hamming", pa.int64())])
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        # coarse group: exact (band, band_val) grouping by one numpy
+        # lexsort; returns TYPED ARROW even when empty (schema-less
+        # empty blocks poison the downstream dedup shuffle)
+        if g.num_rows == 0:
+            return pair_schema.empty_table()
+        band = g.column("band").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bv = g.column("band_val").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sig = g.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.lexsort((doc, bv, band))
+        band, bv, doc, sig = (band[order], bv[order], doc[order],
+                              sig[order])
+        new = np.empty(len(band), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(band))
         out = []
-        for _, sub in g.groupby(["band", "band_val"], sort=False):
-            if len(sub) < 2:
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            docs, first = np.unique(doc[st:en], return_index=True)
+            if len(docs) < 2:
                 continue
-            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(sub) > 64:
+            if len(docs) > 64:
                 # same loud-truncation contract as the MinHash path:
                 # the ray logger's records reach driver stdout, a bare
                 # warnings.warn in a worker would vanish
@@ -517,9 +581,9 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
                 logging.getLogger("ray.data").warning(
                     "SimHash band bucket with %d docs truncated to 64; "
                     "recall may drop — dedup exact duplicates first",
-                    len(sub))
-            docs = sub["doc_id"].to_numpy()[:64]
-            sh = sub["simhash"].to_numpy().astype(np.uint64)[:64]
+                    len(docs))
+            sh = sig[st:en][first][:64]
+            docs = docs[:64]
             for i in range(len(docs)):
                 x = sh[i] ^ sh[i + 1:]
                 ham = _popcount64(x)
@@ -529,15 +593,20 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
         return pa.table(
             {"a": pa.array([p[0] for p in out], pa.int64()),
              "b": pa.array([p[1] for p in out], pa.int64()),
-             "hamming": pa.array([p[2] for p in out], pa.int64())})
+             "hamming": pa.array([p[2] for p in out], pa.int64())},
+            schema=pair_schema)
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["bucket"] = (batch["band_val"].to_numpy().astype(np.uint64)
-                           % np.uint64(256)).astype(np.int64)
-        return batch
+    pairs_of.__name__ = "SimHashPairs"
 
-    pair_ds = exploded.map_batches(add_bucket, batch_format="pandas").groupby(
-        "bucket").map_groups(pairs_of, batch_format="pandas")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bv = batch.column("band_val").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((bv % np.uint64(256)).astype(np.int64)))
+
+    pair_ds = exploded.map_batches(add_bucket, batch_format="pyarrow",
+                                   zero_copy_batch=True).groupby(
+        "bucket").map_groups(pairs_of, batch_format="pyarrow")
     # distributed cross-band dedup: min-fold over (a, b) — one shuffle
     # of 24-byte rows, never a driver-side dict
     from ray.data.aggregate import Min
@@ -563,16 +632,22 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
     the limit raise with a pointer to ``minhash_lsh_clusters``, the
     sub-quadratic path."""
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        if len(g) > max_block:
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("jaccard", pa.float64())])
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # map_groups schema probe
+            return pair_schema.empty_table()
+        if g.num_rows > max_block:
             raise ValueError(
-                f"ngram_jaccard_pairs block {g[block_col].iloc[0]!r} has "
-                f"{len(g)} docs (> max_block={max_block}); exact pairwise "
-                f"Jaccard is quadratic per block — use minhash_lsh_clusters "
-                f"for large corpora or pass a finer block_col/max_block")
-        g = g.sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        sets = [set(s.lower().split()) for s in g[col]]
+                f"ngram_jaccard_pairs block {g.column(block_col)[0].as_py()!r} "
+                f"has {g.num_rows} docs (> max_block={max_block}); exact "
+                f"pairwise Jaccard is quadratic per block — use "
+                f"minhash_lsh_clusters for large corpora or pass a finer "
+                f"block_col/max_block")
+        g = g.sort_by("doc_id")
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sets = [set(s.lower().split()) for s in g.column(col).to_pylist()]
         out = []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
@@ -584,9 +659,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
         return pa.table(
             {"a": pa.array([r[0] for r in out], pa.int64()),
              "b": pa.array([r[1] for r in out], pa.int64()),
-             "jaccard": pa.array([r[2] for r in out], pa.float64())})
+             "jaccard": pa.array([r[2] for r in out], pa.float64())},
+            schema=pair_schema)
 
-    return ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")
+    pairs_of.__name__ = "NgramJaccardPairs"
+    return ds.groupby(block_col).map_groups(pairs_of,
+                                            batch_format="pyarrow")
 
 
 # -------------------------------------------------- embedding near-dup
@@ -600,12 +678,22 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     DATASET — numpy matmul per block inside map_groups; blocks are
     disjoint so each pair is emitted once (no dedup shuffle)."""
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cosine", pa.float64())])
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # map_groups schema probe
+            return pair_schema.empty_table()
+        g = g.sort_by(id_col)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
         # float64 throughout so quantized cosines agree with the DuckDB
-        # oracle's DOUBLE[] computation (float32 diverges at the 6th dp)
-        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        # oracle's DOUBLE[] computation (float32 diverges at the 6th
+        # dp); list columns arrive as either a plain ListArray or
+        # Ray's tensor extension — both yield the (n, dim) matrix
+        vnp = g.column(vec_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        m = (np.stack(vnp).astype(np.float64) if vnp.dtype == object
+             else np.asarray(vnp, dtype=np.float64))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
@@ -616,9 +704,12 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
         return pa.table(
             {"a": pa.array(a.astype(np.int64), pa.int64()),
              "b": pa.array(b.astype(np.int64), pa.int64()),
-             "cosine": pa.array(sim[iu][mask].astype(np.float64), pa.float64())})
+             "cosine": pa.array(sim[iu][mask].astype(np.float64),
+                                pa.float64())}, schema=pair_schema)
 
-    return ds.groupby(block_col).map_groups(pairs_of, batch_format="pandas")
+    pairs_of.__name__ = "EmbeddingNearDupPairs"
+    return ds.groupby(block_col).map_groups(pairs_of,
+                                            batch_format="pyarrow")
 
 
 # ------------------------------------------- duplicated n-gram spans

@@ -344,9 +344,9 @@ def test_simhash_pairs_exact_vs_bruteforce(docs):
     got = {(min(a, b), max(a, b), h)
            for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
 
-    sig = D.SimHasher()(ds.to_pandas())
-    s = sig["simhash"].to_numpy().astype(np.uint64)
-    ids = sig["doc_id"].to_numpy()
+    sig = D.SimHasher()(pa.Table.from_pandas(ds.to_pandas()))
+    s = sig.column("simhash").to_numpy().astype(np.uint64)
+    ids = sig.column("doc_id").to_numpy()
     exp = set()
     for i in range(len(ids)):
         ham = D._popcount64(s[i] ^ s[i + 1:])
