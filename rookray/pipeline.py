@@ -846,6 +846,18 @@ class LakeTable:
     def manifest(self) -> dict | None:
         return sink.read_manifest(self.root)
 
+    def payload_schema(self) -> pa.Schema:
+        """The COMMITTED payload schema (from the manifest — the
+        engine's catalog), the live-metadata surface downstream target
+        registries introspect (the JDBC-metadata analog,
+        rook-target-hibernate4-cache/.../SynchronizationContext.java:89-113).
+        Raises before the first committed epoch."""
+        m = self.manifest()
+        if m is None:
+            raise ValueError(
+                "no committed manifest yet; apply an epoch first")
+        return self._manifest_payload(m)
+
     # --------------------------------------------------- time travel
 
     def epochs(self) -> list[int]:

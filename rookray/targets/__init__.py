@@ -13,6 +13,7 @@ dataset instead of a warn log.
 from rookray.targets.invalidation import EvictionTarget, CacheInvalidationTarget
 from rookray.targets.derived import ContainerSpec, DerivedIndexTarget
 from rookray.targets.fanout import Fanout
+from rookray.targets.introspect import container_specs, eviction_registry
 
 __all__ = [
     "EvictionTarget",
@@ -20,4 +21,6 @@ __all__ = [
     "ContainerSpec",
     "DerivedIndexTarget",
     "Fanout",
+    "eviction_registry",
+    "container_specs",
 ]

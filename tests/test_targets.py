@@ -368,3 +368,44 @@ def test_dead_letter_replay_heals_target(tmp_path):
     assert rep["lake"]["replayed"] == 2 and rep["lake"]["still_failing"] == 0
     assert not dl.exists()
     assert_tables_equal(lake.state_table(), final_state(cfg))
+
+
+def test_registry_introspected_from_lake_schema(tmp_path):
+    """Attach-time introspection (the JDBC-metadata analog,
+    SynchronizationContext.java:89-113): eviction targets and container
+    specs are built from the COMMITTED manifest schema with zero
+    hand-written column maps, and evict identically to an explicit
+    registry."""
+    from rookray.targets.introspect import container_specs, eviction_registry
+
+    cfg = GenConfig(n_docs=20, n_events=120)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+    lake.apply(meta["files"])
+
+    reg = eviction_registry(lake)
+    assert set(reg) == {"rook.sequences"}
+    targets = {t.name: t for t in reg["rook.sequences"]}
+    # entity target keyed by the merge key, collection target per list column
+    assert targets["sequences"].key_fields == ("doc_id",)
+    assert not targets["sequences"].is_collection
+    assert targets["sequences"].query_spaces == ("sequences",)
+    assert targets["sequences.tokens"].is_collection
+    assert targets["sequences.tokens"].key_fields == ("doc_id",)
+
+    # containment edges from the non-key string columns
+    specs = {s.name: s for s in container_specs(lake)}
+    assert "by_source" in specs and specs["by_source"].key_col == "source"
+
+    # the introspected registry evicts exactly like a hand-written one
+    events = generate_events(cfg)
+    got = CacheInvalidationTarget(reg).evictions_batch(events)
+    exp = CacheInvalidationTarget({
+        "rook.sequences": [
+            EvictionTarget("sequences", ("doc_id",),
+                           query_spaces=("sequences",)),
+            EvictionTarget("sequences.tokens", ("doc_id",),
+                           is_collection=True,
+                           query_spaces=("sequences",)),
+        ]}).evictions_batch(events)
+    assert got.equals(exp)
