@@ -478,6 +478,16 @@ def decontaminate(ds: "ray.data.Dataset", snippets: list[str],
     uniq = sorted(set(s for s in snippets if s))
     if method not in ("auto", "kernels", "aho", "seed"):
         raise ValueError(f"unknown method {method!r}")
+    if not uniq:
+        # empty benchmark set → no doc can hit; identical typed empty
+        # result under every engine (the seed engine's L* is undefined)
+        def empty(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id").slice(0, 0),
+                "n_hits": pa.array([], pa.int64())})
+
+        return ds.map_batches(empty, batch_format="pyarrow",
+                              zero_copy_batch=True)
     if method == "auto":
         method = "kernels" if len(uniq) <= max_snippets else "seed"
     snip_ref = ray.put(uniq)

@@ -148,6 +148,21 @@ class MinHasher:
         })
 
 
+def _band_runs(doc: np.ndarray, band: np.ndarray,
+               val: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact (band, val) grouping of a coarse bucket by ONE numpy
+    lexsort: returns (permutation, run starts, run ends) with rows
+    ordered (band, val, doc) — shared by the MinHash and SimHash pair
+    generators so the run-detection logic can't drift between them."""
+    order = np.lexsort((doc, val, band))
+    b, v = band[order], val[order]
+    new = np.empty(len(order), dtype=bool)
+    new[0] = True
+    new[1:] = (b[1:] != b[:-1]) | (v[1:] != v[:-1])
+    starts = np.flatnonzero(new)
+    return order, starts, np.append(starts[1:], len(order))
+
+
 def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
                        coarse: int = 512) -> "ray.data.Dataset":
     """Distinct candidate pairs from band-hash buckets, AS A DATASET —
@@ -177,13 +192,8 @@ def _candidate_pair_ds(grouped: "ray.data.Dataset", max_group: int = 64,
             .astype(np.int64)
         doc = g.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        order = np.lexsort((doc, bh, band))
-        band, bh, doc = band[order], bh[order], doc[order]
-        new = np.empty(len(band), dtype=bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(band))
+        order, starts, ends = _band_runs(doc, band, bh)
+        doc = doc[order]
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
         n_truncated = 0
@@ -560,14 +570,8 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 6,
             .astype(np.int64)
         sig = g.column("simhash").to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        order = np.lexsort((doc, bv, band))
-        band, bv, doc, sig = (band[order], bv[order], doc[order],
-                              sig[order])
-        new = np.empty(len(band), dtype=bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(band))
+        order, starts, ends = _band_runs(doc, band, bv)
+        doc, sig = doc[order], sig[order]
         out = []
         for st, en in zip(starts.tolist(), ends.tolist()):
             docs, first = np.unique(doc[st:en], return_index=True)

@@ -156,7 +156,9 @@ def parse_tx_topic(paths: list[str]) -> tuple[np.ndarray, np.ndarray]:
         with open(p, "rb") as f:
             t = _json_table(f.read())
         end = t.filter(pc.equal(t.column("status"), "END"))
-        ids.extend(int(x) for x in end.column("id").to_pylist())
+        ids.extend(_num_after_colon(
+            pc.cast(end.column("id"), pa.string()).combine_chunks())
+            .to_pylist())
         counts.extend(int(x) for x in end.column("event_count").to_pylist())
     ids_a = np.asarray(ids, dtype=np.int64)
     counts_a = np.asarray(counts, dtype=np.int64)
@@ -196,20 +198,85 @@ def _payload_struct(col, payload: pa.Schema, n: int) -> pa.Array:
         else mask)
 
 
+def _num_after_colon(arr: pa.Array) -> pa.Array:
+    """'uuid:N' (or plain 'N') → int64 N, null-preserving — MySQL GTID
+    strings and Debezium transaction ids share this shape."""
+    return pc.cast(pc.replace_substring_regex(arr, r"^.*:", ""),
+                   pa.int64())
+
+
+def _tx_identity(p: pa.StructArray, n: int) -> tuple[np.ndarray, np.ndarray,
+                                                     np.ndarray]:
+    """(tx_id int64, seq_in_tx int64, had_tx_block bool) for a batch of
+    envelopes.  transaction.id may be numeric OR the MySQL 'uuid:txno'
+    form; with no transaction block (metadata disabled / snapshot
+    reads) the GTID string's per-tx number is the transaction identity,
+    else -1.  Shared by decode and the topic-less counting pass so the
+    two can never disagree."""
+    names = [f.name for f in p.type]
+    txb = p.field("transaction") if "transaction" in names else None
+    tx_id = _field_or_null(txb, "id", pa.string(), n) if txb is not None \
+        else pa.nulls(n, pa.string())
+    total_order = _field_or_null(txb, "total_order", pa.int64(), n) \
+        if txb is not None else pa.nulls(n, pa.int64())
+    tx_id_a = _num_after_colon(tx_id)
+    tx_valid = tx_id_a.is_valid().to_numpy(zero_copy_only=False)
+    tx_id_i = tx_id_a.fill_null(-1).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    src = p.field("source") if "source" in names else None
+    src_gtid = _field_or_null(src, "gtid", pa.string(), n) \
+        if src is not None else pa.nulls(n, pa.string())
+    txno = _num_after_colon(src_gtid).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    tx_id_i = np.where(tx_valid, tx_id_i, txno)
+    seq0 = pc.subtract(pc.coalesce(total_order, pa.scalar(1, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+    return (tx_id_i,
+            seq0.to_numpy(zero_copy_only=False).astype(np.int64),
+            tx_valid)
+
+
+#: bits reserved for the within-transaction order in the GTID-string
+#: fallback coordinate (no binlog position available)
+_FALLBACK_SEQ_BITS = 20
+
+
 def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
                      tx_index: tuple[np.ndarray, np.ndarray] | None = None,
                      ) -> pa.Table:
     """One batch of JSON-parsed Debezium envelopes → the change-event
-    schema.  Pure Arrow/numpy kernels throughout."""
+    schema.  Pure Arrow/numpy kernels throughout.
+
+    Non-mutation records are dropped, like every Debezium consumer
+    drops them: ops outside {c,r,u,d} ('t' truncate, 'm' message) and
+    null-payload tombstones.
+
+    gtid derivation is PER ROW (never per batch — Ray batch boundaries
+    are arbitrary): binlog coordinates ``file_seq << 40 | pos`` when
+    ``source.pos`` is present, else the GTID-string composite
+    ``txno << 20 | (total_order-1)``.  A consistent dump uses one
+    coordinate space throughout; rows with NEITHER pos nor a GTID
+    string carry no ordering information and raise rather than decode
+    into a silently wrong LWW order.  The fallback composite raises on
+    transactions with ≥ 2^20 events (the coordinate would collide with
+    the next transaction's)."""
     n = tbl.num_rows
     schema = change_event_schema(payload)
     if n == 0:
         return schema.empty_table()
     p = tbl.column("payload").combine_chunks()
 
-    # op: "c"/"r" → insert, "u" → update, "d" → delete
+    # op: "c"/"r" → insert, "u" → update, "d" → delete; anything else
+    # (truncate/message records, tombstones) is not a row mutation
     op_s = p.field("op")
     code = pc.index_in(op_s, value_set=pa.array(["c", "r", "u", "d"]))
+    keep = code.is_valid()
+    if pc.any(pc.invert(keep)).as_py():
+        p = p.filter(keep)
+        code = code.filter(keep)
+        n = len(p)
+        if n == 0:
+            return schema.empty_table()
     op = pc.take(pa.array([OP_INSERT, OP_INSERT, OP_UPDATE, OP_DELETE],
                           pa.int8()), code)
 
@@ -218,42 +285,38 @@ def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     table = _field_or_null(src, "table", pa.string(), n)
     server_id = _field_or_null(src, "server_id", pa.int64(), n)
 
-    # gtid: binlog coordinates preferred (per-event exact); MySQL GTID
-    # string is per-transaction → fallback composite
+    tx_id_i, seq_np, _ = _tx_identity(p, n)
+
+    # gtid per row: binlog coordinates when present, GTID-string
+    # composite otherwise
     pos = _field_or_null(src, "pos", pa.int64(), n)
     file_s = _field_or_null(src, "file", pa.string(), n)
-    txb = p.field("transaction") if "transaction" in [
-        f.name for f in p.type] else None
-    tx_id = _field_or_null(txb, "id", pa.string(), n) if txb is not None \
-        else pa.nulls(n, pa.string())
-    total_order = _field_or_null(txb, "total_order", pa.int64(), n) \
-        if txb is not None else pa.nulls(n, pa.int64())
-    tx_id_a = pc.cast(tx_id, pa.int64())
-    tx_valid = tx_id_a.is_valid().to_numpy(zero_copy_only=False)
-    tx_id_i = tx_id_a.fill_null(-1).to_numpy(zero_copy_only=False) \
+    pos_valid = pos.is_valid().to_numpy(zero_copy_only=False)
+    pos_np = pos.fill_null(0).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
-    seq0 = pc.coalesce(total_order, pa.scalar(1, pa.int64()))
-    seq0 = pc.subtract(seq0, pa.scalar(1, pa.int64()))
-    seq_np = seq0.to_numpy(zero_copy_only=False).astype(np.int64)
-
-    pos_np = pos.to_numpy(zero_copy_only=False)
-    if pos.null_count == 0 and n:
-        fseq = pc.extract_regex(file_s, r"(?P<n>\d+)$")
-        fseq_np = np.where(
-            fseq.is_valid().to_numpy(zero_copy_only=False),
-            pc.cast(pc.struct_field(fseq, "n"),
-                    pa.int64()).fill_null(0)
-            .to_numpy(zero_copy_only=False), 0).astype(np.int64)
-        gtid = (fseq_np << np.int64(40)) | pos_np.astype(np.int64)
-    else:
-        src_gtid = _field_or_null(src, "gtid", pa.string(), n)
-        txno = pc.cast(pc.replace_substring_regex(src_gtid, r"^.*:", ""),
-                       pa.int64()).fill_null(-1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        gtid = (txno << np.int64(16)) | seq_np
-        # no transaction block (e.g. snapshot reads): the GTID string's
-        # per-tx number is the best available transaction identity
-        tx_id_i = np.where(tx_valid, tx_id_i, txno)
+    fseq = pc.extract_regex(pc.coalesce(file_s, pa.scalar("0")),
+                            r"(?P<n>\d+)$")
+    fseq_np = np.where(
+        fseq.is_valid().to_numpy(zero_copy_only=False),
+        pc.cast(pc.struct_field(fseq, "n"), pa.int64()).fill_null(0)
+        .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+    src_gtid = _field_or_null(src, "gtid", pa.string(), n)
+    txno = _num_after_colon(src_gtid).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    no_coords = ~pos_valid & (txno < 0)
+    if no_coords.any():
+        raise ValueError(
+            f"{int(no_coords.sum())} envelope(s) carry neither "
+            "source.pos nor source.gtid — no ordering coordinates; "
+            "refusing to decode into an arbitrary LWW order")
+    if (~pos_valid & (seq_np >= (1 << _FALLBACK_SEQ_BITS))).any():
+        raise ValueError(
+            "transaction with >= 2^20 events in GTID-string fallback "
+            "mode — the composite coordinate would collide with the "
+            "next transaction; supply binlog positions (source.pos)")
+    gtid = np.where(pos_valid,
+                    (fseq_np << np.int64(40)) | pos_np,
+                    (txno << np.int64(_FALLBACK_SEQ_BITS)) | seq_np)
 
     # tx_events from the transaction-topic index (searchsorted on the
     # broadcast sorted arrays — no Python per row)
@@ -266,15 +329,18 @@ def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     else:
         tx_events = np.full(n, -1, dtype=np.int32)
 
-    before = _payload_struct(p.field("before") if "before" in
-                             [f.name for f in p.type] else None, payload, n)
-    after = _payload_struct(p.field("after") if "after" in
-                            [f.name for f in p.type] else None, payload, n)
+    names = [f.name for f in p.type]
+    before = _payload_struct(p.field("before") if "before" in names
+                             else None, payload, n)
+    after = _payload_struct(p.field("after") if "after" in names
+                            else None, payload, n)
     key_field = payload.names[0]  # merge key = first payload column
     bkey = pc.struct_field(before, key_field)
     akey = pc.struct_field(after, key_field)
-    key = pc.if_else(pc.greater(op, pa.scalar(OP_INSERT, pa.int8())),
-                     bkey, akey)
+    # the engine contract (gen.py): before-image key when a before
+    # image EXISTS, after-image key otherwise — updates under reduced
+    # replica identity (null before) still key by the after image
+    key = pc.if_else(before.is_valid(), bkey, akey)
 
     return pa.table({
         "gtid": pa.array(gtid, pa.int64()),
@@ -312,12 +378,20 @@ def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
     else:
         def tx_partial(tbl: pa.Table) -> pa.Table:
             p = tbl.column("payload").combine_chunks()
-            txs = pc.cast(pc.struct_field(p.field("transaction"), "id"),
-                          pa.int64())
-            import pandas as _pd
-            vc = _pd.Series(txs.to_numpy(zero_copy_only=False)).value_counts()
-            return pa.table({"tx_id": pa.array(vc.index.to_numpy(), pa.int64()),
-                             "n": pa.array(vc.to_numpy(), pa.int64())})
+            if len(p):
+                # count only row mutations, and by the SAME transaction
+                # identity rule decode_envelopes assigns (incl. the
+                # uuid:txno form and the no-transaction-block fallback)
+                code = pc.index_in(
+                    p.field("op"), value_set=pa.array(["c", "r", "u", "d"]))
+                p = p.filter(code.is_valid())
+            if len(p) == 0:
+                return pa.table({"tx_id": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            tx_id_i, _, _ = _tx_identity(p, len(p))
+            ids, counts = np.unique(tx_id_i, return_counts=True)
+            return pa.table({"tx_id": pa.array(ids, pa.int64()),
+                             "n": pa.array(counts.astype(np.int64))})
 
         from ray.data.aggregate import Sum
         counts = (ray.data.read_json(paths)

@@ -789,3 +789,18 @@ def test_apng_codec_roundtrip_and_frame_sampling():
         for f, s in zip(sub["frame_idx"], sub["sum_intensity"]):
             assert s == int(M.apng_frame_for_doc(mid, int(f))
                             .sum(dtype=np.int64))
+
+
+def test_decontaminate_empty_snippets():
+    """An empty (or all-empty-string) benchmark set returns a typed
+    empty result under every engine instead of crashing the seed
+    actor's L* computation."""
+    from rookray.ops.corpus import decontaminate
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["aa", "bb"])})
+    ds = ray.data.from_arrow(t)
+    for snips in ([], [""]):
+        out = decontaminate(ds, snips, method="seed")
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "n_hits"]

@@ -68,8 +68,8 @@ def test_snapshot_read_op_and_missing_fields(tmp_path):
     assert t.column("op").to_pylist() == [OP_INSERT] * 5
     assert t.column("key").to_pylist() == [f"d{i}" for i in range(5)]
     assert t.column("after").combine_chunks().field("lang").null_count == 5
-    # gtid fallback: per-tx number << 16 | (total_order-1 → 0)
-    assert t.column("gtid").to_pylist() == [i << 16 for i in range(5)]
+    # gtid fallback: per-tx number << 20 | (total_order-1 → 0)
+    assert t.column("gtid").to_pylist() == [i << 20 for i in range(5)]
     assert t.column("tx_events").to_pylist() == [-1] * 5
 
 
@@ -107,3 +107,83 @@ def test_socket_feed_applies_to_lake(tmp_path):
     exp = final_state(CFG).sort_by("doc_id")
     assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
     assert state.column("tokens").to_pylist() == exp.column("tokens").to_pylist()
+
+
+def test_real_world_debezium_shapes(tmp_path):
+    """Shapes a real connector emits that our own encoder never
+    produces: uuid:txno transaction ids, truncate/message/tombstone
+    records, updates with a null before image (reduced replica
+    identity), and per-row coordinate choice in a batch mixing
+    pos-bearing and pos-less envelopes."""
+    def env(i, op="c", before=None, after=None, tx=None, pos=None,
+            gtid=None):
+        src = {"name": "s", "db": "rook", "table": "sequences",
+               "server_id": 1, "file": "mysql-bin.000003"}
+        if pos is not None:
+            src["pos"] = pos
+        if gtid is not None:
+            src["gtid"] = gtid
+        return {"payload": {"before": before, "after": after,
+                            "source": src, "op": op,
+                            "transaction": tx}}
+
+    pl = lambda d: {"doc_id": d, "tokens": [1], "n_tok": 1, "source": "x"}
+    rows = [
+        # uuid-form transaction id
+        env(0, "c", after=pl("a"), pos=100,
+            tx={"id": "3c1a6f2b-aaaa:17", "total_order": 1,
+                "data_collection_order": 1}),
+        # truncate + message records must be dropped
+        {"payload": {"before": None, "after": None,
+                     "source": {"db": "rook", "table": "sequences",
+                                "server_id": 1, "pos": 110,
+                                "file": "mysql-bin.000003"},
+                     "op": "t", "transaction": None}},
+        # update with null before (REPLICA IDENTITY NOTHING) keys by
+        # the after image
+        env(2, "u", before=None, after=pl("b"), pos=120,
+            tx={"id": "19", "total_order": 1,
+                "data_collection_order": 1}),
+        # pos-less row in the same batch: per-row GTID-string fallback
+        env(3, "c", after=pl("c"), gtid="srv:21",
+            tx={"id": "21", "total_order": 1,
+                "data_collection_order": 1}),
+    ]
+    t = wire.decode_envelopes(
+        wire._json_table(("\n".join(json.dumps(r) for r in rows))
+                         .encode()), payload=SEQ_SCHEMA)
+    assert t.num_rows == 3  # truncate dropped
+    assert t.column("tx_id").to_pylist() == [17, 19, 21]
+    assert t.column("key").to_pylist() == ["a", "b", "c"]
+    g = t.column("gtid").to_pylist()
+    assert g[0] == (3 << 40) | 100      # binlog coordinates
+    assert g[1] == (3 << 40) | 120
+    assert g[2] == 21 << 20             # per-row fallback composite
+
+    # counting pass without a transaction topic handles envelopes with
+    # NO transaction block at all (metadata disabled)
+    p = tmp_path / "plain.jsonl"
+    plain = [env(i, "c", after=pl(f"p{i}"), pos=200 + i,
+                 gtid=f"srv:{30 + i // 2}") for i in range(4)]
+    for r in plain:
+        del r["payload"]["transaction"]
+    p.write_text("\n".join(json.dumps(r) for r in plain) + "\n")
+    ds = wire.read_debezium([str(p)], tx_topic=None, payload=SEQ_SCHEMA)
+    got = pa.Table.from_pylist(ds.take_all()).sort_by("gtid")
+    # identity falls back to the GTID-string tx number; counts match
+    assert got.column("tx_id").to_pylist() == [30, 30, 31, 31]
+    assert got.column("tx_events").to_pylist() == [2, 2, 2, 2]
+
+
+def test_no_ordering_coordinates_raises():
+    rows = [{"payload": {"before": None,
+                         "after": {"doc_id": "d", "tokens": [1],
+                                   "n_tok": 1, "source": "x"},
+                         "source": {"db": "rook", "table": "sequences",
+                                    "server_id": 1},
+                         "op": "c", "transaction": None}}]
+    import pytest
+    with pytest.raises(ValueError, match="ordering coordinates"):
+        wire.decode_envelopes(
+            wire._json_table(json.dumps(rows[0]).encode()),
+            payload=SEQ_SCHEMA)
