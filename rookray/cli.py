@@ -154,6 +154,36 @@ def cmd_tail_socket(args) -> int:
     return 1 if "warning" in res else 0
 
 
+def cmd_wire(args) -> int:
+    """Public wire-format ingest: decode a recorded Debezium-JSON dump
+    (data topic + optional transaction topic) into the lake as one
+    exactly-once epoch — the day-one path for a user whose change
+    stream is a connector's Kafka output, not rookray-shaped shards."""
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wire import infer_payload, read_debezium
+
+    _ensure_ray(args.num_cpus)
+    paths = sorted(glob.glob(os.path.join(args.dump, args.pattern)))
+    if not paths:
+        print(json.dumps({"error": f"no files match {args.pattern!r} "
+                                   f"under {args.dump}"}))
+        return 1
+    tx_topic = None
+    if args.tx_topic:
+        tx_topic = [args.tx_topic]
+    else:
+        auto = sorted(glob.glob(os.path.join(args.dump, "tx-*.jsonl")))
+        tx_topic = auto or None
+    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    ds = read_debezium(paths, tx_topic=tx_topic,
+                       payload=infer_payload(paths))
+    res = lake.apply(ds.materialize())
+    res["files"] = len(paths)
+    res["tx_topic"] = bool(tx_topic)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -360,6 +390,20 @@ def main(argv=None) -> int:
     ts.add_argument("--connect-timeout", type=float, default=10.0)
     ts.add_argument("--num-cpus", type=int, default=None)
     ts.set_defaults(fn=cmd_tail_socket)
+
+    wr = sub.add_parser("wire", help="decode a recorded Debezium-JSON "
+                        "dump (public wire format) into the lake as one "
+                        "exactly-once epoch")
+    wr.add_argument("--dump", required=True,
+                    help="directory holding the data-topic jsonl files")
+    wr.add_argument("--pattern", default="data-*.jsonl")
+    wr.add_argument("--tx-topic", default=None,
+                    help="transaction-topic jsonl (default: tx-*.jsonl "
+                         "under --dump if present, else a counting pass)")
+    wr.add_argument("--table", required=True)
+    wr.add_argument("--partitions", type=int, default=16)
+    wr.add_argument("--num-cpus", type=int, default=None)
+    wr.set_defaults(fn=cmd_wire)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")

@@ -357,6 +357,37 @@ def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     }, schema=schema)
 
 
+def infer_payload(paths: list[str], sample_files: int = 2) -> pa.Schema:
+    """Payload schema inferred from a dump's before/after images (for
+    callers with no catalog in hand, e.g. the CLI): union of the
+    JSON-inferred struct fields across the first ``sample_files``
+    files, first typed occurrence wins; fields never seen non-null
+    default to string."""
+    fields: dict[str, pa.DataType] = {}
+    for path in paths[:sample_files]:
+        with open(path, "rb") as f:
+            t = _json_table(f.read())
+        if "payload" not in t.schema.names:
+            continue
+        p = t.column("payload").combine_chunks()
+        names = [f.name for f in p.type]
+        for side in ("before", "after"):
+            if side not in names:
+                continue
+            col = p.field(side)
+            if not pa.types.is_struct(col.type):
+                continue
+            for fld in col.type:
+                cur = fields.get(fld.name)
+                if cur is None or pa.types.is_null(cur):
+                    fields[fld.name] = fld.type
+    if not fields:
+        raise ValueError("no before/after images found to infer a "
+                         "payload schema from")
+    return pa.schema([(n, (pa.string() if pa.types.is_null(t) else t))
+                      for n, t in fields.items()])
+
+
 def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
                   payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
     """A ``ray.data.Dataset`` of engine change events decoded from

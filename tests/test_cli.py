@@ -131,3 +131,31 @@ def test_cli_tail_socket_ingest(tmp_path, capsys):
                    for a, b in zip(state["tokens"], exp["tokens"]))
     finally:
         srv.close()  # idempotent; the serve thread exits at EOF
+
+
+def test_cli_wire_ingest(tmp_path, capsys):
+    """Public wire-format ingest end-to-end through the CLI: encode a
+    generated stream as a Debezium dump, decode+apply it with
+    `rookray wire` (payload schema INFERRED from the dump — no catalog
+    supplied), and check the lake's final state against the serial
+    oracle."""
+    from rookray.gen import GenConfig, final_state, generate_events
+    from rookray.wire import debezium_dump
+
+    cfg = GenConfig(n_docs=30, n_events=200)
+    ev = generate_events(cfg)
+    dump = str(tmp_path / "dump")
+    debezium_dump(ev, dump, n_files=3)
+    t = str(tmp_path / "lake")
+    assert main(["wire", "--dump", dump, "--table", t,
+                 "--partitions", "2"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["tx_topic"] is True and res["files"] == 3
+
+    lake = LakeTable(t)
+    state = lake.state_table().sort_by("doc_id")
+    exp = final_state(cfg).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    # inferred payload: JSON widens tokens to int64 — compare values
+    assert [list(map(int, x)) for x in state.column("tokens").to_pylist()] \
+        == [list(map(int, x)) for x in exp.column("tokens").to_pylist()]
