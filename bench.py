@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "cdc_patch_replay",
     "decontaminate_scale",
     "cdc_wire_debezium",
+    "cdc_wire_binlog",
     "ann_lsh",
 ]
 

@@ -184,6 +184,38 @@ def cmd_wire(args) -> int:
     return 0
 
 
+def cmd_binlog(args) -> int:
+    """Binary wire-format ingest: decode recorded MySQL binlog-v4
+    files into the lake as one exactly-once epoch.  TABLE_MAP events
+    carry no column NAMES, so values map positionally against a
+    payload schema: an existing lake supplies its committed schema,
+    a fresh lake uses the engine default (append-only evolution means
+    payload ⊇ any older file's column list)."""
+    from rookray.binlog import read_binlog
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.schema import SEQ_SCHEMA_V2
+
+    _ensure_ray(args.num_cpus)
+    paths = sorted(glob.glob(os.path.join(args.dump, args.pattern)))
+    if not paths:
+        print(json.dumps({"error": f"no files match {args.pattern!r} "
+                                   f"under {args.dump}"}))
+        return 1
+    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    try:
+        payload = lake.payload_schema()
+    except Exception:
+        payload = None
+    if payload is None or len(payload) == 0:
+        payload = SEQ_SCHEMA_V2
+    ds = read_binlog(paths, payload=payload,
+                     allow_partial_tail=args.allow_partial_tail)
+    res = lake.apply(ds.materialize())
+    res["files"] = len(paths)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -404,6 +436,20 @@ def main(argv=None) -> int:
     wr.add_argument("--partitions", type=int, default=16)
     wr.add_argument("--num-cpus", type=int, default=None)
     wr.set_defaults(fn=cmd_wire)
+
+    bl = sub.add_parser("binlog", help="decode recorded MySQL binlog-v4 "
+                        "files (binary wire format) into the lake as one "
+                        "exactly-once epoch")
+    bl.add_argument("--dump", required=True,
+                    help="directory holding the binlog files")
+    bl.add_argument("--pattern", default="*.[0-9]*")
+    bl.add_argument("--table", required=True)
+    bl.add_argument("--partitions", type=int, default=16)
+    bl.add_argument("--allow-partial-tail", action="store_true",
+                    help="tolerate a torn trailing transaction (live-"
+                         "tail copy); default raises on truncation")
+    bl.add_argument("--num-cpus", type=int, default=None)
+    bl.set_defaults(fn=cmd_binlog)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")

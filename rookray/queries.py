@@ -2103,6 +2103,56 @@ def _flagship_debezium() -> dict:
         return json.load(f)
 
 
+def _flagship_binlog() -> dict:
+    """Deterministic binlog-v4 restatement of the flagship stream
+    (cached next to it): genuine binary-log files — GTID/BEGIN/
+    TABLE_MAP/ROWS-v2/XID events with CRC32 trailers — including the
+    mid-stream additive DDL (pre-evolution transactions declare only
+    the four original columns in their TABLE_MAPs)."""
+    from rookray import binlog as B
+    from rookray.gen import generate_events
+    flagship_stream()  # ensure changelog.parquet exists for the oracle
+    out = os.path.join(FLAGSHIP_DIR, "binlog")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        cfg = _flagship_cfg()
+        d = B.binlog_dump(generate_events(cfg), out, n_files=8,
+                          evolve_gtid=cfg.evolve_at,
+                          pre_evolution_columns=4)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(d, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def cdc_wire_binlog(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #2 — the MySQL binary log itself (the
+    actual artifact rook tails, MySQLReplicationStream.java:71-120):
+    decode recorded binlog-v4 files (CRC-verified, TABLE_MAP-driven
+    positional column mapping, per-tx row buffering for completeness
+    counts, mid-stream DDL widening 4→5 columns) and replay them
+    through the full lake apply.  Oracle = the flagship LWW SQL, so
+    any decode defect — image parsing, null bitmaps, tx grouping,
+    coordinate-packed gtid ordering — is a state-digest mismatch."""
+    import tempfile
+    from rookray import binlog as B
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_binlog()
+    ds = B.read_binlog(d["files"], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_blg_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+CDC_WIRE_BINLOG_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 def cdc_wire_debezium(sf_dir: str) -> pd.DataFrame:
     """Public wire-format ingest (the reference's day-one use case,
     MySQLReplicationStream.java:71-120 restated for the public
@@ -4121,6 +4171,7 @@ QUERIES = {
     # full-engine CDC (rows-only)
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_wire_debezium": cdc_wire_debezium,
+    "cdc_wire_binlog": cdc_wire_binlog,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
@@ -4211,6 +4262,7 @@ ORACLES = {
     # (flat dump written by flagship_stream()) in SQL
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "cdc_wire_debezium": CDC_WIRE_DEBEZIUM_SQL,
+    "cdc_wire_binlog": CDC_WIRE_BINLOG_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,

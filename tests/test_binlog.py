@@ -1,0 +1,163 @@
+"""MySQL binlog-v4 wire-format adapter: encode → decode roundtrip,
+CRC verification, torn tails, mid-stream DDL, lake apply."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rookray import binlog as B
+from rookray.gen import GenConfig, generate_events, final_state
+from rookray.schema import SEQ_SCHEMA, SEQ_SCHEMA_V2
+
+CFG = GenConfig(n_docs=40, n_events=240, noise_pct=5, evolve_at=121)
+
+
+def _payload_of(ev: pa.Table) -> pa.Schema:
+    return pa.schema(list(ev.schema.field("after").type))
+
+
+def _decode_all(d: dict, payload: pa.Schema) -> pa.Table:
+    return pa.concat_tables(
+        [B.decode_binlog_file(open(p, "rb").read(), p, payload=payload)
+         for p in d["files"]])
+
+
+def _norm_images(t: pa.Table, side: str) -> list:
+    return [None if v is None else
+            {k: (list(x) if isinstance(x, (list, np.ndarray)) else x)
+             for k, x in v.items()}
+            for v in t.column(side).to_pylist()]
+
+
+def test_roundtrip_exact(tmp_path):
+    """Every engine column except the coordinate-packed gtid decodes
+    bit-exact, in order, through genuine binlog bytes — including the
+    DDL point (pre-evolution TABLE_MAPs declare 4 columns)."""
+    ev = generate_events(CFG)
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=3,
+                      evolve_gtid=CFG.evolve_at, pre_evolution_columns=4)
+    got = _decode_all(d, _payload_of(ev))
+    assert got.num_rows == ev.num_rows
+    for c in ["tx_id", "seq_in_tx", "tx_events", "server_id", "db",
+              "table", "op", "key"]:
+        assert got.column(c).to_pylist() == ev.column(c).to_pylist(), c
+    assert _norm_images(got, "before") == _norm_images(ev, "before")
+    assert _norm_images(got, "after") == _norm_images(ev, "after")
+    g = np.asarray(got.column("gtid"))
+    assert (np.diff(g) > 0).all()
+    # coordinate packing: file_seq in the top bits, strictly increasing
+    # across the three files
+    seqs = g >> (B._POS_BITS + B._ROW_BITS)
+    assert sorted(set(seqs.tolist())) == [1, 2, 3]
+
+
+def test_multirow_events_roundtrip(tmp_path):
+    """Small rows_per_event forces multi-row ROWS events (shared
+    column layout, per-row images) — ordering and images survive."""
+    ev = generate_events(GenConfig(n_docs=10, n_events=120))
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=1,
+                      rows_per_event=4)
+    got = _decode_all(d, _payload_of(ev))
+    assert got.column("key").to_pylist() == ev.column("key").to_pylist()
+    assert _norm_images(got, "after") == _norm_images(ev, "after")
+
+
+def test_crc_corruption_detected(tmp_path):
+    ev = generate_events(GenConfig(n_docs=10, n_events=60))
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=1)
+    raw = bytearray(open(d["files"][0], "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    with pytest.raises(B.BinlogFormatError, match="CRC"):
+        B.decode_binlog_file(bytes(raw), d["files"][0],
+                             payload=_payload_of(ev))
+
+
+def test_torn_tail_strict_and_partial(tmp_path):
+    """A cut-off file raises by default; allow_partial_tail decodes
+    the clean prefix and drops the incomplete trailing transaction."""
+    ev = generate_events(GenConfig(n_docs=10, n_events=100))
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=1)
+    payload = _payload_of(ev)
+    full_bytes = open(d["files"][0], "rb").read()
+    cut = full_bytes[: int(len(full_bytes) * 0.6)]
+    with pytest.raises(B.BinlogFormatError):
+        B.decode_binlog_file(cut, d["files"][0], payload=payload)
+    part = B.decode_binlog_file(cut, d["files"][0], payload=payload,
+                                allow_partial_tail=True)
+    full = B.decode_binlog_file(full_bytes, d["files"][0], payload=payload)
+    assert 0 < part.num_rows < full.num_rows
+    assert part.to_pylist() == full.slice(0, part.num_rows).to_pylist()
+    # partial rows are whole transactions only
+    counts = {}
+    for r in part.column("tx_id").to_pylist():
+        counts[r] = counts.get(r, 0) + 1
+    for tx, n, exp in zip(part.column("tx_id").to_pylist(),
+                          part.column("tx_events").to_pylist(),
+                          [counts[t] for t in part.column("tx_id").to_pylist()]):
+        assert n == exp
+
+
+def test_evolution_nulls_and_schema_guard(tmp_path):
+    """Pre-DDL files decode the missing trailing column as null; a
+    dump declaring MORE columns than the payload schema is rejected
+    (positional mapping requires payload ⊇ table)."""
+    ev = generate_events(CFG)
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=2,
+                      evolve_gtid=CFG.evolve_at, pre_evolution_columns=4)
+    got = _decode_all(d, SEQ_SCHEMA_V2)
+    lang = got.column("after").combine_chunks().field("lang")
+    # pre-evolution rows: lang null (either never declared or null cell)
+    pre = np.asarray(ev.column("gtid")) < CFG.evolve_at
+    assert lang.is_valid().to_numpy(zero_copy_only=False)[pre].sum() == 0
+    assert lang.is_valid().to_numpy(zero_copy_only=False).any()
+    with pytest.raises(B.BinlogFormatError, match="declares"):
+        _decode_all(d, SEQ_SCHEMA)  # 5-column TABLE_MAP vs 4-col payload
+
+
+def test_deterministic_dump(tmp_path):
+    ev = generate_events(GenConfig(n_docs=10, n_events=80))
+    d1 = B.binlog_dump(ev, str(tmp_path / "a"), n_files=2)
+    d2 = B.binlog_dump(ev, str(tmp_path / "b"), n_files=2)
+    for p1, p2 in zip(d1["files"], d2["files"]):
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_xid_fallback_without_gtid_event(tmp_path):
+    """Older servers without gtid_mode: transactions are delimited by
+    BEGIN…XID alone; tx_id falls back to the XID value."""
+    path = str(tmp_path / "old.000001")
+    w = B._FileWriter(path)
+    codecs = [B._codec_for(f.type) for f in SEQ_SCHEMA]
+    B._write_table_map(w, 100, "rook", "sequences", codecs, 1)
+    body = bytearray((100).to_bytes(6, "little"))
+    body += struct.pack("<HH", 0, 2)
+    body += B._lenenc(4) + b"\x0f"
+    body += B._image(["d1", [1, 2], 2, "s"], codecs)
+    w.event(B.WRITE_ROWS_EVENT_V2, bytes(body), 1)
+    w.event(B.XID_EVENT, struct.pack("<Q", 77), 1)
+    w.close(None)
+    t = B.decode_binlog_file(open(path, "rb").read(), path,
+                             payload=SEQ_SCHEMA)
+    assert t.num_rows == 1
+    assert t.column("tx_id").to_pylist() == [77]
+    assert t.column("key").to_pylist() == ["d1"]
+    assert t.column("after").to_pylist()[0]["tokens"] == [1, 2]
+
+
+def test_lake_apply_matches_serial_oracle(tmp_path, ray_session):
+    """End-to-end through Ray: read_binlog (one decode task per file)
+    → lake apply → final state equals the serial replay."""
+    from rookray.pipeline import CDCConfig, LakeTable
+    cfg = GenConfig(n_docs=30, n_events=300)
+    ev = generate_events(cfg)
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=4)
+    ds = B.read_binlog(d["files"], payload=_payload_of(ev))
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    lake.apply(ds.materialize())
+    got = lake.state_table().sort_by("doc_id")
+    exp = final_state(cfg).sort_by("doc_id")
+    assert got.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert [list(x) for x in got.column("tokens").to_pylist()] == \
+        [list(x) for x in exp.column("tokens").to_pylist()]

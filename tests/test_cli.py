@@ -159,3 +159,29 @@ def test_cli_wire_ingest(tmp_path, capsys):
     # inferred payload: JSON widens tokens to int64 — compare values
     assert [list(map(int, x)) for x in state.column("tokens").to_pylist()] \
         == [list(map(int, x)) for x in exp.column("tokens").to_pylist()]
+
+
+def test_cli_binlog_ingest(tmp_path, capsys):
+    """Binary wire-format ingest end-to-end through the CLI: encode a
+    generated stream as binlog-v4 files, decode+apply with
+    `rookray binlog` (payload = engine default on a fresh lake), and
+    check the lake's final state against the serial oracle."""
+    from rookray.binlog import binlog_dump
+    from rookray.gen import GenConfig, final_state, generate_events
+
+    cfg = GenConfig(n_docs=25, n_events=180)
+    ev = generate_events(cfg)
+    dump = str(tmp_path / "blg")
+    binlog_dump(ev, dump, n_files=3)
+    t = str(tmp_path / "lake")
+    assert main(["binlog", "--dump", dump, "--table", t,
+                 "--partitions", "2"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["files"] == 3 and res["events_applied"] > 0
+
+    lake = LakeTable(t)
+    state = lake.state_table().sort_by("doc_id")
+    exp = final_state(cfg).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert [list(map(int, x)) for x in state.column("tokens").to_pylist()] \
+        == [list(map(int, x)) for x in exp.column("tokens").to_pylist()]
