@@ -64,11 +64,15 @@ Distribution: one decode task per file (``ray.data.read_binary_files``
 → ``map_batches``) — sequential WITHIN a file because the format is a
 sequential log (table-map state, tx buffering), parallel ACROSS files,
 which is the only parallelism the real artifact offers.  The per-event
-parse is tight-loop Python over memoryviews; at the observed ~300k
-rows/s/core with file-parallel fan-out it decodes faster than any real
-server writes binlogs.  The ENCODER (``binlog_dump``) is the
-test/bench producer (stand-in for a real server) and never runs inside
-a pipeline.
+parse is tight-loop Python over memoryviews; measured ~45k rows/s ≈
+25 MiB/s per core on the flagship payload (the cost is per-event
+dispatch: a faithful stream carries GTID/BEGIN/TABLE_MAP/XID around
+every statement), so a 16-file fan-out sustains ~400 MiB/s — several
+times the binlog write rate of any real server, whose single ordered
+stream is the true bound here (rook itself is single-threaded on this
+path, MySQLReplicationStream.java:161-179).  The ENCODER
+(``binlog_dump``) is the test/bench producer (stand-in for a real
+server) and never runs inside a pipeline.
 """
 
 from __future__ import annotations
@@ -81,10 +85,14 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ray.data.datasource import Datasource
+
 from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
                             change_event_schema)
 
-__all__ = ["binlog_dump", "decode_binlog_file", "read_binlog"]
+__all__ = ["binlog_dump", "decode_binlog_file", "read_binlog",
+           "BinlogParser", "BinlogStreamServer", "BinlogSocketDatasource",
+           "stream_binlog_socket", "BinlogFormatError"]
 
 MAGIC = b"\xfebin"
 
@@ -484,197 +492,279 @@ def _read_image(b: memoryview, o: int, codecs: list[_Col]) -> tuple[list, int]:
     return vals, o
 
 
+class BinlogParser:
+    """INCREMENTAL binlog-v4 parser — the engine's ``BinaryLogClient``
+    analog (MySQLReplicationStream.java:71-120 registers exactly this:
+    a callback-per-event client on one ordered byte stream).
+
+    ``feed(chunk)`` accepts raw bytes in ARBITRARY chunk sizes (a TCP
+    receive loop never aligns to event boundaries) and returns a
+    change-event table whenever transactions COMMITTED inside the
+    chunk — rows only ever surface whole transactions, so a consumer
+    that applies each returned table keeps rook's tx-atomic delivery
+    guarantee on a live wire.  ``finish()`` validates a clean EOF
+    (or, with ``allow_partial_tail``, drops a torn trailing tx).
+
+    ROTATE events are honored mid-stream: a server streaming several
+    files back to back (each with its own magic + FDE) re-anchors the
+    file sequence, so the coordinate-packed gtids stay monotone across
+    the rotation — the parser never needs to see file boundaries."""
+
+    def __init__(self, file_name: str, payload: pa.Schema = SEQ_SCHEMA,
+                 allow_partial_tail: bool = False):
+        self.payload = payload
+        self.allow_partial_tail = allow_partial_tail
+        self._codecs = [_codec_for(f.type) for f in payload]
+        self._schema = change_event_schema(payload)
+        self._ps = pa.struct(list(payload))
+
+        self._buf = bytearray()
+        self._expect_magic = True
+        self._fseq = _file_seq(file_name)
+        self._name = file_name
+        self._pos = 0               # offset of buffer start in file
+        self._checksum = CHECKSUM_ALG_OFF
+        self._tables: dict[int, tuple[str, str, int]] = {}
+        self._cur_gno: int | None = None
+        self._txbuf: list[tuple] = []
+        self._out: list[tuple] = []     # committed rows pending emission
+        self._finished = False
+
+    # ------------------------------------------------------ feeding
+
+    def feed(self, chunk: bytes) -> "pa.Table | None":
+        """Consume a chunk; return a table of change events for every
+        transaction that committed inside it (None when none did)."""
+        if self._finished:
+            raise BinlogFormatError("feed() after finish()")
+        self._buf += chunk
+        while True:
+            if self._expect_magic:
+                if len(self._buf) < 4:
+                    break
+                if bytes(self._buf[:4]) != MAGIC:
+                    raise BinlogFormatError(
+                        f"{self._name}: bad magic {bytes(self._buf[:4])!r}")
+                del self._buf[:4]
+                self._pos = 4
+                self._expect_magic = False
+                continue
+            if len(self._buf) < HEADER_LEN:
+                break
+            _, etype, srv_id, esize, _, _ = struct.unpack_from(
+                "<IBIIIH", self._buf, 0)
+            if esize < HEADER_LEN:
+                raise BinlogFormatError(
+                    f"{self._name}: bad event size {esize} @ {self._pos}")
+            if len(self._buf) < esize:
+                break
+            # copy the event out to IMMUTABLE bytes before consuming the
+            # buffer: decoded values (np.frombuffer blob arrays) alias
+            # the event memory and must outlive this resizable buffer
+            ev = bytes(memoryview(self._buf)[:esize])
+            del self._buf[:esize]
+            self._event(memoryview(ev), etype, srv_id)
+            self._pos += esize
+        return self._emit()
+
+    def finish(self) -> "pa.Table | None":
+        """End of stream: raise on a torn tail (leftover bytes or an
+        open transaction) unless ``allow_partial_tail``; return any
+        final committed rows."""
+        self._finished = True
+        torn = bool(self._buf)
+        open_tx = bool(self._txbuf) or self._cur_gno is not None
+        if (torn or open_tx) and not self.allow_partial_tail:
+            what = ("inside an event" if torn else
+                    "inside an open transaction")
+            raise BinlogFormatError(f"{self._name}: stream ends {what}")
+        self._txbuf.clear()
+        self._buf.clear()
+        return self._emit()
+
+    # ------------------------------------------------- event handling
+
+    def _event(self, ev: memoryview, etype: int, srv_id: int):
+        body_end = len(ev)
+        if etype == FORMAT_DESCRIPTION_EVENT:
+            self._checksum = ev[body_end - 5]
+            if self._checksum not in (CHECKSUM_ALG_OFF,
+                                      CHECKSUM_ALG_CRC32):
+                raise BinlogFormatError(
+                    f"{self._name}: unsupported checksum alg "
+                    f"{self._checksum}")
+        elif self._checksum == CHECKSUM_ALG_CRC32:
+            body_end -= 4
+            want = struct.unpack_from("<I", ev, body_end)[0]
+            got = zlib.crc32(ev[:body_end]) & 0xFFFFFFFF
+            if want != got:
+                raise BinlogFormatError(
+                    f"{self._name}: CRC mismatch @ {self._pos} "
+                    f"(want {want:#x}, got {got:#x})")
+        o = HEADER_LEN
+        b = ev
+
+        if etype == GTID_LOG_EVENT:
+            if self._txbuf:
+                raise BinlogFormatError(
+                    f"{self._name}: GTID inside an open transaction "
+                    f"@ {self._pos}")
+            self._cur_gno = struct.unpack_from("<q", b, o + 17)[0]
+        elif etype == TABLE_MAP_EVENT:
+            self._table_map(b, o)
+        elif etype in _ROWS_EVENTS:
+            self._rows(b, o, body_end, etype, srv_id)
+        elif etype == XID_EVENT:
+            xid = struct.unpack_from("<Q", b, o)[0]
+            self._flush_tx(xid)
+            self._cur_gno = None
+        elif etype == ROTATE_EVENT:
+            # next-file pointer: re-anchor the coordinate sequence and
+            # expect the next file's magic + FDE on the same stream
+            nxt = str(bytes(b[o + 8:body_end]), "utf-8")
+            self._fseq = _file_seq(nxt)
+            self._name = nxt
+            self._expect_magic = True
+        # QUERY (BEGIN), FDE: no row content
+
+    def _table_map(self, b: memoryview, o: int):
+        payload, codecs = self.payload, self._codecs
+        tid = int.from_bytes(b[o:o + 6], "little")
+        p = o + 8
+        dlen = b[p]
+        db = str(bytes(b[p + 1:p + 1 + dlen]), "utf-8")
+        p += 2 + dlen
+        tlen = b[p]
+        table = str(bytes(b[p + 1:p + 1 + tlen]), "utf-8")
+        p += 2 + tlen
+        ncols, p = _read_lenenc(b, p)
+        if ncols > len(payload):
+            raise BinlogFormatError(
+                f"{self._name}: table {db}.{table} declares {ncols} "
+                f"columns; payload schema has {len(payload)} — "
+                f"positional mapping needs payload ⊇ table")
+        types = bytes(b[p:p + ncols])
+        for i in range(ncols):
+            if types[i] != codecs[i].mysql_type:
+                raise BinlogFormatError(
+                    f"{self._name}: column {i} of {db}.{table} is mysql "
+                    f"type {types[i]}, payload field "
+                    f"{payload.names[i]!r} expects {codecs[i].mysql_type}")
+        self._tables[tid] = (db, table, ncols)
+
+    def _rows(self, b: memoryview, o: int, body_end: int, etype: int,
+              srv_id: int):
+        op = _ROWS_EVENTS[etype]
+        tid = int.from_bytes(b[o:o + 6], "little")
+        if tid not in self._tables:
+            raise BinlogFormatError(
+                f"{self._name}: rows event for unmapped table id {tid}")
+        db, table, ncols = self._tables[tid]
+        p = o + 8
+        extra = struct.unpack_from("<H", b, p)[0]
+        p += extra  # extra-data length includes its own 2 bytes
+        width, p = _read_lenenc(b, p)
+        if width != ncols:
+            raise BinlogFormatError(
+                f"{self._name}: rows-event width {width} != table map "
+                f"{ncols}")
+        p += (width + 7) // 8  # columns-present bitmap (writers set all)
+        if etype == UPDATE_ROWS_EVENT_V2:
+            p += (width + 7) // 8
+        cs = self._codecs[:ncols]
+        pad = [None] * (len(self.payload) - ncols)
+        ridx = 0
+        epos = self._pos
+        while p < body_end:
+            if ridx >= (1 << _ROW_BITS):
+                raise BinlogFormatError(
+                    f"{self._name}: >{1 << _ROW_BITS} rows in one event")
+            before = after = None
+            if op != OP_INSERT:
+                v, p = _read_image(b, p, cs)
+                before = v + pad
+            if op != OP_DELETE:
+                v, p = _read_image(b, p, cs)
+                after = v + pad
+            self._txbuf.append((epos, ridx, srv_id, db, table, op,
+                                before, after))
+            ridx += 1
+
+    def _flush_tx(self, xid_gno: int | None):
+        tx_id = (self._cur_gno - 1) if self._cur_gno is not None else (
+            xid_gno if xid_gno is not None else 0)
+        n = len(self._txbuf)
+        fseq = self._fseq
+        for seq, (epos, ridx, srv, db, table, op, before, after) in \
+                enumerate(self._txbuf):
+            gtid = ((fseq << (_POS_BITS + _ROW_BITS))
+                    | (epos << _ROW_BITS) | ridx)
+            img = before if before is not None else after
+            key = None if img is None else img[0]
+            self._out.append((gtid, tx_id, seq, n, srv, db, table, op,
+                              key, before, after))
+        self._txbuf.clear()
+
+    # -------------------------------------------------------- output
+
+    def _emit(self) -> "pa.Table | None":
+        if not self._out:
+            return None
+        rows, self._out = self._out, []
+        cols = list(zip(*rows))
+        payload, ps = self.payload, self._ps
+
+        def struct_col(images) -> pa.Array:
+            mask = np.fromiter((im is None for im in images), bool,
+                               count=len(images))
+            arrs = [pa.array([None if im is None else im[i]
+                              for im in images], type=f.type)
+                    for i, f in enumerate(payload)]
+            return pa.StructArray.from_arrays(
+                arrs, fields=list(payload), mask=pa.array(mask))
+
+        return pa.table({
+            "gtid": pa.array(cols[0], pa.int64()),
+            "tx_id": pa.array(cols[1], pa.int64()),
+            "seq_in_tx": pa.array(cols[2], pa.int32()),
+            "tx_events": pa.array(cols[3], pa.int32()),
+            "server_id": pa.array(cols[4], pa.int64()),
+            "db": pa.array(cols[5], pa.string()),
+            "table": pa.array(cols[6], pa.string()),
+            "op": pa.array(cols[7], pa.int8()),
+            "key": pa.array(cols[8], pa.string()),
+            "before": struct_col(cols[9]),
+            "after": struct_col(cols[10]),
+        }, schema=self._schema)
+
+    def empty_table(self) -> pa.Table:
+        return self._schema.empty_table()
+
+
 def decode_binlog_file(data: bytes, path: str,
                        payload: pa.Schema = SEQ_SCHEMA,
                        allow_partial_tail: bool = False) -> pa.Table:
-    """Decode ONE binlog file into engine change events
-    (``change_event_schema(payload)``).  Sequential by necessity — the
-    format is a log with carried state (FDE checksum alg, table maps,
-    open transaction); parallelism lives across files in
+    """Decode ONE recorded binlog file into engine change events
+    (``change_event_schema(payload)``) — the batch wrapper over
+    :class:`BinlogParser`.  Sequential by necessity (the format is a
+    log with carried state); parallelism lives across files in
     :func:`read_binlog`.
 
     ``allow_partial_tail`` drops a trailing transaction whose XID (or
-    final event) is cut off — the live-tail case; the default raises,
-    the recorded-dump case."""
-    if data[:4] != MAGIC:
-        raise BinlogFormatError(f"{path}: bad magic {data[:4]!r}")
-    fseq = _file_seq(path)
-    b = memoryview(data)
-    pos = 4
-    checksum = CHECKSUM_ALG_OFF
-    codecs = [_codec_for(f.type) for f in payload]
-    key_field = payload.names[0]
-    key_idx = 0
-
-    tables: dict[int, tuple[str, str, int]] = {}  # tid → (db, table, ncols)
-    cur_gno: int | None = None
-    txbuf: list[tuple] = []  # (pos, row, db, table, op, before, after)
-
-    out_cols: dict[str, list] = {n: [] for n in (
-        "gtid", "tx_id", "seq_in_tx", "tx_events", "server_id", "db",
-        "table", "op", "key")}
-    out_before: list = []
-    out_after: list = []
-
-    def flush_tx(xid_gno: int | None):
-        tx_id = (cur_gno - 1) if cur_gno is not None else (
-            xid_gno if xid_gno is not None else 0)
-        n = len(txbuf)
-        for seq, (epos, ridx, srv, db, table, op, before, after) in \
-                enumerate(txbuf):
-            out_cols["gtid"].append(
-                (fseq << (_POS_BITS + _ROW_BITS)) | (epos << _ROW_BITS)
-                | ridx)
-            out_cols["tx_id"].append(tx_id)
-            out_cols["seq_in_tx"].append(seq)
-            out_cols["tx_events"].append(n)
-            out_cols["server_id"].append(srv)
-            out_cols["db"].append(db)
-            out_cols["table"].append(table)
-            out_cols["op"].append(op)
-            img = before if before is not None else after
-            out_cols["key"].append(None if img is None else img[key_idx])
-            out_before.append(before)
-            out_after.append(after)
-        txbuf.clear()
-
-    n_bytes = len(data)
-    while pos < n_bytes:
-        if pos + HEADER_LEN > n_bytes:
-            if allow_partial_tail:
-                txbuf.clear()
-                break
-            raise BinlogFormatError(f"{path}: truncated header @ {pos}")
-        _, etype, srv_id, esize, _, _ = struct.unpack_from("<IBIIIH", b, pos)
-        if esize < HEADER_LEN or pos + esize > n_bytes:
-            if allow_partial_tail:
-                txbuf.clear()
-                break
-            raise BinlogFormatError(
-                f"{path}: truncated event @ {pos} (size {esize})")
-        body_end = pos + esize
-        if etype == FORMAT_DESCRIPTION_EVENT:
-            # checksum alg byte sits 5 bytes from the event end
-            checksum = b[body_end - 5]
-            if checksum not in (CHECKSUM_ALG_OFF, CHECKSUM_ALG_CRC32):
-                raise BinlogFormatError(
-                    f"{path}: unsupported checksum alg {checksum}")
-        if checksum == CHECKSUM_ALG_CRC32 and etype != FORMAT_DESCRIPTION_EVENT:
-            body_end -= 4
-            want = struct.unpack_from("<I", b, body_end)[0]
-            got = zlib.crc32(b[pos:body_end]) & 0xFFFFFFFF
-            if want != got:
-                raise BinlogFormatError(
-                    f"{path}: CRC mismatch @ {pos} "
-                    f"(want {want:#x}, got {got:#x})")
-        o = pos + HEADER_LEN
-
-        if etype == GTID_LOG_EVENT:
-            if txbuf:
-                raise BinlogFormatError(
-                    f"{path}: GTID inside an open transaction @ {pos}")
-            cur_gno = struct.unpack_from("<q", b, o + 17)[0]
-        elif etype == TABLE_MAP_EVENT:
-            tid = int.from_bytes(b[o:o + 6], "little")
-            p = o + 8
-            dlen = b[p]
-            db = str(b[p + 1:p + 1 + dlen], "utf-8")
-            p += 2 + dlen
-            tlen = b[p]
-            table = str(b[p + 1:p + 1 + tlen], "utf-8")
-            p += 2 + tlen
-            ncols, p = _read_lenenc(b, p)
-            if ncols > len(payload):
-                raise BinlogFormatError(
-                    f"{path}: table {db}.{table} declares {ncols} columns; "
-                    f"payload schema has {len(payload)} — positional "
-                    f"mapping needs payload ⊇ table")
-            types = bytes(b[p:p + ncols])
-            for i in range(ncols):
-                if types[i] != codecs[i].mysql_type:
-                    raise BinlogFormatError(
-                        f"{path}: column {i} of {db}.{table} is mysql type "
-                        f"{types[i]}, payload field {payload.names[i]!r} "
-                        f"expects {codecs[i].mysql_type}")
-            tables[tid] = (db, table, ncols)
-        elif etype in _ROWS_EVENTS:
-            op = _ROWS_EVENTS[etype]
-            tid = int.from_bytes(b[o:o + 6], "little")
-            if tid not in tables:
-                raise BinlogFormatError(
-                    f"{path}: rows event for unmapped table id {tid}")
-            db, table, ncols = tables[tid]
-            p = o + 8
-            extra = struct.unpack_from("<H", b, p)[0]
-            p += extra  # extra-data length includes its own 2 bytes
-            width, p = _read_lenenc(b, p)
-            if width != ncols:
-                raise BinlogFormatError(
-                    f"{path}: rows-event width {width} != table map "
-                    f"{ncols}")
-            p += (width + 7) // 8  # columns-present (all set by writers)
-            if etype == UPDATE_ROWS_EVENT_V2:
-                p += (width + 7) // 8
-            cs = codecs[:ncols]
-            pad = [None] * (len(payload) - ncols)
-            ridx = 0
-            epos = pos
-            while p < body_end:
-                if ridx >= (1 << _ROW_BITS):
-                    raise BinlogFormatError(
-                        f"{path}: >{1 << _ROW_BITS} rows in one event")
-                before = after = None
-                if op != OP_INSERT:
-                    v, p = _read_image(b, p, cs)
-                    before = v + pad
-                if op != OP_DELETE:
-                    v, p = _read_image(b, p, cs)
-                    after = v + pad
-                txbuf.append((epos, ridx, srv_id, db, table, op,
-                              before, after))
-                ridx += 1
-        elif etype == XID_EVENT:
-            xid = struct.unpack_from("<Q", b, o)[0]
-            flush_tx(xid)
-            cur_gno = None
-        # QUERY (BEGIN), ROTATE, FDE: no row content
-        pos += esize
-
-    if txbuf or cur_gno is not None:
-        if not allow_partial_tail:
-            raise BinlogFormatError(
-                f"{path}: file ends inside an open transaction")
-        txbuf.clear()
-
-    ps = pa.struct(list(payload))
-
-    def struct_col(images: list) -> pa.Array:
-        mask = np.fromiter((im is None for im in images), bool,
-                           count=len(images))
-        arrs = []
-        for i, f in enumerate(payload):
-            vals = [None if im is None else im[i] for im in images]
-            arrs.append(pa.array(vals, type=f.type))
-        if not images:
-            return pa.array([], type=ps)
-        return pa.StructArray.from_arrays(
-            arrs, fields=list(payload),
-            mask=pa.array(mask))
-
-    schema = change_event_schema(payload)
-    return pa.table({
-        "gtid": pa.array(out_cols["gtid"], pa.int64()),
-        "tx_id": pa.array(out_cols["tx_id"], pa.int64()),
-        "seq_in_tx": pa.array(out_cols["seq_in_tx"], pa.int32()),
-        "tx_events": pa.array(out_cols["tx_events"], pa.int32()),
-        "server_id": pa.array(out_cols["server_id"], pa.int64()),
-        "db": pa.array(out_cols["db"], pa.string()),
-        "table": pa.array(out_cols["table"], pa.string()),
-        "op": pa.array(out_cols["op"], pa.int8()),
-        "key": pa.array(out_cols["key"], pa.string()),
-        "before": struct_col(out_before),
-        "after": struct_col(out_after),
-    }, schema=schema)
+    final event) is cut off — the live-tail-copy case; the default
+    raises, the recorded-dump case."""
+    p = BinlogParser(path, payload=payload,
+                     allow_partial_tail=allow_partial_tail)
+    parts = []
+    t = p.feed(data)
+    if t is not None:
+        parts.append(t)
+    t = p.finish()
+    if t is not None:
+        parts.append(t)
+    if not parts:
+        return p.empty_table()
+    return pa.concat_tables(parts)
 
 
 def read_binlog(paths: list[str], payload: pa.Schema = SEQ_SCHEMA,
@@ -695,8 +785,141 @@ def read_binlog(paths: list[str], payload: pa.Schema = SEQ_SCHEMA,
                                     allow_partial_tail=allow_partial_tail)
                  for d, p in zip(batch.column("bytes"),
                                  batch.column("path").to_pylist())]
+        parts = [t for t in parts if t.num_rows]
         if not parts:
             return schema.empty_table()
         return pa.concat_tables(parts)
 
     return raw.map_batches(decode, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ live tail
+
+class BinlogStreamServer:
+    """Test/bench producer for the live path: serves RAW binlog bytes
+    over TCP in deliberately unaligned chunks (a real server's send
+    boundaries never match event boundaries).  ``push_file`` enqueues a
+    recorded file's bytes; files stream back to back, the ROTATE event
+    at each file's end re-anchoring the parser.  One consumer (a
+    replication connection is one ordered stream)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 chunk_size: int = 997):
+        import queue
+        import socket
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._chunk = chunk_size
+        self._srv = socket.create_server((host, port))
+        self.host, self.port = self._srv.getsockname()[:2]
+        self._thread = threading.Thread(target=self._serve, daemon=True,
+                                        name="rookray-binlog-server")
+        self._thread.start()
+
+    def push_file(self, path: str) -> None:
+        self._q.put(open(path, "rb").read())
+
+    def close(self) -> None:
+        self._q.put(b"")
+
+    def _serve(self) -> None:
+        conn, _ = self._srv.accept()
+        try:
+            while True:
+                data = self._q.get()
+                if not data:
+                    break
+                for i in range(0, len(data), self._chunk):
+                    conn.sendall(data[i:i + self._chunk])
+        finally:
+            conn.close()
+            self._srv.close()
+
+
+class BinlogSocketDatasource(Datasource):
+    """Unbounded change-event stream from a live binlog wire: ONE read
+    task (rook's single replication connection) connects, feeds raw
+    bytes through :class:`BinlogParser`, and yields one block per
+    batch of COMMITTED transactions — backpressure is physical (the
+    task reads the socket only when the executor pulls, so a fast
+    producer blocks in send() on TCP flow control, rook's
+    synchronous-delivery bound)."""
+
+    def __init__(self, host: str, port: int, first_file: str,
+                 payload: pa.Schema = SEQ_SCHEMA,
+                 connect_timeout_s: float = 10.0,
+                 recv_bytes: int = 1 << 16):
+        self.host, self.port = host, port
+        self.first_file = first_file
+        self.payload = payload
+        self.connect_timeout_s = connect_timeout_s
+        self.recv_bytes = recv_bytes
+
+    def get_name(self) -> str:
+        return f"BinlogSocket({self.host}:{self.port})"
+
+    def estimate_inmemory_data_size(self):
+        return None  # unbounded
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        host, port = self.host, self.port
+        timeout, nrecv = self.connect_timeout_s, self.recv_bytes
+        first_file, payload = self.first_file, self.payload
+
+        def read_fn():
+            import socket
+            import time as _time
+
+            deadline = _time.monotonic() + timeout
+            sock = None
+            while sock is None:
+                try:
+                    sock = socket.create_connection((host, port),
+                                                    timeout=2.0)
+                except OSError:
+                    if _time.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"could not connect to {host}:{port} within "
+                            f"{timeout}s")
+                    _time.sleep(0.05)
+            sock.settimeout(None)  # block on recv: the stream is live
+            parser = BinlogParser(first_file, payload=payload,
+                                  allow_partial_tail=True)
+            try:
+                while True:
+                    chunk = sock.recv(nrecv)
+                    if not chunk:
+                        break
+                    t = parser.feed(chunk)
+                    if t is not None:
+                        yield t
+                t = parser.finish()
+                if t is not None:
+                    yield t
+            finally:
+                sock.close()
+
+        meta = BlockMetadata(num_rows=None, size_bytes=None,
+                             exec_stats=None, input_files=None)
+        return [ReadTask(read_fn, meta)]
+
+
+def stream_binlog_socket(host: str, port: int, first_file: str,
+                         payload: pa.Schema = SEQ_SCHEMA,
+                         connect_timeout_s: float = 10.0):
+    """An UNBOUNDED ``ray.data.Dataset`` of change events decoded LIVE
+    off a raw binlog TCP stream — the closest sandbox analog of rook's
+    BinaryLogClient connection (ends when the producer closes the
+    socket; a torn trailing transaction is dropped, exactly what a
+    reconnecting client would re-read)."""
+    import ray.data
+
+    return ray.data.read_datasource(
+        BinlogSocketDatasource(host, port, first_file, payload=payload,
+                               connect_timeout_s=connect_timeout_s),
+        override_num_blocks=1,
+    )

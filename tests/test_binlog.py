@@ -161,3 +161,84 @@ def test_lake_apply_matches_serial_oracle(tmp_path, ray_session):
     assert got.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
     assert [list(x) for x in got.column("tokens").to_pylist()] == \
         [list(x) for x in exp.column("tokens").to_pylist()]
+
+
+def test_incremental_parser_chunked_equals_batch(tmp_path):
+    """feed() in adversarial 61-byte chunks across THREE files on one
+    stream (ROTATE re-anchors the sequence) == batch per-file decode."""
+    ev = generate_events(GenConfig(n_docs=20, n_events=200))
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=3)
+    payload = _payload_of(ev)
+    batch = _decode_all(d, payload)
+
+    parser = B.BinlogParser(d["files"][0], payload=payload)
+    stream = b"".join(open(p, "rb").read() for p in d["files"])
+    parts = []
+    for i in range(0, len(stream), 61):
+        t = parser.feed(stream[i:i + 61])
+        if t is not None:
+            parts.append(t)
+    t = parser.finish()
+    if t is not None:
+        parts.append(t)
+    got = pa.concat_tables(parts)
+    assert got.to_pylist() == batch.to_pylist()
+
+
+def test_live_socket_tail_matches_oracle(tmp_path, ray_session):
+    """The BinaryLogClient analog end-to-end: raw binlog bytes over
+    TCP in unaligned chunks → BinlogSocketDatasource → lake apply ==
+    serial replay; whole transactions only."""
+    from rookray.pipeline import CDCConfig, LakeTable
+    cfg = GenConfig(n_docs=25, n_events=250)
+    ev = generate_events(cfg)
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=3)
+    srv = B.BinlogStreamServer(chunk_size=997)
+    try:
+        for p in d["files"]:
+            srv.push_file(p)
+        srv.close()
+        ds = B.stream_binlog_socket(srv.host, srv.port,
+                                    first_file=d["files"][0],
+                                    payload=_payload_of(ev))
+        lake = LakeTable(str(tmp_path / "lake"),
+                         CDCConfig(num_partitions=4))
+        lake.apply(ds.materialize())
+        got = lake.state_table().sort_by("doc_id")
+        exp = final_state(cfg).sort_by("doc_id")
+        assert got.column("doc_id").to_pylist() == \
+            exp.column("doc_id").to_pylist()
+        assert [list(x) for x in got.column("tokens").to_pylist()] == \
+            [list(x) for x in exp.column("tokens").to_pylist()]
+    finally:
+        srv.close()
+
+
+def test_live_stream_torn_mid_tx_drops_trailing(tmp_path):
+    """A producer dying mid-transaction: the parser (lenient mode)
+    emits only committed transactions — the prefix a reconnecting
+    client would keep."""
+    ev = generate_events(GenConfig(n_docs=10, n_events=100))
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=1)
+    payload = _payload_of(ev)
+    full = B.decode_binlog_file(open(d["files"][0], "rb").read(),
+                                d["files"][0], payload=payload)
+    raw = open(d["files"][0], "rb").read()
+    cut = raw[: int(len(raw) * 0.55)]
+    parser = B.BinlogParser(d["files"][0], payload=payload,
+                            allow_partial_tail=True)
+    parts = []
+    for i in range(0, len(cut), 311):
+        t = parser.feed(cut[i:i + 311])
+        if t is not None:
+            parts.append(t)
+    t = parser.finish()
+    if t is not None:
+        parts.append(t)
+    got = pa.concat_tables(parts) if parts else parser.empty_table()
+    assert 0 < got.num_rows < full.num_rows
+    assert got.to_pylist() == full.slice(0, got.num_rows).to_pylist()
+    # last emitted tx is complete
+    last_tx = got.column("tx_id").to_pylist()[-1]
+    n = sum(1 for t_ in got.column("tx_id").to_pylist() if t_ == last_tx)
+    assert n == got.column("tx_events").to_pylist()[-1]
