@@ -767,6 +767,23 @@ def decode_binlog_file(data: bytes, path: str,
     return pa.concat_tables(parts)
 
 
+def binlog_files_above(paths: list[str], watermark: int) -> list[str]:
+    """Coordinate-checkpoint resume — the ``BinaryLogClient``
+    setBinlogFilename/setBinlogPosition analog (rook checkpoints
+    exactly these coordinates between restarts): keep only files that
+    can hold events ABOVE the lake's committed watermark.  Every gtid
+    in file ``k`` lies in ``[k << 44, (k+1) << 44)``, so a file whose
+    whole range sits at or below the watermark is skipped WITHOUT
+    opening it; a partially-overlapping file is re-presented in full
+    and the lake's watermark filter drops the already-applied prefix
+    (overlap is correctness-free, skipped bytes are the win)."""
+    if watermark is None or watermark < 0:
+        return list(paths)
+    shift = _POS_BITS + _ROW_BITS
+    return [p for p in paths
+            if (((_file_seq(p) + 1) << shift) - 1) > watermark]
+
+
 def read_binlog(paths: list[str], payload: pa.Schema = SEQ_SCHEMA,
                 allow_partial_tail: bool = False) -> "ray.data.Dataset":
     """A ``ray.data.Dataset`` of engine change events decoded from

@@ -191,7 +191,7 @@ def cmd_binlog(args) -> int:
     payload schema: an existing lake supplies its committed schema,
     a fresh lake uses the engine default (append-only evolution means
     payload ⊇ any older file's column list)."""
-    from rookray.binlog import read_binlog
+    from rookray.binlog import binlog_files_above, read_binlog
     from rookray.pipeline import CDCConfig, LakeTable
     from rookray.schema import SEQ_SCHEMA_V2
 
@@ -208,10 +208,21 @@ def cmd_binlog(args) -> int:
         payload = None
     if payload is None or len(payload) == 0:
         payload = SEQ_SCHEMA_V2
+    # coordinate-checkpoint resume: skip files entirely at or below the
+    # committed watermark without opening them
+    n_all = len(paths)
+    m = lake.manifest()
+    if m and m.get("closed_watermark") is not None:
+        paths = binlog_files_above(paths, int(m["closed_watermark"]))
+    if not paths:
+        print(json.dumps({"events_applied": 0, "files": 0,
+                          "files_skipped": n_all}))
+        return 0
     ds = read_binlog(paths, payload=payload,
                      allow_partial_tail=args.allow_partial_tail)
     res = lake.apply(ds.materialize())
     res["files"] = len(paths)
+    res["files_skipped"] = n_all - len(paths)
     print(json.dumps(res))
     return 0
 

@@ -242,3 +242,43 @@ def test_live_stream_torn_mid_tx_drops_trailing(tmp_path):
     last_tx = got.column("tx_id").to_pylist()[-1]
     n = sum(1 for t_ in got.column("tx_id").to_pylist() if t_ == last_tx)
     assert n == got.column("tx_events").to_pylist()[-1]
+
+
+def test_checkpoint_resume_skips_whole_files(tmp_path, ray_session, capsys):
+    """The setBinlogFilename/Position analog: a second `rookray binlog`
+    run over the same dump skips every file below the committed
+    watermark without opening it, applies 0 events, and leaves state
+    identical (idempotent resume)."""
+    import json as _json
+    from rookray.binlog import binlog_files_above
+    from rookray.cli import main as cli_main
+    from rookray.pipeline import LakeTable
+
+    ev = generate_events(GenConfig(n_docs=20, n_events=160))
+    dump = str(tmp_path / "blg")
+    d = B.binlog_dump(ev, dump, n_files=4)
+    t = str(tmp_path / "lake")
+    assert cli_main(["binlog", "--dump", dump, "--table", t,
+                     "--partitions", "2"]) == 0
+    first = _json.loads(capsys.readouterr().out)
+    assert first["files"] == 4 and first["files_skipped"] == 0
+    state1 = LakeTable(t).state_table().sort_by("doc_id")
+
+    # unit surface: files 1-3 are wholly below the watermark (it sits
+    # inside file 4, whose range extends beyond it → re-presented, and
+    # the lake's watermark filter drops the overlap)
+    wm = first["closed_watermark"]
+    kept = binlog_files_above(d["files"], wm)
+    assert kept == d["files"][3:]
+
+    assert cli_main(["binlog", "--dump", dump, "--table", t,
+                     "--partitions", "2"]) == 0
+    second = _json.loads(capsys.readouterr().out)
+    assert second["files"] == 1 and second["files_skipped"] == 3
+    assert second["events_applied"] == 0
+    state2 = LakeTable(t).state_table().sort_by("doc_id")
+    assert state1.to_pylist() == state2.to_pylist()
+
+    # a partial overlap: pretend only file 2 committed → files 3,4 kept
+    lo_wm = (3 << (B._POS_BITS + B._ROW_BITS)) - 1
+    assert binlog_files_above(d["files"], lo_wm) == d["files"][2:]
