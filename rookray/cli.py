@@ -155,30 +155,49 @@ def cmd_tail_socket(args) -> int:
 
 
 def cmd_wire(args) -> int:
-    """Public wire-format ingest: decode a recorded Debezium-JSON dump
-    (data topic + optional transaction topic) into the lake as one
-    exactly-once epoch — the day-one path for a user whose change
-    stream is a connector's Kafka output, not rookray-shaped shards."""
+    """Public wire-format ingest: decode a recorded CDC JSON dump —
+    Debezium envelopes (data topic + optional transaction topic),
+    Maxwell records, or Canal flat messages — into the lake as one
+    exactly-once epoch: the day-one path for a user whose change
+    stream is a connector's/daemon's output, not rookray-shaped
+    shards."""
     from rookray.pipeline import CDCConfig, LakeTable
     from rookray.wire import infer_payload, read_debezium
 
     _ensure_ray(args.num_cpus)
-    paths = sorted(glob.glob(os.path.join(args.dump, args.pattern)))
+    pattern = args.pattern
+    if pattern == "data-*.jsonl" and args.format != "debezium":
+        pattern = f"{args.format}-*.jsonl"
+    paths = sorted(glob.glob(os.path.join(args.dump, pattern)))
     if not paths:
-        print(json.dumps({"error": f"no files match {args.pattern!r} "
+        print(json.dumps({"error": f"no files match {pattern!r} "
                                    f"under {args.dump}"}))
         return 1
-    tx_topic = None
-    if args.tx_topic:
-        tx_topic = [args.tx_topic]
-    else:
-        auto = sorted(glob.glob(os.path.join(args.dump, "tx-*.jsonl")))
-        tx_topic = auto or None
     lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
-    ds = read_debezium(paths, tx_topic=tx_topic,
-                       payload=infer_payload(paths))
+    if args.format == "debezium":
+        tx_topic = None
+        if args.tx_topic:
+            tx_topic = [args.tx_topic]
+        else:
+            auto = sorted(glob.glob(os.path.join(args.dump, "tx-*.jsonl")))
+            tx_topic = auto or None
+        ds = read_debezium(paths, tx_topic=tx_topic,
+                           payload=infer_payload(paths))
+    else:
+        from rookray.schema import SEQ_SCHEMA_V2
+        from rookray.wirejson import read_canal, read_maxwell
+        try:
+            payload = lake.payload_schema()
+        except Exception:
+            payload = None
+        if payload is None or len(payload) == 0:
+            payload = SEQ_SCHEMA_V2
+        ds = (read_maxwell if args.format == "maxwell"
+              else read_canal)(paths, payload=payload)
+        tx_topic = None
     res = lake.apply(ds.materialize())
     res["files"] = len(paths)
+    res["format"] = args.format
     res["tx_topic"] = bool(tx_topic)
     print(json.dumps(res))
     return 0
@@ -434,12 +453,16 @@ def main(argv=None) -> int:
     ts.add_argument("--num-cpus", type=int, default=None)
     ts.set_defaults(fn=cmd_tail_socket)
 
-    wr = sub.add_parser("wire", help="decode a recorded Debezium-JSON "
-                        "dump (public wire format) into the lake as one "
-                        "exactly-once epoch")
+    wr = sub.add_parser("wire", help="decode a recorded CDC JSON dump "
+                        "(Debezium / Maxwell / Canal wire formats) into "
+                        "the lake as one exactly-once epoch")
     wr.add_argument("--dump", required=True,
                     help="directory holding the data-topic jsonl files")
-    wr.add_argument("--pattern", default="data-*.jsonl")
+    wr.add_argument("--format", default="debezium",
+                    choices=["debezium", "maxwell", "canal"],
+                    help="JSON envelope flavor (default: debezium)")
+    wr.add_argument("--pattern", default="data-*.jsonl",
+                    help="defaults to <format>-*.jsonl for maxwell/canal")
     wr.add_argument("--tx-topic", default=None,
                     help="transaction-topic jsonl (default: tx-*.jsonl "
                          "under --dump if present, else a counting pass)")

@@ -2181,6 +2181,121 @@ def cdc_wire_debezium(sf_dir: str) -> pd.DataFrame:
 CDC_WIRE_DEBEZIUM_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
+def _flagship_maxwell() -> dict:
+    """Deterministic Maxwell restatement of the flagship stream
+    (cached next to it): one JSON object per row mutation with binlog
+    positions and xid/commit markers, plus a mid-stream ``table-alter``
+    DDL record at the evolution point."""
+    from rookray import wirejson as WJ
+    from rookray.gen import generate_events
+    flagship_stream()  # ensure changelog.parquet exists for the oracle
+    out = os.path.join(FLAGSHIP_DIR, "maxwell")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        cfg = _flagship_cfg()
+        d = WJ.maxwell_dump(generate_events(cfg), out, n_files=8,
+                            ddl_before_gtid=cfg.evolve_at)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(d, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _flagship_canal() -> dict:
+    """Deterministic Canal flat-message restatement of the flagship
+    stream (cached next to it): consecutive (tx, op, table) runs
+    batched into multi-row records, stringified values, a mid-stream
+    ``isDdl`` ALTER record at the evolution point."""
+    from rookray import wirejson as WJ
+    from rookray.gen import generate_events
+    flagship_stream()  # ensure changelog.parquet exists for the oracle
+    out = os.path.join(FLAGSHIP_DIR, "canal")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        cfg = _flagship_cfg()
+        d = WJ.canal_dump(generate_events(cfg), out, n_files=8,
+                          ddl_before_gtid=cfg.evolve_at)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(d, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def cdc_wire_maxwell(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #3 — the Maxwell JSON envelope
+    (rookray.wirejson): decode a recorded Maxwell dump (xid/commit
+    transaction markers, binlog-position ordering, partial-old update
+    images, DDL records dropped) and replay it through the full lake
+    apply.  The oracle is the same LWW SQL as the flagship, so any
+    decode defect — the old-overlay before-image reconstruction, the
+    xid counting pass, position-packed gtid ordering — is a
+    state-digest mismatch."""
+    import tempfile
+    from rookray import wirejson as WJ
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_maxwell()
+    ds = WJ.read_maxwell(d["files"], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_mxw_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+CDC_WIRE_MAXWELL_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
+def cdc_wire_canal(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #4 — Canal's flat message
+    (rookray.wirejson): decode a recorded canal-json dump (multi-row
+    records exploded, stringified values re-typed against the payload
+    schema, record-level atomicity — the flat format drops transaction
+    markers) and replay it through the full lake apply.  Canal carries
+    NO server_id, so server-id routing is unavailable through this
+    format: the lake filters the ignored TABLE only, and the oracle
+    below keeps the server-999 rows to match — the one semantic the
+    envelope genuinely cannot express, stated rather than papered
+    over."""
+    import tempfile
+    from rookray import wirejson as WJ
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_canal()
+    ds = WJ.read_canal(d["files"], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_cnl_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+#: canal has no server_id → the LWW replay keeps server-999 rows
+CDC_WIRE_CANAL_SQL = f"""
+WITH ev AS (
+  SELECT gtid, op, doc_id, tokens, n_tok, source, lang
+  FROM read_parquet('{FLAGSHIP_DIR}/changelog.parquet')
+  WHERE "table" = 'sequences'
+),
+win AS (
+  SELECT gtid, doc_id, tokens, n_tok, source, lang
+  FROM ev
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gtid DESC) = 1
+     AND op <> 2
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       source,
+       CAST(coalesce(list_aggregate(tokens, 'sum'), 0) AS BIGINT) AS token_sum
+FROM win
+"""
+
+
 def fti_postings(sf_dir: str) -> pd.DataFrame:
     """Incrementally-maintained inverted index (the Lucene analog,
     DefaultRowsMutationIndexer.java:64-88): replay the flagship stream
@@ -4172,6 +4287,8 @@ QUERIES = {
     "cdc_replay_sequences": cdc_replay_sequences,
     "cdc_wire_debezium": cdc_wire_debezium,
     "cdc_wire_binlog": cdc_wire_binlog,
+    "cdc_wire_maxwell": cdc_wire_maxwell,
+    "cdc_wire_canal": cdc_wire_canal,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
@@ -4263,6 +4380,8 @@ ORACLES = {
     "cdc_replay_sequences": CDC_REPLAY_SEQUENCES_SQL,
     "cdc_wire_debezium": CDC_WIRE_DEBEZIUM_SQL,
     "cdc_wire_binlog": CDC_WIRE_BINLOG_SQL,
+    "cdc_wire_maxwell": CDC_WIRE_MAXWELL_SQL,
+    "cdc_wire_canal": CDC_WIRE_CANAL_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,

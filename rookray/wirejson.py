@@ -1,0 +1,707 @@
+"""Maxwell and Canal flat-message adapters — the other two widely
+deployed MySQL CDC JSON wire formats.
+
+rook tails a MySQL binlog directly (rook-source-mysql/...
+/MySQLReplicationStream.java:71-120); when that stream is published
+instead of consumed in-process, three JSON envelopes dominate in the
+wild: Debezium (``rookray.wire``), Zendesk **Maxwell**, and Alibaba
+**Canal**'s FlatMessage.  This module decodes the latter two into the
+engine's change-event schema (``rookray.schema.change_event_schema``)
+so a pipeline already publishing either format can drive the lake with
+no producer changes.
+
+Maxwell record shape (public, per the Maxwell daemon documentation;
+one JSON object per row mutation)::
+
+    {"database": "test", "table": "e", "type": "insert"|"update"|
+     "delete"|"bootstrap-insert"| DDL kinds ("table-alter", ...),
+     "ts": 1477053217, "xid": 23396, "commit": true,
+     "server_id": 23042, "thread_id": 108,
+     "position": "master.000006:800911",          # output_binlog_position
+     "data": {col: value, ...},                   # after (I/U), row (D)
+     "old": {changed_col: old_value, ...}}        # update only
+
+Canal FlatMessage shape (public, per the Canal project's FlatMessage /
+canal-json format; one JSON object per row-batch of ONE statement)::
+
+    {"id": 9, "database": "inventory", "table": "products",
+     "pkNames": ["id"], "isDdl": false, "type": "INSERT"|"UPDATE"|
+     "DELETE"|DDL kinds, "es": 1589373560000, "ts": 1589373560798,
+     "sql": "", "sqlType": {col: jdbc_type}, "mysqlType": {col: type},
+     "data": [{col: "stringified value"|null, ...}, ...],
+     "old":  [{changed_col: "old value"|null, ...}, ...] | null}
+
+Mapping into the engine's model (and the honest caveats):
+
+- **Maxwell** carries ``xid`` + a ``commit`` flag but no per-row index
+  within the transaction, so ``seq_in_tx``/``tx_events`` are recovered
+  by a distributed counting pass over the dump (count + first
+  coordinate per xid — tiny partials → groupby → broadcast), valid for
+  a bounded recorded dump exactly like ``read_debezium``'s topic-less
+  mode.  Ordering comes from ``position`` (``file:pos`` — the same
+  coordinates rook checkpoints), packed ``file_seq << 40 | pos``;
+  records without a position (daemon run without
+  ``output_binlog_position``) carry no ordering information and decode
+  refuses rather than invent an LWW order.
+- Maxwell's ``old`` holds only the CHANGED columns.  JSON struct
+  inference cannot distinguish "column absent from old" (unchanged)
+  from "old value was SQL NULL" (changed from null), so — like every
+  Maxwell consumer — a null in ``old`` is treated as *unchanged* and
+  the before-image value is reconstructed from ``data``.  The engine
+  only dereferences before images for key extraction and eviction
+  routing, and keys are never null, so the convention is lossless for
+  every engine path.
+- **Canal**'s flat message drops the protobuf stream's
+  TRANSACTIONBEGIN/END markers, so the delivery-atomicity unit IS the
+  record (one statement's row batch) — precisely what every flat-
+  message consumer gets.  Decode therefore needs NO side index at all:
+  ``tx_id`` = the record's ``id`` (monotone per canal server instance),
+  ``seq_in_tx`` = the row's index inside the record, ``gtid`` =
+  ``id << 12 | index`` (records are capped at 4096 rows — decode
+  raises beyond, never silently collides).  This makes the Canal path
+  the best LIVE story of the three JSON adapters: a socket feed decodes
+  stand-alone, with no transaction topic and no counting pass.
+- Canal stringifies every column value; decode re-types them against
+  the payload schema with Arrow casts (list columns ride as their JSON
+  text, e.g. ``"[1,2,3]"``, the same way MySQL JSON columns transit
+  canal).  Canal carries NO ``server_id``, so the decoded column is
+  null and server-id-based routing is unavailable through this format
+  (use the table filter) — documented, not fabricated.
+
+Decoding is vectorized end-to-end: ``pyarrow.json`` parses lines in
+C++ inside the read tasks, and both mappings below are Arrow
+struct-field algebra plus numpy index math — no per-row Python.  The
+ENCODERS (``maxwell_dump`` / ``canal_dump``) are the recorded-daemon
+stand-ins for tests and benches and are allowed to be per-row Python;
+they never run inside a pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
+                            change_event_schema)
+from rookray.source import ChangeStreamServer, _read_exact
+from rookray.wire import _field_or_null, _json_table, _payload_struct
+
+__all__ = [
+    "maxwell_dump", "decode_maxwell", "read_maxwell",
+    "canal_dump", "decode_canal", "read_canal",
+    "MaxwellStreamServer", "CanalStreamServer",
+    "stream_maxwell_socket", "stream_canal_socket",
+]
+
+_OP_TO_MAXWELL = {OP_INSERT: "insert", OP_UPDATE: "update",
+                  OP_DELETE: "delete"}
+_OP_TO_CANAL = {OP_INSERT: "INSERT", OP_UPDATE: "UPDATE",
+                OP_DELETE: "DELETE"}
+_BINLOG_FILE = "rookray-bin.000001"
+
+#: bits reserved for the row index within a Canal record's coordinate
+_CANAL_ROW_BITS = 12
+
+
+def _tcol(tbl: pa.Table, name: str, typ: pa.DataType, n: int) -> pa.Array:
+    """Top-level column extraction robust to JSON inference gaps (a
+    file where the field is always absent/null infers no column or a
+    null type) — the flat-table analog of ``wire._field_or_null``."""
+    if name in tbl.schema.names:
+        c = tbl.column(name).combine_chunks()
+        if not pa.types.is_null(c.type):
+            return c.cast(typ)
+    return pa.nulls(n, typ)
+
+
+# ====================================================== Maxwell encoder
+
+def _plain(v):
+    return v.tolist() if hasattr(v, "tolist") else v
+
+
+def _image_dict(struct_val) -> dict | None:
+    """Row image → JSON object.  SQL-NULL columns are omitted (pre-
+    evolution rows genuinely lack appended columns; decode reconstructs
+    both cases as null — lossless either way)."""
+    if struct_val is None:
+        return None
+    return {k: _plain(v) for k, v in struct_val.items() if v is not None}
+
+
+def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
+                 ddl_before_gtid: int | None = None) -> dict:
+    """Serialize a change-event table into a Maxwell dump:
+    ``maxwell-%05d.jsonl`` files, one JSON object per row mutation,
+    with binlog positions (``output_binlog_position`` style) and
+    ``xid``/``commit`` transaction markers.  ``ddl_before_gtid``
+    interleaves a ``table-alter`` DDL record just before that
+    coordinate (the additive-evolution restatement).  Deterministic:
+    same input table → byte-identical dump."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = events.to_pylist()
+    per = -(-len(rows) // max(1, n_files)) or 1
+    paths, n_written = [], 0
+    for fi in range(0, len(rows), per):
+        chunk = rows[fi:fi + per]
+        path = os.path.join(out_dir, f"maxwell-{fi // per:05d}.jsonl")
+        with open(path, "w") as f:
+            for r in chunk:
+                if (ddl_before_gtid is not None
+                        and r["gtid"] == ddl_before_gtid):
+                    f.write(json.dumps({
+                        "database": r["db"], "table": r["table"],
+                        "type": "table-alter", "ts": 0,
+                        "sql": f"ALTER TABLE {r['table']} "
+                               "ADD COLUMN lang varchar(8)",
+                    }, separators=(",", ":")) + "\n")
+                obj = {
+                    "database": r["db"], "table": r["table"],
+                    "type": _OP_TO_MAXWELL[r["op"]], "ts": 0,
+                    "xid": r["tx_id"],
+                    "commit": r["seq_in_tx"] == r["tx_events"] - 1,
+                    "server_id": r["server_id"], "thread_id": 1,
+                    "position": f"{_BINLOG_FILE}:{r['gtid']}",
+                    "data": _image_dict(r["before"] if r["op"] == OP_DELETE
+                                        else r["after"]),
+                }
+                if r["op"] == OP_UPDATE:
+                    before, after = r["before"] or {}, r["after"] or {}
+                    obj["old"] = {
+                        k: _plain(v) for k, v in before.items()
+                        if _plain(v) != _plain(after.get(k))}
+                f.write(json.dumps(obj, separators=(",", ":")) + "\n")
+                n_written += 1
+        paths.append(path)
+    return {"files": paths, "events": n_written}
+
+
+# ====================================================== Maxwell decoder
+
+_MAXWELL_MUTATIONS = pa.array(["insert", "bootstrap-insert", "update",
+                               "delete"])
+
+
+def _maxwell_coords(tbl: pa.Table) -> tuple[pa.Table, np.ndarray,
+                                            np.ndarray, np.ndarray]:
+    """Filter to row mutations; return (filtered table, op int8, packed
+    gtid, xid with -1 for records lacking one).  Shared by decode and
+    the counting pass so the two can never disagree on identity."""
+    n = tbl.num_rows
+    typ = _tcol(tbl, "type", pa.string(), n)
+    code = pc.index_in(typ, value_set=_MAXWELL_MUTATIONS)
+    keep = code.is_valid()
+    if not pc.all(keep).as_py():
+        tbl = tbl.filter(keep)
+        code = code.filter(keep)
+        n = tbl.num_rows
+    if n == 0:
+        return tbl, np.empty(0, np.int8), np.empty(0, np.int64), \
+            np.empty(0, np.int64)
+    op = pc.take(pa.array([OP_INSERT, OP_INSERT, OP_UPDATE, OP_DELETE],
+                          pa.int8()), code).to_numpy(zero_copy_only=False)
+    pos_s = _tcol(tbl, "position", pa.string(), n)
+    m = pc.extract_regex(pos_s, r"(?P<f>\d+):(?P<p>\d+)$")
+    bad = int(pc.sum(pc.cast(m.is_null(), pa.int64())).as_py() or 0)
+    if bad:
+        raise ValueError(
+            f"{bad} Maxwell record(s) carry no binlog position — run "
+            "the daemon with output_binlog_position, or the dump "
+            "decodes into an arbitrary LWW order")
+    fseq = pc.cast(pc.struct_field(m, "f"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    pos = pc.cast(pc.struct_field(m, "p"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    gtid = (fseq << np.int64(40)) | pos
+    xid = _tcol(tbl, "xid", pa.int64(), n).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return tbl, op, gtid, xid
+
+
+def decode_maxwell(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
+                   tx_index: tuple[np.ndarray, np.ndarray,
+                                   np.ndarray] | None = None) -> pa.Table:
+    """One batch of JSON-parsed Maxwell records → the change-event
+    schema.  ``tx_index`` is ``(sorted xids, event counts, first
+    coordinate per xid)`` from :func:`read_maxwell`'s counting pass;
+    records without an ``xid`` decode as singleton transactions.  DDL
+    and bootstrap bookkeeping records are dropped (``bootstrap-insert``
+    itself decodes as INSERT — it IS a row image)."""
+    schema = change_event_schema(payload)
+    tbl, op_np, gtid, xid = _maxwell_coords(tbl)
+    n = tbl.num_rows
+    if n == 0:
+        return schema.empty_table()
+
+    no_xid = xid < 0
+    tx_id = np.where(no_xid, gtid, xid)
+    if tx_index is not None and len(tx_index[0]):
+        ids_a, counts_a, firsts_a = tx_index
+        loc = np.clip(np.searchsorted(ids_a, xid), 0, len(ids_a) - 1)
+        hit = (ids_a[loc] == xid) & ~no_xid
+        tx_events = np.where(hit, counts_a[loc], 1).astype(np.int32)
+        seq = np.where(hit, gtid - firsts_a[loc], 0).astype(np.int32)
+    else:
+        tx_events = np.where(no_xid, 1, -1).astype(np.int32)
+        seq = np.zeros(n, np.int32)
+
+    data = tbl.column("data") if "data" in tbl.schema.names else None
+    data_t = _payload_struct(data, payload, n)
+    old_t = _payload_struct(
+        tbl.column("old") if "old" in tbl.schema.names else None,
+        payload, n)
+    is_upd = pa.array(op_np == OP_UPDATE)
+    before_children = []
+    for f in payload:
+        d, o = pc.struct_field(data_t, f.name), pc.struct_field(old_t, f.name)
+        before_children.append(
+            pc.if_else(pc.and_kleene(is_upd, o.is_valid()), o, d))
+    before = pa.StructArray.from_arrays(
+        before_children, names=payload.names,
+        mask=pa.array(op_np == OP_INSERT))
+    after = pa.StructArray.from_arrays(
+        [pc.struct_field(data_t, f.name) for f in payload],
+        names=payload.names, mask=pa.array(op_np == OP_DELETE))
+
+    key_field = payload.names[0]
+    key = pc.if_else(before.is_valid(), pc.struct_field(before, key_field),
+                     pc.struct_field(after, key_field))
+    return pa.table({
+        "gtid": pa.array(gtid, pa.int64()),
+        "tx_id": pa.array(tx_id, pa.int64()),
+        "seq_in_tx": pa.array(seq, pa.int32()),
+        "tx_events": pa.array(tx_events, pa.int32()),
+        "server_id": _tcol(tbl, "server_id", pa.int64(), n),
+        "db": _tcol(tbl, "database", pa.string(), n),
+        "table": _tcol(tbl, "table", pa.string(), n),
+        "op": pa.array(op_np, pa.int8()),
+        "key": key,
+        "before": before,
+        "after": after,
+    }, schema=schema)
+
+
+def read_maxwell(paths: list[str],
+                 payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
+    """A ``ray.data.Dataset`` of engine change events decoded from a
+    recorded Maxwell dump.  Per-transaction event counts and first
+    coordinates are recovered by a counting pass over the dump (tiny
+    per-batch partials → groupby → broadcast) — valid for a bounded
+    recorded dump; a LIVE Maxwell feed must precompute the index from
+    its own bounded backlog (:func:`stream_maxwell_socket`)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def tx_partial(t: pa.Table) -> pa.Table:
+        _, _, g, x = _maxwell_coords(t)
+        m = x >= 0
+        g, x = g[m], x[m]
+        if len(x) == 0:
+            return pa.table({"tx_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "first": pa.array([], pa.int64())})
+        order = np.argsort(x, kind="stable")
+        xs, gs = x[order], g[order]
+        starts = np.flatnonzero(np.concatenate([[True], xs[1:] != xs[:-1]]))
+        return pa.table({
+            "tx_id": pa.array(xs[starts], pa.int64()),
+            "n": pa.array(np.diff(np.concatenate([starts, [len(xs)]]))
+                          .astype(np.int64)),
+            "first": pa.array(np.minimum.reduceat(gs, starts), pa.int64()),
+        })
+
+    rows = (ray.data.read_json(paths)
+            .map_batches(tx_partial, batch_format="pyarrow")
+            .groupby("tx_id")
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("first", alias_name="first"))
+            .take_all())
+    ids = np.asarray([r["tx_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    tx_index = (ids[order],
+                np.asarray([r["n"] for r in rows], np.int64)[order],
+                np.asarray([r["first"] for r in rows], np.int64)[order])
+    ref = ray.put(tx_index)
+
+    def decode(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        return decode_maxwell(t, payload=payload, tx_index=_ray.get(ref))
+
+    return ray.data.read_json(paths).map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ======================================================== Canal encoder
+
+def _canal_str(v) -> str | None:
+    """Canal stringification: NULL → null, lists (MySQL JSON columns)
+    → their JSON text, everything else → str()."""
+    if v is None:
+        return None
+    v = _plain(v)
+    if isinstance(v, list):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def _canal_row(img: dict | None) -> dict:
+    """Row image → stringified JSON object, SQL-NULL columns omitted
+    (decode reconstructs absent and null identically)."""
+    if img is None:
+        return {}
+    return {k: _canal_str(v) for k, v in img.items() if v is not None}
+
+
+def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
+               max_rows_per_record: int = 16,
+               ddl_before_gtid: int | None = None) -> dict:
+    """Serialize a change-event table into a Canal flat-message dump:
+    ``canal-%05d.jsonl`` files, consecutive events of one (tx, op,
+    table) run batched into one record (one statement's row batch, as
+    canal emits them), record ids assigned in stream order.
+    Deterministic: same input table → byte-identical dump."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = events.to_pylist()
+    pk = [f.name for f in events.schema.field("after").type][:1]
+    records, cur = [], []
+
+    def run_key(r):
+        return (r["tx_id"], r["op"], r["db"], r["table"])
+
+    def flush():
+        if not cur:
+            return
+        r0 = cur[0]
+        rec = {
+            "id": len(records), "database": r0["db"], "table": r0["table"],
+            "pkNames": pk, "isDdl": False,
+            "type": _OP_TO_CANAL[r0["op"]], "es": 0, "ts": 0, "sql": "",
+            "sqlType": {c: 12 for c in pk},
+            "mysqlType": {c: "varchar" for c in pk},
+            "data": [_canal_row(r["before"] if r["op"] == OP_DELETE
+                                else r["after"]) for r in cur],
+            "old": ([{k: _canal_str(v) for k, v in (r["before"] or {})
+                      .items()
+                      if _canal_str(v) != _canal_str(
+                          (r["after"] or {}).get(k))}
+                     for r in cur]
+                    if r0["op"] == OP_UPDATE else None),
+            "gtid": f"rookray-uuid:{r0['tx_id']}",
+        }
+        records.append(rec)
+        cur.clear()
+
+    for r in rows:
+        if ddl_before_gtid is not None and r["gtid"] == ddl_before_gtid:
+            flush()
+            records.append({
+                "id": len(records), "database": r["db"],
+                "table": r["table"], "pkNames": None, "isDdl": True,
+                "type": "ALTER", "es": 0, "ts": 0,
+                "sql": f"ALTER TABLE {r['table']} ADD COLUMN lang "
+                       "varchar(8)",
+                "data": None, "old": None, "gtid": "",
+            })
+        if cur and (run_key(cur[-1]) != run_key(r)
+                    or len(cur) >= max_rows_per_record):
+            flush()
+        cur.append(r)
+    flush()
+
+    per = -(-len(records) // max(1, n_files)) or 1
+    paths = []
+    for fi in range(0, len(records), per):
+        path = os.path.join(out_dir, f"canal-{fi // per:05d}.jsonl")
+        with open(path, "w") as f:
+            for rec in records[fi:fi + per]:
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+        paths.append(path)
+    return {"files": paths, "records": len(records), "events": len(rows)}
+
+
+# ======================================================== Canal decoder
+
+_CANAL_MUTATIONS = pa.array(["INSERT", "UPDATE", "DELETE"])
+
+
+def _canal_cast(arr: pa.Array, typ: pa.DataType) -> pa.Array:
+    """Canal's stringified column values → the payload type.  Lists
+    (MySQL JSON columns in transit) parse from their JSON text with
+    Arrow kernels: strip brackets, split, cast — `"[]"` is an empty
+    list, SQL NULL stays null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_list(typ):
+        return arr.cast(typ)
+    body = pc.replace_substring_regex(arr, r"^\[|\]$", "")
+    nonempty = pc.if_else(pc.equal(body, ""), pa.nulls(len(arr), pa.string()),
+                          body)
+    parts = pc.split_pattern(nonempty, ",")
+    lens = pc.list_value_length(parts).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets_np = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    null_np = arr.is_null().to_numpy(zero_copy_only=False)
+    offsets = pa.array(offsets_np,
+                       mask=np.concatenate([null_np, [False]]))
+    return pa.ListArray.from_arrays(
+        offsets, pc.list_flatten(parts).cast(typ.value_type))
+
+
+def _canal_payload(flat: pa.Array, payload: pa.Schema,
+                   n: int) -> pa.StructArray:
+    """Exploded string-struct rows → typed payload struct."""
+    children = []
+    for f in payload:
+        src = _field_or_null(flat, f.name, pa.string(), n)
+        children.append(_canal_cast(src, f.type))
+    return pa.StructArray.from_arrays(children, names=payload.names)
+
+
+def decode_canal(tbl: pa.Table,
+                 payload: pa.Schema = SEQ_SCHEMA) -> pa.Table:
+    """One batch of JSON-parsed Canal flat messages → the change-event
+    schema.  Entirely self-contained (no side index): each record is
+    its own atomicity unit — ``tx_id`` = record id, ``seq_in_tx`` =
+    row index, ``gtid = id << 12 | index`` — because the flat format
+    drops the protobuf stream's transaction markers.  DDL records and
+    non-mutation types are dropped; a mutation record with more than
+    2^12 rows raises (the coordinate would collide) rather than decode
+    into a silently wrong order."""
+    schema = change_event_schema(payload)
+    n = tbl.num_rows
+    if n == 0:
+        return schema.empty_table()
+    typ = _tcol(tbl, "type", pa.string(), n)
+    ddl = _tcol(tbl, "isDdl", pa.bool_(), n)
+    code = pc.index_in(typ, value_set=_CANAL_MUTATIONS)
+    keep = pc.and_kleene(code.is_valid(),
+                         pc.invert(ddl.fill_null(False)))
+    tbl = tbl.filter(keep)
+    code = code.filter(keep)
+    nrec = tbl.num_rows
+    if nrec == 0:
+        return schema.empty_table()
+
+    data = tbl.column("data").combine_chunks() \
+        if "data" in tbl.schema.names else None
+    if data is None or not pa.types.is_list(data.type):
+        raise ValueError("Canal mutation records without a data array")
+    if data.null_count:
+        raise ValueError(f"{data.null_count} Canal mutation record(s) "
+                         "carry a null data array")
+    counts = pc.list_value_length(data).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if (counts >= (1 << _CANAL_ROW_BITS)).any():
+        raise ValueError(
+            f"Canal record with >= 2^{_CANAL_ROW_BITS} rows — the "
+            "row coordinate would collide with the next record's")
+    total = int(counts.sum())
+    if total == 0:
+        return schema.empty_table()
+    parent = np.repeat(np.arange(nrec, dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    seq = (np.arange(total, dtype=np.int64)
+           - np.repeat(starts, counts))
+
+    rec_id = _tcol(tbl, "id", pa.int64(), nrec) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    gtid = (rec_id[parent] << np.int64(_CANAL_ROW_BITS)) | seq
+    op_rec = pc.take(pa.array([OP_INSERT, OP_UPDATE, OP_DELETE], pa.int8()),
+                     code).to_numpy(zero_copy_only=False)
+    op = op_rec[parent]
+
+    flat = pc.list_flatten(data)
+    data_t = _canal_payload(flat, payload, total)
+
+    # old: parallel per-row array on UPDATE records only — align the
+    # flattened old rows back to exploded positions via take with null
+    # indices (rows of records without old get null)
+    old_col = tbl.column("old").combine_chunks() \
+        if "old" in tbl.schema.names else None
+    if old_col is not None and pa.types.is_list(old_col.type):
+        has_old = old_col.is_valid().to_numpy(zero_copy_only=False)
+        old_lens = pc.list_value_length(old_col).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if (old_lens[has_old] != counts[has_old]).any():
+            raise ValueError("Canal old array length != data array "
+                             "length on an UPDATE record")
+        row_has_old = has_old[parent]
+        idx = np.zeros(total, dtype=np.int64)
+        idx[row_has_old] = np.arange(int(old_lens.sum()))
+        idx_arr = pa.array(idx, mask=~row_has_old)
+        old_flat = pc.list_flatten(old_col)
+        old_t = _canal_payload(old_flat, payload, len(old_flat)) \
+            .take(idx_arr)
+    else:
+        old_t = pa.nulls(total, pa.struct(
+            [(f.name, f.type) for f in payload]))
+
+    is_upd = pa.array(op == OP_UPDATE)
+    before_children = []
+    for f in payload:
+        d, o = pc.struct_field(data_t, f.name), pc.struct_field(old_t, f.name)
+        before_children.append(
+            pc.if_else(pc.and_kleene(is_upd, o.is_valid()), o, d))
+    before = pa.StructArray.from_arrays(
+        before_children, names=payload.names,
+        mask=pa.array(op == OP_INSERT))
+    after = pa.StructArray.from_arrays(
+        [pc.struct_field(data_t, f.name) for f in payload],
+        names=payload.names, mask=pa.array(op == OP_DELETE))
+    key_field = payload.names[0]
+    key = pc.if_else(before.is_valid(), pc.struct_field(before, key_field),
+                     pc.struct_field(after, key_field))
+
+    db = pc.take(_tcol(tbl, "database", pa.string(), nrec),
+                 pa.array(parent))
+    table = pc.take(_tcol(tbl, "table", pa.string(), nrec),
+                    pa.array(parent))
+    return pa.table({
+        "gtid": pa.array(gtid, pa.int64()),
+        "tx_id": pa.array(rec_id[parent], pa.int64()),
+        "seq_in_tx": pa.array(seq.astype(np.int32), pa.int32()),
+        "tx_events": pa.array(counts[parent].astype(np.int32), pa.int32()),
+        "server_id": pa.nulls(total, pa.int64()),  # not in the format
+        "db": db,
+        "table": table,
+        "op": pa.array(op, pa.int8()),
+        "key": key,
+        "before": before,
+        "after": after,
+    }, schema=schema)
+
+
+def read_canal(paths: list[str],
+               payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
+    """A ``ray.data.Dataset`` of engine change events decoded from a
+    recorded Canal flat-message dump — fully streaming, no side pass
+    (record-level atomicity is self-contained)."""
+    import ray.data
+
+    def decode(t: pa.Table) -> pa.Table:
+        return decode_canal(t, payload=payload)
+
+    return ray.data.read_json(paths).map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ======================================================= socket variants
+
+class MaxwellStreamServer(ChangeStreamServer):
+    """Test producer: frames carry raw Maxwell JSON-lines bytes."""
+
+    def push_file(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self._q.put(f.read())
+
+
+class CanalStreamServer(ChangeStreamServer):
+    """Test producer: frames carry raw Canal flat-message JSON-lines."""
+
+    def push_file(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self._q.put(f.read())
+
+
+from ray.data.datasource import Datasource  # noqa: E402
+
+
+class _JsonSocketDatasource(Datasource):
+    """Unbounded JSON-lines change stream over the frame protocol
+    (``rookray.source.SocketStreamDatasource`` framing): one ordered
+    read task — a replication connection is one stream — decoding each
+    frame with a vectorized per-format mapping."""
+
+    def __init__(self, host: str, port: int, decode_fn,
+                 name: str, connect_timeout_s: float = 10.0):
+        self.host, self.port = host, port
+        self.decode_fn = decode_fn
+        self._name = name
+        self.connect_timeout_s = connect_timeout_s
+
+    def get_name(self) -> str:
+        return f"{self._name}({self.host}:{self.port})"
+
+    def estimate_inmemory_data_size(self):
+        return None
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        host, port = self.host, self.port
+        timeout, decode_fn = self.connect_timeout_s, self.decode_fn
+
+        def read_fn():
+            import socket
+            import struct
+            import time as _t
+
+            deadline = _t.monotonic() + timeout
+            sock = None
+            while sock is None:
+                try:
+                    sock = socket.create_connection((host, port),
+                                                    timeout=2.0)
+                except OSError:
+                    if _t.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"could not connect to {host}:{port} within "
+                            f"{timeout}s")
+                    _t.sleep(0.05)
+            sock.settimeout(None)
+            try:
+                while True:
+                    (ln,) = struct.unpack(">I", _read_exact(sock, 4))
+                    if ln == 0:
+                        return
+                    frame = _read_exact(sock, ln)
+                    yield decode_fn(_json_table(frame))
+            finally:
+                sock.close()
+
+        meta = BlockMetadata(num_rows=None, size_bytes=None,
+                             exec_stats=None, input_files=None)
+        return [ReadTask(read_fn, meta)]
+
+
+def stream_maxwell_socket(host: str, port: int,
+                          tx_index: tuple[np.ndarray, np.ndarray,
+                                          np.ndarray],
+                          payload: pa.Schema = SEQ_SCHEMA,
+                          connect_timeout_s: float = 10.0):
+    """Unbounded Dataset of engine change events from a live Maxwell
+    JSON socket feed.  ``tx_index`` must be precomputed from the bounded
+    backlog (a live feed has no dump to count)."""
+    import ray.data
+
+    def decode(t: pa.Table) -> pa.Table:
+        return decode_maxwell(t, payload=payload, tx_index=tx_index)
+
+    return ray.data.read_datasource(
+        _JsonSocketDatasource(host, port, decode, "MaxwellSocketStream",
+                              connect_timeout_s),
+        override_num_blocks=1)
+
+
+def stream_canal_socket(host: str, port: int,
+                        payload: pa.Schema = SEQ_SCHEMA,
+                        connect_timeout_s: float = 10.0):
+    """Unbounded Dataset of engine change events from a live Canal
+    flat-message socket feed — no side index needed at all: record-
+    level atomicity decodes stand-alone, making this the simplest live
+    wiring of the three JSON adapters."""
+    import ray.data
+
+    def decode(t: pa.Table) -> pa.Table:
+        return decode_canal(t, payload=payload)
+
+    return ray.data.read_datasource(
+        _JsonSocketDatasource(host, port, decode, "CanalSocketStream",
+                              connect_timeout_s),
+        override_num_blocks=1)

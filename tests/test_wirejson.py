@@ -1,0 +1,260 @@
+"""Maxwell / Canal flat-message wire adapters: encode → decode
+roundtrips, real-world record shapes, strict-mode guards, socket feeds,
+lake apply."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rookray import wirejson as WJ
+from rookray.gen import GenConfig, generate_events, final_state
+from rookray.schema import (OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
+                            SEQ_SCHEMA_V2, change_event_schema)
+from rookray.wire import _json_table
+
+CFG = GenConfig(n_docs=40, n_events=240, evolve_at=121, noise_pct=5)
+
+
+def _payload_of(ev: pa.Table) -> pa.Schema:
+    return pa.schema(list(ev.schema.field("after").type))
+
+
+# ------------------------------------------------------------- Maxwell
+
+def test_maxwell_roundtrip_exact(tmp_path):
+    ev = generate_events(CFG)
+    d = WJ.maxwell_dump(ev, str(tmp_path / "mx"), n_files=3,
+                        ddl_before_gtid=CFG.evolve_at)
+    assert d["events"] == ev.num_rows
+    ds = WJ.read_maxwell(d["files"], payload=_payload_of(ev))
+    got = pa.Table.from_pylist(
+        ds.take_all(), schema=change_event_schema(_payload_of(ev))
+    ).sort_by("gtid")
+    orig = ev.sort_by("gtid")
+    # gtid decodes as binlog coordinates: (file_seq=1) << 40 | pos
+    assert np.array_equal(np.asarray(got.column("gtid")),
+                          (1 << 40) | np.asarray(orig.column("gtid")))
+    for c in ["tx_id", "seq_in_tx", "tx_events", "server_id", "db",
+              "table", "op", "key", "before", "after"]:
+        assert got.column(c).to_pylist() == orig.column(c).to_pylist(), c
+
+
+def test_maxwell_partial_old_overlay():
+    """The documented Maxwell update contract: ``old`` carries only
+    changed columns; the before image is data overlaid with old, and a
+    null in old reads as unchanged (JSON inference cannot distinguish
+    absent from null)."""
+    rows = [
+        {"database": "rook", "table": "sequences", "type": "update",
+         "ts": 0, "xid": 7, "commit": True, "server_id": 1,
+         "position": "master.000002:500",
+         "data": {"doc_id": "d1", "tokens": [5, 6], "n_tok": 2,
+                  "source": "web"},
+         "old": {"tokens": [1], "n_tok": 1}},
+    ]
+    t = WJ.decode_maxwell(
+        _json_table(("\n".join(json.dumps(r) for r in rows)).encode()),
+        payload=SEQ_SCHEMA)
+    assert t.column("op").to_pylist() == [OP_UPDATE]
+    b = t.column("before").to_pylist()[0]
+    assert b == {"doc_id": "d1", "tokens": [1], "n_tok": 1,
+                 "source": "web"}  # unchanged cols from data
+    assert t.column("gtid").to_pylist() == [(2 << 40) | 500]
+
+
+def test_maxwell_ddl_bootstrap_and_no_xid():
+    """DDL records are dropped; bootstrap-insert decodes as INSERT
+    (it IS a row image); records without an xid decode as singleton
+    transactions keyed by their own coordinate."""
+    rows = [
+        {"database": "rook", "table": "sequences", "type": "table-alter",
+         "ts": 0, "sql": "ALTER TABLE sequences ADD COLUMN lang text"},
+        {"database": "rook", "table": "sequences",
+         "type": "bootstrap-insert", "ts": 0, "server_id": 1,
+         "position": "master.000001:42",
+         "data": {"doc_id": "b0", "tokens": [1], "n_tok": 1,
+                  "source": "boot"}},
+    ]
+    t = WJ.decode_maxwell(
+        _json_table(("\n".join(json.dumps(r) for r in rows)).encode()),
+        payload=SEQ_SCHEMA)
+    assert t.num_rows == 1
+    assert t.column("op").to_pylist() == [OP_INSERT]
+    g = (1 << 40) | 42
+    assert t.column("gtid").to_pylist() == [g]
+    assert t.column("tx_id").to_pylist() == [g]       # singleton fallback
+    assert t.column("tx_events").to_pylist() == [1]
+    assert t.column("seq_in_tx").to_pylist() == [0]
+
+
+def test_maxwell_no_position_raises():
+    rows = [{"database": "rook", "table": "sequences", "type": "insert",
+             "xid": 1, "data": {"doc_id": "d", "tokens": [1],
+                                "n_tok": 1, "source": "x"}}]
+    with pytest.raises(ValueError, match="output_binlog_position"):
+        WJ.decode_maxwell(_json_table(json.dumps(rows[0]).encode()),
+                          payload=SEQ_SCHEMA)
+
+
+def test_maxwell_socket_feed_applies_to_lake(tmp_path):
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    ev = generate_events(CFG)
+    d = WJ.maxwell_dump(ev, str(tmp_path / "mx"), n_files=4)
+    # live feeds precompute the tx index from the bounded backlog
+    ds_idx = WJ.read_maxwell(d["files"], payload=_payload_of(ev))
+    t = pa.Table.from_pylist(ds_idx.take_all()).sort_by("tx_id")
+    tx = t.column("tx_id").to_numpy(zero_copy_only=False)
+    g = np.asarray(t.column("gtid")) - np.asarray(t.column("seq_in_tx"))
+    starts = np.flatnonzero(np.concatenate([[True], tx[1:] != tx[:-1]]))
+    idx = (tx[starts],
+           np.diff(np.concatenate([starts, [len(tx)]])).astype(np.int64),
+           g[starts])
+
+    srv = WJ.MaxwellStreamServer()
+    ds = WJ.stream_maxwell_socket(srv.host, srv.port, idx,
+                                  payload=_payload_of(ev))
+    for f in d["files"]:
+        srv.push_file(f)
+    srv.close()
+
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(ds.materialize())
+    state = lake.state_table().sort_by("doc_id")
+    exp = final_state(CFG).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert state.column("tokens").to_pylist() == exp.column("tokens").to_pylist()
+
+
+# --------------------------------------------------------------- Canal
+
+def test_canal_roundtrip(tmp_path):
+    """Images, ops and stream order roundtrip exactly; transaction
+    identity degrades to record-level atomicity (the flat format drops
+    transaction markers) with self-consistent coordinates; server_id
+    is null (not in the format)."""
+    ev = generate_events(CFG)
+    d = WJ.canal_dump(ev, str(tmp_path / "cn"), n_files=3,
+                      ddl_before_gtid=CFG.evolve_at)
+    assert d["events"] == ev.num_rows
+    ds = WJ.read_canal(d["files"], payload=_payload_of(ev))
+    got = pa.Table.from_pylist(
+        ds.take_all(), schema=change_event_schema(_payload_of(ev))
+    ).sort_by("gtid")
+    orig = ev.sort_by("gtid")
+    assert got.num_rows == orig.num_rows
+    for c in ["db", "table", "op", "key", "before", "after"]:
+        assert got.column(c).to_pylist() == orig.column(c).to_pylist(), c
+    gt = np.asarray(got.column("gtid"))
+    assert np.all(np.diff(gt) > 0)  # stream order preserved
+    seq = np.asarray(got.column("seq_in_tx"))
+    tx = np.asarray(got.column("tx_id"))
+    assert np.array_equal(gt - seq, tx << 12)  # contiguous per record
+    assert got.column("server_id").null_count == got.num_rows
+
+
+def test_canal_string_casts_and_ddl():
+    """Stringified values re-type against the payload schema: list
+    columns parse from JSON text ('[]' → empty list, null → null);
+    DDL records are dropped; a multi-row record explodes in order."""
+    rows = [
+        {"id": 3, "database": "rook", "table": "sequences",
+         "pkNames": ["doc_id"], "isDdl": True, "type": "ALTER",
+         "es": 0, "ts": 0, "sql": "ALTER TABLE sequences ADD lang text",
+         "data": None, "old": None},
+        {"id": 4, "database": "rook", "table": "sequences",
+         "pkNames": ["doc_id"], "isDdl": False, "type": "INSERT",
+         "es": 0, "ts": 0, "sql": "",
+         "data": [{"doc_id": "a", "tokens": "[1,2,3]", "n_tok": "3",
+                   "source": "web", "lang": None},
+                  {"doc_id": "b", "tokens": "[]", "n_tok": "0",
+                   "source": "web", "lang": "en"}],
+         "old": None},
+    ]
+    t = WJ.decode_canal(
+        _json_table(("\n".join(json.dumps(r) for r in rows)).encode()),
+        payload=SEQ_SCHEMA_V2)
+    assert t.num_rows == 2
+    after = t.column("after").to_pylist()
+    assert after[0] == {"doc_id": "a", "tokens": [1, 2, 3], "n_tok": 3,
+                        "source": "web", "lang": None}
+    assert after[1] == {"doc_id": "b", "tokens": [], "n_tok": 0,
+                        "source": "web", "lang": "en"}
+    assert t.column("gtid").to_pylist() == [4 << 12, (4 << 12) | 1]
+    assert t.column("tx_events").to_pylist() == [2, 2]
+
+
+def test_canal_update_old_alignment():
+    """old rows align positionally with data rows across records with
+    and without an old array in the same batch."""
+    rows = [
+        {"id": 1, "database": "r", "table": "sequences", "isDdl": False,
+         "type": "INSERT", "es": 0, "ts": 0,
+         "data": [{"doc_id": "i0", "tokens": "[9]", "n_tok": "1",
+                   "source": "s"}], "old": None},
+        {"id": 2, "database": "r", "table": "sequences", "isDdl": False,
+         "type": "UPDATE", "es": 0, "ts": 0,
+         "data": [{"doc_id": "u0", "tokens": "[2]", "n_tok": "1",
+                   "source": "s"},
+                  {"doc_id": "u1", "tokens": "[4]", "n_tok": "1",
+                   "source": "s"}],
+         "old": [{"tokens": "[1]"}, {"tokens": "[3]"}]},
+    ]
+    t = WJ.decode_canal(
+        _json_table(("\n".join(json.dumps(r) for r in rows)).encode()),
+        payload=SEQ_SCHEMA)
+    before = t.column("before").to_pylist()
+    assert before[0] is None  # insert
+    assert before[1]["tokens"] == [1] and before[1]["doc_id"] == "u0"
+    assert before[2]["tokens"] == [3] and before[2]["doc_id"] == "u1"
+
+
+def test_canal_guards():
+    base = {"database": "r", "table": "t", "isDdl": False, "es": 0,
+            "ts": 0}
+    big = dict(base, id=1, type="INSERT",
+               data=[{"doc_id": str(i), "tokens": "[]", "n_tok": "0",
+                      "source": "s"} for i in range(4096)], old=None)
+    with pytest.raises(ValueError, match="2\\^12"):
+        WJ.decode_canal(_json_table(json.dumps(big).encode()),
+                        payload=SEQ_SCHEMA)
+    short_old = dict(base, id=2, type="UPDATE",
+                     data=[{"doc_id": "a", "tokens": "[]", "n_tok": "0",
+                            "source": "s"},
+                           {"doc_id": "b", "tokens": "[]", "n_tok": "0",
+                            "source": "s"}],
+                     old=[{"n_tok": "9"}])
+    with pytest.raises(ValueError, match="old array length"):
+        WJ.decode_canal(_json_table(json.dumps(short_old).encode()),
+                        payload=SEQ_SCHEMA)
+
+
+def test_canal_socket_feed_applies_to_lake(tmp_path):
+    """Live canal feed needs NO side index: record atomicity decodes
+    stand-alone.  (noise-free config: canal carries no server_id, so
+    server-id routing is out of scope for this format.)"""
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    cfg = GenConfig(n_docs=40, n_events=240, evolve_at=121, noise_pct=0)
+    ev = generate_events(cfg)
+    d = WJ.canal_dump(ev, str(tmp_path / "cn"), n_files=4)
+
+    srv = WJ.CanalStreamServer()
+    ds = WJ.stream_canal_socket(srv.host, srv.port,
+                                payload=_payload_of(ev))
+    for f in d["files"]:
+        srv.push_file(f)
+    srv.close()
+
+    lake = LakeTable(str(tmp_path / "lake"),
+                     CDCConfig(num_partitions=4))
+    lake.apply(ds.materialize())
+    state = lake.state_table().sort_by("doc_id")
+    exp = final_state(cfg).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert state.column("tokens").to_pylist() == exp.column("tokens").to_pylist()
