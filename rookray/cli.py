@@ -246,6 +246,37 @@ def cmd_binlog(args) -> int:
     return 0
 
 
+def cmd_pgwal(args) -> int:
+    """PostgreSQL wire-format ingest: decode recorded pgoutput
+    logical-replication stream segments into the lake as one
+    exactly-once epoch.  Relation messages carry column names, so
+    values map by NAME against the lake's committed payload schema
+    (fresh lakes use the engine default)."""
+    from rookray.pgoutput import read_pgwal
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.schema import SEQ_SCHEMA_V2
+
+    _ensure_ray(args.num_cpus)
+    paths = sorted(glob.glob(os.path.join(args.dump, args.pattern)))
+    if not paths:
+        print(json.dumps({"error": f"no files match {args.pattern!r} "
+                                   f"under {args.dump}"}))
+        return 1
+    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    try:
+        payload = lake.payload_schema()
+    except Exception:
+        payload = None
+    if payload is None or len(payload) == 0:
+        payload = SEQ_SCHEMA_V2
+    ds = read_pgwal(paths, payload=payload,
+                    allow_partial_tail=args.allow_partial_tail)
+    res = lake.apply(ds.materialize())
+    res["files"] = len(paths)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -484,6 +515,20 @@ def main(argv=None) -> int:
                          "tail copy); default raises on truncation")
     bl.add_argument("--num-cpus", type=int, default=None)
     bl.set_defaults(fn=cmd_binlog)
+
+    pg = sub.add_parser("pgwal", help="decode recorded PostgreSQL "
+                        "pgoutput logical-replication segments into "
+                        "the lake as one exactly-once epoch")
+    pg.add_argument("--dump", required=True,
+                    help="directory holding the pgwal segment files")
+    pg.add_argument("--pattern", default="pgwal-*.bin")
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--partitions", type=int, default=16)
+    pg.add_argument("--allow-partial-tail", action="store_true",
+                    help="tolerate a torn trailing transaction (live-"
+                         "tail copy); default raises on truncation")
+    pg.add_argument("--num-cpus", type=int, default=None)
+    pg.set_defaults(fn=cmd_pgwal)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")

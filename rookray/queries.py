@@ -2296,6 +2296,60 @@ FROM win
 """
 
 
+def _flagship_pgoutput() -> dict:
+    """Deterministic pgoutput restatement of the flagship stream
+    (cached next to it): genuine XLogData-framed logical-replication
+    messages — Begin/Relation/Insert/Update/Delete/Commit with
+    REPLICA IDENTITY FULL before images — including the mid-stream
+    additive DDL (pre-evolution transactions get Relations declaring
+    only the four original columns; the widened Relation is re-sent,
+    the pgoutput-native schema-change story)."""
+    from rookray import pgoutput as PG
+    from rookray.gen import generate_events
+    flagship_stream()  # ensure changelog.parquet exists for the oracle
+    out = os.path.join(FLAGSHIP_DIR, "pgoutput")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        cfg = _flagship_cfg()
+        d = PG.pgwal_dump(generate_events(cfg), out, n_files=8,
+                          evolve_gtid=cfg.evolve_at,
+                          pre_evolution_columns=4)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(d, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def cdc_wire_pgoutput(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #5 — the SECOND database family:
+    PostgreSQL logical replication's ``pgoutput`` binary protocol
+    (rookray.pgoutput; the PG analog of the binlog rook tails,
+    MySQLReplicationStream.java:71-120).  Decode recorded XLogData-
+    framed streams (Relation messages carry column NAMES — name-based
+    mapping, the exact contrast to the MySQL TABLE_MAP's positional
+    one; per-tx Begin/Commit buffering for completeness counts; LSN
+    ordering) and replay through the full lake apply.  Postgres has no
+    per-row server id (origin is per-tx), so like canal the lake
+    filters the ignored TABLE only and the oracle keeps the server-999
+    rows."""
+    import tempfile
+    from rookray import pgoutput as PG
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_pgoutput()
+    ds = PG.read_pgwal(d["files"], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_pgo_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+CDC_WIRE_PGOUTPUT_SQL = CDC_WIRE_CANAL_SQL
+
+
 def fti_postings(sf_dir: str) -> pd.DataFrame:
     """Incrementally-maintained inverted index (the Lucene analog,
     DefaultRowsMutationIndexer.java:64-88): replay the flagship stream
@@ -4289,6 +4343,7 @@ QUERIES = {
     "cdc_wire_binlog": cdc_wire_binlog,
     "cdc_wire_maxwell": cdc_wire_maxwell,
     "cdc_wire_canal": cdc_wire_canal,
+    "cdc_wire_pgoutput": cdc_wire_pgoutput,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
@@ -4382,6 +4437,7 @@ ORACLES = {
     "cdc_wire_binlog": CDC_WIRE_BINLOG_SQL,
     "cdc_wire_maxwell": CDC_WIRE_MAXWELL_SQL,
     "cdc_wire_canal": CDC_WIRE_CANAL_SQL,
+    "cdc_wire_pgoutput": CDC_WIRE_PGOUTPUT_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
