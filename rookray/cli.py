@@ -252,7 +252,7 @@ def cmd_pgwal(args) -> int:
     exactly-once epoch.  Relation messages carry column names, so
     values map by NAME against the lake's committed payload schema
     (fresh lakes use the engine default)."""
-    from rookray.pgoutput import read_pgwal
+    from rookray.pgoutput import pgwal_files_above, read_pgwal
     from rookray.pipeline import CDCConfig, LakeTable
     from rookray.schema import SEQ_SCHEMA_V2
 
@@ -269,10 +269,21 @@ def cmd_pgwal(args) -> int:
         payload = None
     if payload is None or len(payload) == 0:
         payload = SEQ_SCHEMA_V2
+    # LSN-checkpoint resume: skip whole segments at or below the
+    # committed watermark after a header-only read
+    n_all = len(paths)
+    m = lake.manifest()
+    if m and m.get("closed_watermark") is not None:
+        paths = pgwal_files_above(paths, int(m["closed_watermark"]))
+    if not paths:
+        print(json.dumps({"events_applied": 0, "files": 0,
+                          "files_skipped": n_all}))
+        return 0
     ds = read_pgwal(paths, payload=payload,
                     allow_partial_tail=args.allow_partial_tail)
     res = lake.apply(ds.materialize())
     res["files"] = len(paths)
+    res["files_skipped"] = n_all - len(paths)
     print(json.dumps(res))
     return 0
 

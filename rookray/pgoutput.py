@@ -93,8 +93,8 @@ from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
 
 __all__ = [
     "pgwal_dump", "PgOutputParser", "PgOutputError", "decode_pgwal_file",
-    "read_pgwal", "PgStreamServer", "PgSocketDatasource",
-    "stream_pgwal_socket",
+    "read_pgwal", "pgwal_files_above", "first_lsn", "PgStreamServer",
+    "PgSocketDatasource", "stream_pgwal_socket",
 ]
 
 
@@ -573,6 +573,48 @@ def decode_pgwal_file(data: bytes, payload: pa.Schema = SEQ_SCHEMA,
     p.feed(data)
     t = p.finish()
     return t if t is not None else change_event_schema(payload).empty_table()
+
+
+def first_lsn(path: str) -> int | None:
+    """The first XLogData frame's start LSN — 25 bytes of header read,
+    skipping leading keepalives; None for a data-free segment."""
+    with open(path, "rb") as f:
+        while True:
+            kind = f.read(1)
+            if not kind:
+                return None
+            if kind == b"k":
+                f.seek(17, 1)
+                continue
+            if kind != b"w":
+                raise PgOutputError(f"unknown stream frame {kind!r} "
+                                    f"in {path}")
+            head = f.read(8)
+            if len(head) < 8:
+                return None
+            return struct.unpack(">Q", head)[0]
+
+
+def pgwal_files_above(paths: list[str], watermark: int) -> list[str]:
+    """LSN-checkpoint resume — the replication-slot
+    ``confirmed_flush_lsn`` analog (rook checkpoints the equivalent
+    binlog coordinates between restarts): keep only segment files that
+    can hold events ABOVE the lake's committed watermark.  Segments
+    are time-ordered, so a file whose SUCCESSOR starts at or below the
+    watermark is skipped after a 25-byte header read; the first
+    overlapping file is re-presented in full and the lake's watermark
+    filter drops the already-applied prefix (overlap is
+    correctness-free, skipped bytes are the win)."""
+    if watermark is None or watermark < 0:
+        return list(paths)
+    firsts = [first_lsn(p) for p in paths]
+    out = []
+    for i, p in enumerate(paths):
+        nxt = next((f for f in firsts[i + 1:] if f is not None), None)
+        if nxt is not None and nxt - 1 <= watermark:
+            continue  # everything in this file is at or below the mark
+        out.append(p)
+    return out
 
 
 def read_pgwal(paths: list[str], payload: pa.Schema = SEQ_SCHEMA,

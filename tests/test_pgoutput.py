@@ -186,3 +186,44 @@ def test_ray_read_pgwal_matches_serial(tmp_path):
         ds.take_all(), schema=change_event_schema(payload)
     ).sort_by("gtid")
     assert got.equals(_decode_all(d["files"], payload))
+
+
+def test_lsn_checkpoint_resume_skips_segments(tmp_path, ray_session,
+                                              capsys):
+    """The confirmed_flush_lsn analog: a second `rookray pgwal` run
+    over the same dump skips every segment whose successor starts at
+    or below the committed watermark (25-byte header reads only),
+    applies 0 events, and leaves state identical (idempotent
+    resume)."""
+    import json as _json
+    from rookray.cli import main as cli_main
+    from rookray.pipeline import LakeTable
+
+    ev = generate_events(GenConfig(n_docs=20, n_events=160))
+    dump = str(tmp_path / "pg")
+    d = PG.pgwal_dump(ev, dump, n_files=4)
+    t = str(tmp_path / "lake")
+    assert cli_main(["pgwal", "--dump", dump, "--table", t,
+                     "--partitions", "2"]) == 0
+    first = _json.loads(capsys.readouterr().out)
+    assert first["files"] == 4 and first["files_skipped"] == 0
+    state1 = LakeTable(t).state_table().sort_by("doc_id")
+
+    # unit surface: watermark == max LSN → only the LAST segment is
+    # re-presented (nothing bounds its upper range)
+    wm = first["closed_watermark"]
+    assert PG.pgwal_files_above(d["files"], wm) == d["files"][3:]
+
+    assert cli_main(["pgwal", "--dump", dump, "--table", t,
+                     "--partitions", "2"]) == 0
+    second = _json.loads(capsys.readouterr().out)
+    assert second["files"] == 1 and second["files_skipped"] == 3
+    assert second["events_applied"] == 0
+    state2 = LakeTable(t).state_table().sort_by("doc_id")
+    assert state1.to_pylist() == state2.to_pylist()
+
+    # partial overlap: watermark inside segment 2 → segments 2-4 kept
+    mid_wm = PG.first_lsn(d["files"][2]) - 2
+    assert PG.pgwal_files_above(d["files"], mid_wm) == d["files"][1:]
+    # watermark below everything → all segments kept
+    assert PG.pgwal_files_above(d["files"], -1) == d["files"]
