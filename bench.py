@@ -104,6 +104,87 @@ def warm_cache(files: list[str]) -> None:
                 pass
 
 
+#: wire-decode measurement size: big enough that per-format decode is
+#: compute-bound, small enough that the one-time per-row ENCODE of the
+#: recorded dumps (test producers, never in a pipeline) stays bounded
+WIRE_EVENTS = int(os.environ.get("ROOKRAY_BENCH_WIRE_EVENTS", "100000"))
+
+
+def ensure_wire_dumps(n_events: int) -> dict:
+    """Deterministic cached wire-format dumps of ONE stream (encode is
+    untimed): the five public CDC envelopes the engine decodes."""
+    from rookray.gen import GenConfig, generate_events
+
+    out = os.path.join("/tmp/rookray_bench", f"wire-{n_events}")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        from rookray import binlog as B
+        from rookray import pgoutput as PG
+        from rookray import wire as W
+        from rookray import wirejson as WJ
+
+        ev = generate_events(GenConfig(
+            n_docs=max(1000, n_events // 20), n_events=n_events,
+            noise_pct=5, zipf_a=1.1))
+        meta = {
+            "debezium": W.debezium_dump(ev, os.path.join(out, "dbz"),
+                                        n_files=16),
+            "binlog": B.binlog_dump(ev, os.path.join(out, "blg"),
+                                    n_files=16),
+            "maxwell": WJ.maxwell_dump(ev, os.path.join(out, "mxw"),
+                                       n_files=16),
+            "canal": WJ.canal_dump(ev, os.path.join(out, "cnl"),
+                                   n_files=16),
+            "pgoutput": PG.pgwal_dump(ev, os.path.join(out, "pgo"),
+                                      n_files=16),
+        }
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def bench_wire_decode(n_events: int) -> dict:
+    """Pure decode throughput per wire format: recorded dump →
+    change-event Dataset, materialized (no lake apply — that rate is
+    the headline's job).  File-parallel for the binary formats, block-
+    parallel for the JSON ones."""
+    from rookray import binlog as B
+    from rookray import pgoutput as PG
+    from rookray import wire as W
+    from rookray import wirejson as WJ
+    from rookray.schema import SEQ_SCHEMA_V2
+
+    meta = ensure_wire_dumps(n_events)
+    readers = {
+        "debezium": lambda m: W.read_debezium(
+            m["data_files"], tx_topic=[m["tx_file"]],
+            payload=SEQ_SCHEMA_V2),
+        "binlog": lambda m: B.read_binlog(m["files"],
+                                          payload=SEQ_SCHEMA_V2),
+        "maxwell": lambda m: WJ.read_maxwell(m["files"],
+                                             payload=SEQ_SCHEMA_V2),
+        "canal": lambda m: WJ.read_canal(m["files"],
+                                         payload=SEQ_SCHEMA_V2),
+        "pgoutput": lambda m: PG.read_pgwal(m["files"],
+                                            payload=SEQ_SCHEMA_V2),
+    }
+    out = {}
+    for fmt, rd in readers.items():
+        for m in (meta[fmt],):
+            for p in (m.get("files") or m.get("data_files")):
+                warm_cache([p])
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = rd(meta[fmt]).materialize().count()
+            best = min(best, time.perf_counter() - t0)
+        out[fmt] = {"events": n, "sec": round(best, 3),
+                    "events_per_sec": round(n / best, 1)}
+    return out
+
+
 def run_bench() -> dict:
     import ray
 
@@ -209,6 +290,9 @@ def run_bench() -> dict:
         stream_sec = min(stream_sec, time.perf_counter() - t0)
         shutil.rmtree(sdir, ignore_errors=True)
 
+    # ------------- wire-format decode throughput (per envelope) -------
+    wire = None if skip_queries else bench_wire_decode(WIRE_EVENTS)
+
     total = round(apply_sec + sum(qtimes.values()), 3)
     result = {
         "metric": "cdc replay + query suite wall time",
@@ -228,6 +312,7 @@ def run_bench() -> dict:
             "events_per_sec": round(n_events / stream_sec, 1),
             "windows_closed": n_windows,
         },
+        "wire_decode": wire,
     }
     ray.shutdown()
     return result

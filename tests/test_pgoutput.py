@@ -227,3 +227,40 @@ def test_lsn_checkpoint_resume_skips_segments(tmp_path, ray_session,
     assert PG.pgwal_files_above(d["files"], mid_wm) == d["files"][1:]
     # watermark below everything → all segments kept
     assert PG.pgwal_files_above(d["files"], -1) == d["files"]
+
+
+def test_socket_death_mid_tx_then_file_resume(tmp_path):
+    """Crash-resume across the live path and the file path: the
+    producer dies mid-transaction (lenient tail drops ONLY the torn
+    trailing tx), the partial stream applies, and a later file replay
+    resumes from the committed watermark to the exact serial-oracle
+    state (the overlap is watermark-skipped)."""
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    cfg = GenConfig(n_docs=30, n_events=200, noise_pct=0)
+    ev = generate_events(cfg)
+    d = PG.pgwal_dump(ev, str(tmp_path / "pg"), n_files=2)
+    payload = _payload_of(ev)
+
+    blob = b"".join(open(p, "rb").read() for p in d["files"])
+    srv = PG.PgStreamServer()
+    ds = PG.stream_pgwal_socket(srv.host, srv.port, payload=payload)
+    srv.push_bytes(blob[: int(len(blob) * 0.6)], chunk=501)
+    srv.close()  # connection drops mid-transaction
+
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=4))
+    first = lake.apply(ds.materialize())
+    max_gtid = ev.column("gtid").to_pylist()[-1]
+    assert 0 < first["closed_watermark"] < max_gtid  # a true partial
+
+    # resume over the recorded segments; LSN pruning may skip the
+    # first file entirely, the watermark drops the applied overlap
+    paths = PG.pgwal_files_above(d["files"], first["closed_watermark"])
+    second = lake.apply(PG.read_pgwal(paths, payload=payload)
+                        .materialize())
+    assert second["closed_watermark"] == max_gtid
+
+    state = lake.state_table().sort_by("doc_id")
+    exp = final_state(cfg).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
+    assert state.column("tokens").to_pylist() == exp.column("tokens").to_pylist()
