@@ -295,7 +295,6 @@ def read_maxwell(paths: list[str],
     its own bounded backlog (:func:`stream_maxwell_socket`)."""
     import ray
     import ray.data
-    from ray.data.aggregate import Min, Sum
 
     def tx_partial(t: pa.Table) -> pa.Table:
         _, _, g, x = _maxwell_coords(t)
@@ -315,17 +314,32 @@ def read_maxwell(paths: list[str],
             "first": pa.array(np.minimum.reduceat(gs, starts), pa.int64()),
         })
 
-    rows = (ray.data.read_json(paths)
-            .map_batches(tx_partial, batch_format="pyarrow")
-            .groupby("tx_id")
-            .aggregate(Sum("n", alias_name="n"),
-                       Min("first", alias_name="first"))
-            .take_all())
-    ids = np.asarray([r["tx_id"] for r in rows], dtype=np.int64)
+    # the counting pass needs only (type, xid, position): an explicit
+    # parse schema lets the C++ JSON reader skip materializing the row
+    # images on this pass (the decode pass parses them once).  The
+    # per-batch partials are one row per (xid, batch); the final index
+    # is O(#txs) on the driver EITHER way (it must be broadcast), so a
+    # numpy reduction of the collected partials replaces the groupby
+    # shuffle barrier outright.
+    import pyarrow.json as pj
+    slim = pj.ParseOptions(
+        explicit_schema=pa.schema([("type", pa.string()),
+                                   ("xid", pa.int64()),
+                                   ("position", pa.string())]),
+        unexpected_field_behavior="ignore")
+    parts = (ray.data.read_json(paths, parse_options=slim)
+             .map_batches(tx_partial, batch_format="pyarrow")
+             .take_all())
+    ids = np.asarray([r["tx_id"] for r in parts], dtype=np.int64)
+    ns = np.asarray([r["n"] for r in parts], dtype=np.int64)
+    firsts = np.asarray([r["first"] for r in parts], dtype=np.int64)
     order = np.argsort(ids, kind="stable")
-    tx_index = (ids[order],
-                np.asarray([r["n"] for r in rows], np.int64)[order],
-                np.asarray([r["first"] for r in rows], np.int64)[order])
+    ids, ns, firsts = ids[order], ns[order], firsts[order]
+    starts = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]])) \
+        if len(ids) else np.empty(0, np.int64)
+    tx_index = (ids[starts],
+                np.add.reduceat(ns, starts) if len(ids) else ns,
+                np.minimum.reduceat(firsts, starts) if len(ids) else firsts)
     ref = ray.put(tx_index)
 
     def decode(t: pa.Table) -> pa.Table:
