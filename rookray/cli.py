@@ -184,14 +184,21 @@ def cmd_wire(args) -> int:
         ds = read_debezium(paths, tx_topic=tx_topic,
                            payload=infer_payload(paths))
     else:
-        from rookray.schema import SEQ_SCHEMA_V2
-        from rookray.wirejson import read_canal, read_maxwell
+        from rookray.wirejson import (infer_payload_canal,
+                                      infer_payload_maxwell, read_canal,
+                                      read_maxwell)
         try:
             payload = lake.payload_schema()
         except Exception:
             payload = None
         if payload is None or len(payload) == 0:
-            payload = SEQ_SCHEMA_V2
+            # fresh lake: infer from the dump itself — Maxwell from its
+            # typed JSON images, Canal from its own mysqlType/pkNames
+            # metadata (values are text; lists stay string unless an
+            # existing lake supplies a typed payload)
+            payload = (infer_payload_maxwell(paths)
+                       if args.format == "maxwell"
+                       else infer_payload_canal(paths))
         ds = (read_maxwell if args.format == "maxwell"
               else read_canal)(paths, payload=payload)
         tx_topic = None

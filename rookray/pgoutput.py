@@ -311,22 +311,15 @@ def _cstr(mv: memoryview, o: int) -> tuple[str, int]:
 
 def _pg_cast(strings: list, typ: pa.DataType) -> pa.Array:
     """Text-format column values → the payload type, vectorized:
-    arrays parse from ``{1,2,3}`` (``{}`` → empty, NULL stays null)."""
+    arrays parse from ``{1,2,3}`` (``{}`` → empty, SQL NULL stays
+    null, unquoted ``NULL`` elements decode as null elements; quoted
+    text-array elements raise rather than mis-split)."""
     arr = pa.array(strings, pa.string())
     if not pa.types.is_list(typ):
         return arr.cast(typ)
-    body = pc.replace_substring_regex(arr, r"^\{|\}$", "")
-    nonempty = pc.if_else(pc.equal(body, ""),
-                          pa.nulls(len(arr), pa.string()), body)
-    parts = pc.split_pattern(nonempty, ",")
-    lens = pc.list_value_length(parts).fill_null(0) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets_np = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-    null_np = arr.is_null().to_numpy(zero_copy_only=False)
-    offsets = pa.array(offsets_np,
-                       mask=np.concatenate([null_np, [False]]))
-    return pa.ListArray.from_arrays(
-        offsets, pc.list_flatten(parts).cast(typ.value_type))
+    from rookray.wire import text_list_cast
+    return text_list_cast(arr, typ, brackets=r"^\{|\}$",
+                          null_token="NULL", reject_quotes=True)
 
 
 class PgOutputParser:
@@ -724,22 +717,9 @@ class PgSocketDatasource(Datasource):
         emit_rows = self.emit_rows
 
         def read_fn():
-            import socket
-            import time as _t
+            from rookray.source import connect_with_deadline
 
-            deadline = _t.monotonic() + timeout
-            sock = None
-            while sock is None:
-                try:
-                    sock = socket.create_connection((host, port),
-                                                    timeout=2.0)
-                except OSError:
-                    if _t.monotonic() >= deadline:
-                        raise TimeoutError(
-                            f"could not connect to {host}:{port} "
-                            f"within {timeout}s")
-                    _t.sleep(0.05)
-            sock.settimeout(None)
+            sock = connect_with_deadline(host, port, timeout)
             parser = PgOutputParser(payload, allow_partial_tail=True,
                                     emit_rows=emit_rows)
             try:

@@ -2083,47 +2083,49 @@ FROM win
 """
 
 
-def _flagship_debezium() -> dict:
-    """Deterministic Debezium-JSON restatement of the flagship stream
-    (cached next to it): the recorded public-wire-format dump the
-    adapter queries decode.  Same GenConfig → same events → the LWW
-    oracle over ``changelog.parquet`` stays the ground truth."""
-    from rookray import wire
-    from rookray.gen import generate_events
+def _cached_wire_dump(subdir: str, make) -> dict:
+    """Deterministic wire-format restatement of the flagship stream,
+    cached next to it (same GenConfig → same events → the LWW oracle
+    over ``changelog.parquet`` stays the ground truth).  ``make(out)``
+    encodes the generated events into ``out`` and returns the dump
+    meta; shared by all five wire-format flagships."""
     flagship_stream()  # ensure changelog.parquet exists for the oracle
-    out = os.path.join(FLAGSHIP_DIR, "debezium")
+    out = os.path.join(FLAGSHIP_DIR, subdir)
     meta_path = os.path.join(out, "meta.json")
     if not os.path.exists(meta_path):
-        d = wire.debezium_dump(generate_events(_flagship_cfg()), out,
-                               n_files=8)
+        d = make(out)
         with open(meta_path + ".tmp", "w") as f:
             json.dump(d, f)
         os.replace(meta_path + ".tmp", meta_path)
     with open(meta_path) as f:
         return json.load(f)
+
+
+def _flagship_events():
+    from rookray.gen import generate_events
+    return generate_events(_flagship_cfg())
+
+
+def _flagship_debezium() -> dict:
+    """Recorded Debezium-JSON dump of the flagship stream."""
+    from rookray import wire
+    return _cached_wire_dump(
+        "debezium", lambda out: wire.debezium_dump(_flagship_events(),
+                                                   out, n_files=8))
 
 
 def _flagship_binlog() -> dict:
-    """Deterministic binlog-v4 restatement of the flagship stream
-    (cached next to it): genuine binary-log files — GTID/BEGIN/
-    TABLE_MAP/ROWS-v2/XID events with CRC32 trailers — including the
-    mid-stream additive DDL (pre-evolution transactions declare only
-    the four original columns in their TABLE_MAPs)."""
+    """Recorded binlog-v4 files of the flagship stream: genuine binary
+    logs — GTID/BEGIN/TABLE_MAP/ROWS-v2/XID events with CRC32 trailers
+    — including the mid-stream additive DDL (pre-evolution
+    transactions declare only the four original columns in their
+    TABLE_MAPs)."""
     from rookray import binlog as B
-    from rookray.gen import generate_events
-    flagship_stream()  # ensure changelog.parquet exists for the oracle
-    out = os.path.join(FLAGSHIP_DIR, "binlog")
-    meta_path = os.path.join(out, "meta.json")
-    if not os.path.exists(meta_path):
-        cfg = _flagship_cfg()
-        d = B.binlog_dump(generate_events(cfg), out, n_files=8,
-                          evolve_gtid=cfg.evolve_at,
-                          pre_evolution_columns=4)
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(d, f)
-        os.replace(meta_path + ".tmp", meta_path)
-    with open(meta_path) as f:
-        return json.load(f)
+    cfg = _flagship_cfg()
+    return _cached_wire_dump(
+        "binlog", lambda out: B.binlog_dump(
+            _flagship_events(), out, n_files=8,
+            evolve_gtid=cfg.evolve_at, pre_evolution_columns=4))
 
 
 def cdc_wire_binlog(sf_dir: str) -> pd.DataFrame:
@@ -2182,45 +2184,29 @@ CDC_WIRE_DEBEZIUM_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
 def _flagship_maxwell() -> dict:
-    """Deterministic Maxwell restatement of the flagship stream
-    (cached next to it): one JSON object per row mutation with binlog
-    positions and xid/commit markers, plus a mid-stream ``table-alter``
-    DDL record at the evolution point."""
+    """Recorded Maxwell dump of the flagship stream: one JSON object
+    per row mutation with binlog positions and xid/commit markers,
+    plus a mid-stream ``table-alter`` DDL record at the evolution
+    point."""
     from rookray import wirejson as WJ
-    from rookray.gen import generate_events
-    flagship_stream()  # ensure changelog.parquet exists for the oracle
-    out = os.path.join(FLAGSHIP_DIR, "maxwell")
-    meta_path = os.path.join(out, "meta.json")
-    if not os.path.exists(meta_path):
-        cfg = _flagship_cfg()
-        d = WJ.maxwell_dump(generate_events(cfg), out, n_files=8,
-                            ddl_before_gtid=cfg.evolve_at)
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(d, f)
-        os.replace(meta_path + ".tmp", meta_path)
-    with open(meta_path) as f:
-        return json.load(f)
+    cfg = _flagship_cfg()
+    return _cached_wire_dump(
+        "maxwell", lambda out: WJ.maxwell_dump(
+            _flagship_events(), out, n_files=8,
+            ddl_before_gtid=cfg.evolve_at))
 
 
 def _flagship_canal() -> dict:
-    """Deterministic Canal flat-message restatement of the flagship
-    stream (cached next to it): consecutive (tx, op, table) runs
-    batched into multi-row records, stringified values, a mid-stream
-    ``isDdl`` ALTER record at the evolution point."""
+    """Recorded Canal flat-message dump of the flagship stream:
+    consecutive (tx, op, table) runs batched into multi-row records,
+    stringified values, a mid-stream ``isDdl`` ALTER record at the
+    evolution point."""
     from rookray import wirejson as WJ
-    from rookray.gen import generate_events
-    flagship_stream()  # ensure changelog.parquet exists for the oracle
-    out = os.path.join(FLAGSHIP_DIR, "canal")
-    meta_path = os.path.join(out, "meta.json")
-    if not os.path.exists(meta_path):
-        cfg = _flagship_cfg()
-        d = WJ.canal_dump(generate_events(cfg), out, n_files=8,
-                          ddl_before_gtid=cfg.evolve_at)
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(d, f)
-        os.replace(meta_path + ".tmp", meta_path)
-    with open(meta_path) as f:
-        return json.load(f)
+    cfg = _flagship_cfg()
+    return _cached_wire_dump(
+        "canal", lambda out: WJ.canal_dump(
+            _flagship_events(), out, n_files=8,
+            ddl_before_gtid=cfg.evolve_at))
 
 
 def cdc_wire_maxwell(sf_dir: str) -> pd.DataFrame:
@@ -2297,28 +2283,19 @@ FROM win
 
 
 def _flagship_pgoutput() -> dict:
-    """Deterministic pgoutput restatement of the flagship stream
-    (cached next to it): genuine XLogData-framed logical-replication
-    messages — Begin/Relation/Insert/Update/Delete/Commit with
-    REPLICA IDENTITY FULL before images — including the mid-stream
-    additive DDL (pre-evolution transactions get Relations declaring
-    only the four original columns; the widened Relation is re-sent,
-    the pgoutput-native schema-change story)."""
+    """Recorded pgoutput stream segments of the flagship: genuine
+    XLogData-framed logical-replication messages — Begin/Relation/
+    Insert/Update/Delete/Commit with REPLICA IDENTITY FULL before
+    images — including the mid-stream additive DDL (pre-evolution
+    transactions get Relations declaring only the four original
+    columns; the widened Relation is re-sent, the pgoutput-native
+    schema-change story)."""
     from rookray import pgoutput as PG
-    from rookray.gen import generate_events
-    flagship_stream()  # ensure changelog.parquet exists for the oracle
-    out = os.path.join(FLAGSHIP_DIR, "pgoutput")
-    meta_path = os.path.join(out, "meta.json")
-    if not os.path.exists(meta_path):
-        cfg = _flagship_cfg()
-        d = PG.pgwal_dump(generate_events(cfg), out, n_files=8,
-                          evolve_gtid=cfg.evolve_at,
-                          pre_evolution_columns=4)
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(d, f)
-        os.replace(meta_path + ".tmp", meta_path)
-    with open(meta_path) as f:
-        return json.load(f)
+    cfg = _flagship_cfg()
+    return _cached_wire_dump(
+        "pgoutput", lambda out: PG.pgwal_dump(
+            _flagship_events(), out, n_files=8,
+            evolve_gtid=cfg.evolve_at, pre_evolution_columns=4))
 
 
 def cdc_wire_pgoutput(sf_dir: str) -> pd.DataFrame:

@@ -390,6 +390,26 @@ def stream_events(shard_dir, pattern: str = "events-*.parquet",
 # stream holding one table of change events.  Length 0 = producer EOF.
 
 
+def connect_with_deadline(host: str, port: int, timeout_s: float):
+    """Retry TCP connect until the deadline — shared by every socket
+    datasource (the producer may come up after the read task does)."""
+    import socket
+    import time as _t
+
+    deadline = _t.monotonic() + timeout_s
+    while True:
+        try:
+            sock = socket.create_connection((host, port), timeout=2.0)
+            sock.settimeout(None)  # block on recv: the stream is live
+            return sock
+        except OSError:
+            if _t.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"could not connect to {host}:{port} within "
+                    f"{timeout_s}s")
+            _t.sleep(0.05)
+
+
 def _read_exact(sock, n: int) -> bytes:
     buf = bytearray()
     while len(buf) < n:
@@ -473,23 +493,11 @@ class SocketStreamDatasource(Datasource):
         host, port, timeout = self.host, self.port, self.connect_timeout_s
 
         def read_fn():
-            import socket
             import struct
             import io
             import pyarrow as pa
 
-            deadline = time.monotonic() + timeout
-            sock = None
-            while sock is None:
-                try:
-                    sock = socket.create_connection((host, port), timeout=2.0)
-                except OSError:
-                    if time.monotonic() >= deadline:
-                        raise TimeoutError(
-                            f"could not connect to {host}:{port} within "
-                            f"{timeout}s")
-                    time.sleep(0.05)
-            sock.settimeout(None)  # block on recv: the stream is live
+            sock = connect_with_deadline(host, port, timeout)
             try:
                 while True:
                     (ln,) = struct.unpack(">I", _read_exact(sock, 4))

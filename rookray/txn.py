@@ -8,15 +8,22 @@ GTID prefixes whose transactions are fully present (SURVEY.md §7.0
 "Tx atomicity"): the largest gtid ``g`` such that no transaction with
 an unapplied event ≤ g is missing events.
 
-Two stream invariants (true of a MySQL binlog and of our generator)
-make this computable from per-tx aggregates without a driver scan:
+Completeness is pure **sequence arithmetic** — it never assumes gtids
+are dense within a transaction (they are for the generator's shards,
+but NOT for real binlog/pgoutput coordinates, which are byte offsets):
+a transaction observed in an epoch is complete iff
 
-* a transaction's row events occupy a **contiguous** gtid range, so its
-  first gtid is ``gtid - seq_in_tx`` and its last is
-  ``first + tx_events - 1``;
-* ``floor`` (the previous epoch's committed closed watermark) splits
-  every tx: members at or below the floor were already applied, so only
-  the remainder above the floor must be present in this epoch.
+* its row count equals its observed seq span
+  (``cnt == max_seq - min_seq + 1`` — no gaps, no duplicates),
+* its tail is present (``max_seq == tx_events - 1``), and
+* its head is accounted for: ``min_seq == 0`` (head present in this
+  epoch — re-presented overlap is fine, the per-row watermark filter
+  drops it later) or every earlier member sits at or below ``floor``
+  (the previous epoch's committed watermark).  Row seq increases with
+  gtid inside a tx, so the earlier members' gtids are all below the
+  observed ``min_gtid``; ``min_gtid - 1 <= floor`` proves them
+  committed.  (For sparse coordinates a detached suffix strictly above
+  the floor is *unknowable* and correctly held back.)
 
 The computation is a cheap per-batch combiner (one row per tx per
 batch) followed by a small ``groupby(tx_id)`` — the events themselves
@@ -33,16 +40,27 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 
+#: sentinel for "no rows above the floor in this partial"
+_NO_GTID = np.int64(1 << 62)
+
+
 def _tx_partials(batch: pa.Table, floor: int) -> pa.Table:
-    """Per-batch combiner: one row per tx_id with events above floor."""
+    """Per-batch combiner: one row per tx_id over ALL its rows in the
+    batch (below-floor overlap rows count toward seq completeness —
+    the per-row watermark filter drops them later), plus the
+    above-floor gtid extrema for the watermark position."""
     gtid = batch.column("gtid").to_numpy(zero_copy_only=False)
-    keep = gtid > floor
+    above = gtid > floor
     df = pd.DataFrame(
         {
-            "tx_id": batch.column("tx_id").to_numpy(zero_copy_only=False)[keep],
-            "gtid": gtid[keep],
-            "seq_in_tx": batch.column("seq_in_tx").to_numpy(zero_copy_only=False)[keep],
-            "tx_events": batch.column("tx_events").to_numpy(zero_copy_only=False)[keep],
+            "tx_id": batch.column("tx_id").to_numpy(zero_copy_only=False),
+            "gtid": gtid,
+            "gtid_above": np.where(above, gtid, _NO_GTID),
+            "gtid_above_mx": np.where(above, gtid, np.int64(-1)),
+            "seq_in_tx": batch.column("seq_in_tx")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "tx_events": batch.column("tx_events")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
         }
     )
     if len(df) == 0:
@@ -51,34 +69,46 @@ def _tx_partials(batch: pa.Table, floor: int) -> pa.Table:
                 "tx_id": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
                 "min_gtid": pa.array([], pa.int64()),
-                "max_gtid": pa.array([], pa.int64()),
-                "tx_first": pa.array([], pa.int64()),
-                "tx_last": pa.array([], pa.int64()),
+                "min_gtid_above": pa.array([], pa.int64()),
+                "max_gtid_above": pa.array([], pa.int64()),
+                "min_seq": pa.array([], pa.int64()),
+                "max_seq": pa.array([], pa.int64()),
+                "tx_events": pa.array([], pa.int64()),
             }
         )
-    df["tx_first"] = df["gtid"] - df["seq_in_tx"]
-    df["tx_last"] = df["tx_first"] + df["tx_events"] - 1
     g = df.groupby("tx_id", sort=False).agg(
         cnt=("gtid", "size"),
         min_gtid=("gtid", "min"),
-        max_gtid=("gtid", "max"),
-        tx_first=("tx_first", "first"),
-        tx_last=("tx_last", "first"),
+        min_gtid_above=("gtid_above", "min"),
+        max_gtid_above=("gtid_above_mx", "max"),
+        min_seq=("seq_in_tx", "min"),
+        max_seq=("seq_in_tx", "max"),
+        tx_events=("tx_events", "max"),
     )
-    g = g.reset_index().astype(
-        {"tx_id": "int64", "cnt": "int64", "min_gtid": "int64",
-         "max_gtid": "int64", "tx_first": "int64", "tx_last": "int64"}
-    )
+    g = g.reset_index().astype("int64")
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def _open_mask(df: pd.DataFrame, floor: int) -> np.ndarray:
+    """Boolean per-tx mask of INCOMPLETE transactions (see module
+    docstring — sequence arithmetic, no gtid-density assumption)."""
+    head_ok = (df["min_seq"] == 0) | (df["min_gtid"] - 1 <= floor)
+    complete = (
+        (df["max_seq"] == df["tx_events"] - 1)
+        & (df["cnt"] == df["max_seq"] - df["min_seq"] + 1)
+        & head_ok
+    )
+    return (~complete).to_numpy()
+
+
 def _watermark_from_agg(df: pd.DataFrame, floor: int, max_gtid: int) -> int:
-    """df columns: cnt, min_gtid, tx_first, tx_last (per tx)."""
-    expected = df["tx_last"] - np.maximum(floor, df["tx_first"] - 1)
-    open_tx = df[df["cnt"] != expected]
+    open_tx = df[_open_mask(df, floor)]
     if open_tx.empty:
         return max(floor, max_gtid)
-    return max(floor, int(open_tx["min_gtid"].min()) - 1)
+    lowest = int(open_tx["min_gtid_above"].min())
+    if lowest >= _NO_GTID:  # open txs live wholly at/below the floor
+        return max(floor, max_gtid)
+    return max(floor, lowest - 1)
 
 
 def closed_watermark(events: "ray.data.Dataset", floor: int = -1) -> tuple[int, int]:
@@ -94,9 +124,11 @@ def closed_watermark(events: "ray.data.Dataset", floor: int = -1) -> tuple[int, 
     agg = partials.groupby("tx_id").aggregate(
         Sum("cnt", alias_name="cnt"),
         Min("min_gtid", alias_name="min_gtid"),
-        Max("max_gtid", alias_name="max_gtid"),
-        Min("tx_first", alias_name="tx_first"),
-        Max("tx_last", alias_name="tx_last"),
+        Min("min_gtid_above", alias_name="min_gtid_above"),
+        Max("max_gtid_above", alias_name="max_gtid_above"),
+        Min("min_seq", alias_name="min_seq"),
+        Max("max_seq", alias_name="max_seq"),
+        Max("tx_events", alias_name="tx_events"),
     ).materialize()  # small; both consumers below reuse it (one scan of events)
     # incomplete txs are rare (epoch boundaries only) → tiny take
     incomplete = agg.map_batches(
@@ -105,22 +137,21 @@ def closed_watermark(events: "ray.data.Dataset", floor: int = -1) -> tuple[int, 
     inc_rows = incomplete.take_all()
     if agg.count() == 0:
         return floor, -1
-    stats = agg.aggregate(Max("max_gtid", alias_name="mx"))
-    max_gtid = stats["mx"]
-    if not inc_rows:
-        return max(floor, int(max_gtid)), int(max_gtid)
-    lowest_open = min(int(r["min_gtid"]) for r in inc_rows)
-    return max(floor, lowest_open - 1), int(max_gtid)
+    stats = agg.aggregate(Max("max_gtid_above", alias_name="mx"))
+    max_gtid = int(stats["mx"])
+    if max_gtid < 0:
+        return floor, -1  # nothing above the floor in this epoch
+    lowest_open = min((int(r["min_gtid_above"]) for r in inc_rows),
+                      default=_NO_GTID)
+    if lowest_open >= _NO_GTID:  # no open tx touches the epoch's range
+        return max(floor, max_gtid), max_gtid
+    return max(floor, lowest_open - 1), max_gtid
 
 
 def _filter_incomplete(t: pa.Table, floor: int) -> pa.Table:
     if len(t) == 0:
         return t
-    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
-    tx_first = t.column("tx_first").to_numpy(zero_copy_only=False)
-    tx_last = t.column("tx_last").to_numpy(zero_copy_only=False)
-    expected = tx_last - np.maximum(floor, tx_first - 1)
-    return t.filter(pa.array(cnt != expected))
+    return t.filter(pa.array(_open_mask(t.to_pandas(), floor)))
 
 
 def closed_watermark_table(events: pa.Table, floor: int = -1) -> tuple[int, int]:
@@ -131,10 +162,15 @@ def closed_watermark_table(events: pa.Table, floor: int = -1) -> tuple[int, int]
     df = partial.to_pandas()
     g = df.groupby("tx_id").agg(
         cnt=("cnt", "sum"), min_gtid=("min_gtid", "min"),
-        tx_first=("tx_first", "min"), tx_last=("tx_last", "max"),
+        min_gtid_above=("min_gtid_above", "min"),
+        min_seq=("min_seq", "min"), max_seq=("max_seq", "max"),
+        tx_events=("tx_events", "max"),
     ).reset_index()
     gtid = events.column("gtid").to_numpy(zero_copy_only=False)
-    max_gtid = int(gtid[gtid > floor].max())
+    above = gtid[gtid > floor]
+    if len(above) == 0:
+        return floor, -1
+    max_gtid = int(above.max())
     return _watermark_from_agg(g, floor, max_gtid), max_gtid
 
 

@@ -198,6 +198,43 @@ def _payload_struct(col, payload: pa.Schema, n: int) -> pa.Array:
         else mask)
 
 
+def text_list_cast(arr: pa.Array, typ: pa.DataType,
+                   brackets: str = r"^\[|\]$",
+                   null_token: str | None = None,
+                   reject_quotes: bool = False) -> pa.Array:
+    """Delimited-text list values → a typed Arrow list column,
+    vectorized: strip the bracket pair, split on commas, cast the
+    flattened elements.  Empty brackets → empty list, SQL NULL stays
+    null; ``null_token`` (e.g. Postgres's unquoted ``NULL``) maps an
+    element to null.  ``reject_quotes`` raises on quoted elements
+    (Postgres text[] quoting is out of scope for the numeric payloads
+    this engine carries) instead of silently mis-splitting them.
+    Shared by the Canal (``[1,2]``) and pgoutput (``{1,2}``) decoders
+    so the subtle offset/validity construction lives once."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    body = pc.replace_substring_regex(arr, brackets, "")
+    nonempty = pc.if_else(pc.equal(body, ""),
+                          pa.nulls(len(arr), pa.string()), body)
+    parts = pc.split_pattern(nonempty, ",")
+    lens = pc.list_value_length(parts).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets_np = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    null_np = arr.is_null().to_numpy(zero_copy_only=False)
+    offsets = pa.array(offsets_np,
+                       mask=np.concatenate([null_np, [False]]))
+    flat = pc.list_flatten(parts)
+    if reject_quotes and len(flat) and pc.any(
+            pc.match_substring(flat, '"')).as_py():
+        raise ValueError(
+            "quoted array elements in text form are not supported "
+            "(string-array payloads need a quote-aware parser)")
+    if null_token is not None:
+        flat = pc.if_else(pc.equal(flat, null_token),
+                          pa.nulls(len(flat), pa.string()), flat)
+    return pa.ListArray.from_arrays(offsets, flat.cast(typ.value_type))
+
+
 def _num_after_colon(arr: pa.Array) -> pa.Array:
     """'uuid:N' (or plain 'N') → int64 N, null-preserving — MySQL GTID
     strings and Debezium transaction ids share this shape."""
@@ -494,22 +531,11 @@ class DebeziumSocketDatasource(Datasource):
                                       self.tx_index)
 
         def read_fn():
-            import socket
             import struct
-            import time as _t
 
-            deadline = _t.monotonic() + timeout
-            sock = None
-            while sock is None:
-                try:
-                    sock = socket.create_connection((host, port), timeout=2.0)
-                except OSError:
-                    if _t.monotonic() >= deadline:
-                        raise TimeoutError(
-                            f"could not connect to {host}:{port} within "
-                            f"{timeout}s")
-                    _t.sleep(0.05)
-            sock.settimeout(None)
+            from rookray.source import connect_with_deadline
+
+            sock = connect_with_deadline(host, port, timeout)
             try:
                 while True:
                     (ln,) = struct.unpack(">I", _read_exact(sock, 4))

@@ -88,7 +88,8 @@ import pyarrow.compute as pc
 from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
                             change_event_schema)
 from rookray.source import ChangeStreamServer, _read_exact
-from rookray.wire import _field_or_null, _json_table, _payload_struct
+from rookray.wire import (_field_or_null, _json_table, _payload_struct,
+                          text_list_cast)
 
 __all__ = [
     "maxwell_dump", "decode_maxwell", "read_maxwell",
@@ -243,7 +244,13 @@ def decode_maxwell(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
         ids_a, counts_a, firsts_a = tx_index
         loc = np.clip(np.searchsorted(ids_a, xid), 0, len(ids_a) - 1)
         hit = (ids_a[loc] == xid) & ~no_xid
-        tx_events = np.where(hit, counts_a[loc], 1).astype(np.int32)
+        # xid-less records (bootstrap rows run outside transactions)
+        # are genuine singletons; an xid MISSING from the index (a tx
+        # newer than the backlog snapshot on a live feed) has UNKNOWN
+        # size → -1 holds it back until re-presented with an index
+        # that covers it, like wire.decode_envelopes' topic-less rows
+        tx_events = np.where(hit, counts_a[loc],
+                             np.where(no_xid, 1, -1)).astype(np.int32)
         seq = np.where(hit, gtid - firsts_a[loc], 0).astype(np.int32)
     else:
         tx_events = np.where(no_xid, 1, -1).astype(np.int32)
@@ -270,6 +277,11 @@ def decode_maxwell(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     key_field = payload.names[0]
     key = pc.if_else(before.is_valid(), pc.struct_field(before, key_field),
                      pc.struct_field(after, key_field))
+    if n and key.null_count == n:
+        raise ValueError(
+            f"every decoded row has a null merge key {key_field!r} — "
+            "the dump's columns do not match the payload schema "
+            "(wrong --table lake, or pass the right payload)")
     return pa.table({
         "gtid": pa.array(gtid, pa.int64()),
         "tx_id": pa.array(tx_id, pa.int64()),
@@ -371,6 +383,19 @@ def _canal_row(img: dict | None) -> dict:
     return {k: _canal_str(v) for k, v in img.items() if v is not None}
 
 
+def _mysql_type_of(t: pa.DataType) -> tuple[str, int]:
+    """(mysqlType, JDBC sqlType) a canal server would report."""
+    if pa.types.is_list(t):
+        return "json", 12
+    if pa.types.is_int64(t):
+        return "bigint", -5
+    if pa.types.is_integer(t):
+        return "int", 4
+    if pa.types.is_floating(t):
+        return "double", 8
+    return "varchar(255)", 12
+
+
 def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                max_rows_per_record: int = 16,
                ddl_before_gtid: int | None = None) -> dict:
@@ -381,7 +406,12 @@ def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     Deterministic: same input table → byte-identical dump."""
     os.makedirs(out_dir, exist_ok=True)
     rows = events.to_pylist()
-    pk = [f.name for f in events.schema.field("after").type][:1]
+    payload_fields = list(events.schema.field("after").type)
+    pk = [payload_fields[0].name]
+    mysql_types = {f.name: _mysql_type_of(f.type)[0]
+                   for f in payload_fields}
+    sql_types = {f.name: _mysql_type_of(f.type)[1]
+                 for f in payload_fields}
     records, cur = [], []
 
     def run_key(r):
@@ -395,8 +425,8 @@ def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
             "id": len(records), "database": r0["db"], "table": r0["table"],
             "pkNames": pk, "isDdl": False,
             "type": _OP_TO_CANAL[r0["op"]], "es": 0, "ts": 0, "sql": "",
-            "sqlType": {c: 12 for c in pk},
-            "mysqlType": {c: "varchar" for c in pk},
+            "sqlType": sql_types,
+            "mysqlType": mysql_types,
             "data": [_canal_row(r["before"] if r["op"] == OP_DELETE
                                 else r["after"]) for r in cur],
             "old": ([{k: _canal_str(v) for k, v in (r["before"] or {})
@@ -445,25 +475,13 @@ _CANAL_MUTATIONS = pa.array(["INSERT", "UPDATE", "DELETE"])
 
 def _canal_cast(arr: pa.Array, typ: pa.DataType) -> pa.Array:
     """Canal's stringified column values → the payload type.  Lists
-    (MySQL JSON columns in transit) parse from their JSON text with
-    Arrow kernels: strip brackets, split, cast — `"[]"` is an empty
-    list, SQL NULL stays null."""
+    (MySQL JSON columns in transit) parse from their JSON text — `"[]"`
+    is an empty list, SQL NULL stays null."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not pa.types.is_list(typ):
         return arr.cast(typ)
-    body = pc.replace_substring_regex(arr, r"^\[|\]$", "")
-    nonempty = pc.if_else(pc.equal(body, ""), pa.nulls(len(arr), pa.string()),
-                          body)
-    parts = pc.split_pattern(nonempty, ",")
-    lens = pc.list_value_length(parts).fill_null(0) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets_np = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-    null_np = arr.is_null().to_numpy(zero_copy_only=False)
-    offsets = pa.array(offsets_np,
-                       mask=np.concatenate([null_np, [False]]))
-    return pa.ListArray.from_arrays(
-        offsets, pc.list_flatten(parts).cast(typ.value_type))
+    return text_list_cast(arr, typ, brackets=r"^\[|\]$")
 
 
 def _canal_payload(flat: pa.Array, payload: pa.Schema,
@@ -570,6 +588,11 @@ def decode_canal(tbl: pa.Table,
     key_field = payload.names[0]
     key = pc.if_else(before.is_valid(), pc.struct_field(before, key_field),
                      pc.struct_field(after, key_field))
+    if total and key.null_count == total:
+        raise ValueError(
+            f"every decoded row has a null merge key {key_field!r} — "
+            "the dump's columns do not match the payload schema "
+            "(wrong --table lake, or pass the right payload)")
 
     db = pc.take(_tcol(tbl, "database", pa.string(), nrec),
                  pa.array(parent))
@@ -602,6 +625,73 @@ def read_canal(paths: list[str],
 
     return ray.data.read_json(paths).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===================================================== schema inference
+
+def infer_payload_maxwell(paths: list[str],
+                          sample_files: int = 2) -> pa.Schema:
+    """Payload schema inferred from a Maxwell dump's data/old images
+    (for callers with no catalog in hand, e.g. the CLI): union of the
+    JSON-inferred fields across the first files, first typed
+    occurrence wins.  Field ORDER follows the first data image — a
+    Maxwell daemon emits columns in table order, whose first column is
+    the key, matching the engine's first-column-is-merge-key
+    contract (same assumption as ``wire.infer_payload``)."""
+    fields: dict[str, pa.DataType] = {}
+    for path in paths[:sample_files]:
+        with open(path, "rb") as f:
+            t = _json_table(f.read())
+        for side in ("data", "old"):
+            if side not in t.schema.names:
+                continue
+            col = t.column(side).combine_chunks()
+            if not pa.types.is_struct(col.type):
+                continue
+            for fld in col.type:
+                cur = fields.get(fld.name)
+                if cur is None or pa.types.is_null(cur):
+                    fields[fld.name] = fld.type
+    if not fields:
+        raise ValueError("no data/old images found to infer a payload "
+                         "schema from")
+    return pa.schema([(n, (pa.string() if pa.types.is_null(t) else t))
+                      for n, t in fields.items()])
+
+
+#: MySQL type name (canal ``mysqlType``) → Arrow type.  Canal carries
+#: every VALUE as text, so this mapping decides the decode casts.
+_MYSQL_TO_ARROW = {
+    "tinyint": pa.int32(), "smallint": pa.int32(),
+    "mediumint": pa.int32(), "int": pa.int32(), "integer": pa.int32(),
+    "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+    "decimal": pa.float64(),
+}
+
+
+def infer_payload_canal(paths: list[str]) -> pa.Schema:
+    """Payload schema from a Canal dump's own metadata: the first
+    mutation record's ``mysqlType`` names the columns and types and
+    ``pkNames`` names the key, which the engine contract puts FIRST.
+    (JSON/array columns ride as text and stay ``string`` here — pass
+    an explicit payload to get typed lists.)"""
+    import json as _json
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if rec.get("isDdl") or not rec.get("mysqlType"):
+                    continue
+                pk = (rec.get("pkNames") or [None])[0]
+                cols = list(rec["mysqlType"].items())
+                if pk is not None:
+                    cols.sort(key=lambda kv: kv[0] != pk)
+                return pa.schema([
+                    (name, _MYSQL_TO_ARROW.get(
+                        typ.split("(")[0].strip().lower(), pa.string()))
+                    for name, typ in cols])
+    raise ValueError("no mutation record with mysqlType found to infer "
+                     "a payload schema from")
 
 
 # ======================================================= socket variants
@@ -652,23 +742,11 @@ class _JsonSocketDatasource(Datasource):
         timeout, decode_fn = self.connect_timeout_s, self.decode_fn
 
         def read_fn():
-            import socket
             import struct
-            import time as _t
 
-            deadline = _t.monotonic() + timeout
-            sock = None
-            while sock is None:
-                try:
-                    sock = socket.create_connection((host, port),
-                                                    timeout=2.0)
-                except OSError:
-                    if _t.monotonic() >= deadline:
-                        raise TimeoutError(
-                            f"could not connect to {host}:{port} within "
-                            f"{timeout}s")
-                    _t.sleep(0.05)
-            sock.settimeout(None)
+            from rookray.source import connect_with_deadline
+
+            sock = connect_with_deadline(host, port, timeout)
             try:
                 while True:
                     (ln,) = struct.unpack(">I", _read_exact(sock, 4))

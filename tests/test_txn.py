@@ -88,3 +88,51 @@ def test_mid_tx_cut_agreement(tmp_path):
     assert fast == slow
     open_first = tbl.column("gtid")[cut].as_py() - tbl.column("seq_in_tx")[cut].as_py()
     assert fast[0] == open_first - 1
+
+
+def test_sparse_coordinates_split_across_blocks():
+    """Real binlog/pgoutput gtids are byte offsets — NOT dense within a
+    transaction.  Completeness must hold even when Ray re-batching
+    splits a transaction across combiner batches (regression: the old
+    coordinate arithmetic assumed dense gtids and wedged the watermark
+    below any split sparse-coordinate tx forever)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    lsn = 100
+    for tx in range(40):
+        # tx 0 needs >= 2 rows for the suffix-resume case below
+        n = int(rng.integers(2 if tx == 0 else 1, 8))
+        for seq in range(n):
+            rows.append((lsn, tx, seq, n))
+            lsn += int(rng.integers(2, 90))  # sparse, like WAL offsets
+    t = pa.table({
+        "gtid": pa.array([r[0] for r in rows], pa.int64()),
+        "tx_id": pa.array([r[1] for r in rows], pa.int64()),
+        "seq_in_tx": pa.array([r[2] for r in rows], pa.int32()),
+        "tx_events": pa.array([r[3] for r in rows], pa.int32()),
+    })
+    mx = rows[-1][0]
+    # many tiny blocks → txs split across combiner batches
+    ds = ray.data.from_arrow(t).repartition(37)
+    assert txn.closed_watermark(ds) == (mx, mx)
+    assert txn.closed_watermark_table(t) == (mx, mx)
+
+    # torn tail: drop the last tx's final row → wm backs to just below
+    # that tx's first gtid, exactly as with dense coordinates
+    torn = t.slice(0, len(t) - 1)
+    last_tx = rows[-1][1]
+    tx_first = min(g for g, x, _, _ in rows if x == last_tx)
+    wm, m = txn.closed_watermark_table(torn)
+    assert wm == tx_first - 1 and m == rows[-2][0]
+
+    # resumed suffix above a floor: sparse coordinates make a detached
+    # suffix unknowable → held back (conservative), while a floor that
+    # provably covers the prefix (min_gtid - 1 <= floor) commits it
+    tx0_rows = [r for r in rows if r[1] == 0]
+    suffix = t.slice(1)  # drop tx 0's first row
+    floor = tx0_rows[1][0] - 1  # immediately below the suffix head
+    wm, _ = txn.closed_watermark_table(suffix, floor=floor)
+    assert wm == mx  # prefix provably committed → complete
+    low_floor = tx0_rows[0][0]  # head row gtid — gap above it unknowable
+    wm2, _ = txn.closed_watermark_table(suffix, floor=low_floor)
+    assert wm2 == tx0_rows[1][0] - 1  # held at the open tx

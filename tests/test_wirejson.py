@@ -258,3 +258,26 @@ def test_canal_socket_feed_applies_to_lake(tmp_path):
     exp = final_state(cfg).sort_by("doc_id")
     assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
     assert state.column("tokens").to_pylist() == exp.column("tokens").to_pylist()
+
+
+def test_maxwell_index_miss_holds_transaction():
+    """An xid MISSING from the tx index (a live feed's tx newer than
+    the backlog snapshot) has unknown size: decode must mark it
+    tx_events=-1 (held back by the watermark) — never fabricate a
+    complete singleton that would let a torn transaction commit."""
+    rows = [{"database": "r", "table": "sequences", "type": "insert",
+             "xid": 77, "server_id": 1,
+             "position": f"master.000001:{100 + i}",
+             "data": {"doc_id": f"d{i}", "tokens": [1], "n_tok": 1,
+                      "source": "s"}} for i in range(2)]
+    idx = (np.array([5], np.int64), np.array([3], np.int64),
+           np.array([50], np.int64))  # covers xid 5 only
+    t = WJ.decode_maxwell(
+        _json_table(("\n".join(json.dumps(r) for r in rows)).encode()),
+        payload=SEQ_SCHEMA, tx_index=idx)
+    assert t.column("tx_events").to_pylist() == [-1, -1]
+    assert t.column("tx_id").to_pylist() == [77, 77]
+    # and the watermark indeed holds the unknown-size tx back
+    from rookray.txn import closed_watermark_table
+    wm, mx = closed_watermark_table(t)
+    assert wm < t.column("gtid").to_pylist()[0] <= mx
