@@ -2327,6 +2327,41 @@ def cdc_wire_pgoutput(sf_dir: str) -> pd.DataFrame:
 CDC_WIRE_PGOUTPUT_SQL = CDC_WIRE_CANAL_SQL
 
 
+def cdc_egress_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CDC egress closes the relay loop (rook is CDC *in* only,
+    MySQLReplicationStream.java:161-179): the flagship lake's
+    changefeed between its FIRST and LAST committed snapshots is
+    published as a Debezium-JSON dump (rookray.egress), then replayed
+    into a SECOND lake bootstrapped from the first snapshot — dump ∘
+    apply must reproduce the final state, so the oracle is the same
+    flagship LWW SQL.  Exercises changefeed extraction, envelope
+    encoding with synthetic delete coordinates, snapshot bootstrap,
+    and the topic-less decode path in one end-to-end loop."""
+    import tempfile
+    from rookray import egress
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wire import read_debezium
+    lake, eps = _three_epoch_lake()
+    out = tempfile.mkdtemp(prefix="rookray_egr_")
+    d = egress.export_changefeed(lake, eps[0], eps[-1], out)
+    payload = lake.payload_schema()
+    snap = lake.read(as_of=eps[0]).take_all()
+    # explicit schema: an epoch-0 snapshot may carry an evolved column
+    # as all-null, which from_pylist would infer as the null type
+    snap_t = pa.Table.from_pylist(
+        [{c: r.get(c) for c in payload.names} for r in snap],
+        schema=pa.schema(list(payload)))
+    down = LakeTable(tempfile.mkdtemp(prefix="rookray_egl_"),
+                     CDCConfig(num_partitions=16))
+    down.bootstrap(snap_t, gtid_watermark=0)
+    ds = read_debezium(d["data_files"], tx_topic=None, payload=payload)
+    down.apply(ds.materialize())
+    return _state_digest(down.state_table())
+
+
+CDC_EGRESS_ROUNDTRIP_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 def fti_postings(sf_dir: str) -> pd.DataFrame:
     """Incrementally-maintained inverted index (the Lucene analog,
     DefaultRowsMutationIndexer.java:64-88): replay the flagship stream
@@ -4321,6 +4356,7 @@ QUERIES = {
     "cdc_wire_maxwell": cdc_wire_maxwell,
     "cdc_wire_canal": cdc_wire_canal,
     "cdc_wire_pgoutput": cdc_wire_pgoutput,
+    "cdc_egress_roundtrip": cdc_egress_roundtrip,
     "fti_postings": fti_postings,
     "cdc_purged_state": cdc_purged_state,
     "cdc_export_by_source": cdc_export_by_source,
@@ -4415,6 +4451,7 @@ ORACLES = {
     "cdc_wire_maxwell": CDC_WIRE_MAXWELL_SQL,
     "cdc_wire_canal": CDC_WIRE_CANAL_SQL,
     "cdc_wire_pgoutput": CDC_WIRE_PGOUTPUT_SQL,
+    "cdc_egress_roundtrip": CDC_EGRESS_ROUNDTRIP_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,
