@@ -174,6 +174,12 @@ def cmd_wire(args) -> int:
                                    f"under {args.dump}"}))
         return 1
     lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
+    try:
+        committed = lake.payload_schema()
+    except Exception:
+        committed = None
+    if committed is not None and len(committed) == 0:
+        committed = None
     if args.format == "debezium":
         tx_topic = None
         if args.tx_topic:
@@ -181,24 +187,21 @@ def cmd_wire(args) -> int:
         else:
             auto = sorted(glob.glob(os.path.join(args.dump, "tx-*.jsonl")))
             tx_topic = auto or None
+        # an existing lake's committed schema beats dump inference
+        # (inference types never-seen-non-null columns as string)
         ds = read_debezium(paths, tx_topic=tx_topic,
-                           payload=infer_payload(paths))
+                           payload=committed or infer_payload(paths))
     else:
         from rookray.wirejson import (infer_payload_canal,
                                       infer_payload_maxwell, read_canal,
                                       read_maxwell)
-        try:
-            payload = lake.payload_schema()
-        except Exception:
-            payload = None
-        if payload is None or len(payload) == 0:
-            # fresh lake: infer from the dump itself — Maxwell from its
-            # typed JSON images, Canal from its own mysqlType/pkNames
-            # metadata (values are text; lists stay string unless an
-            # existing lake supplies a typed payload)
-            payload = (infer_payload_maxwell(paths)
-                       if args.format == "maxwell"
-                       else infer_payload_canal(paths))
+        # fresh lake: infer from the dump itself — Maxwell from its
+        # typed JSON images, Canal from its own mysqlType/pkNames
+        # metadata (values are text; lists stay string unless an
+        # existing lake supplies a typed payload)
+        payload = committed or (infer_payload_maxwell(paths)
+                                if args.format == "maxwell"
+                                else infer_payload_canal(paths))
         ds = (read_maxwell if args.format == "maxwell"
               else read_canal)(paths, payload=payload)
         tx_topic = None

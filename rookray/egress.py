@@ -39,31 +39,49 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pyarrow as pa
 
 __all__ = ["write_debezium", "export_changefeed"]
 
-_BINLOG_FILE = "rookray-egress.000001"
-
 _OP = {"insert": "c", "update": "u", "delete": "d"}
 
+#: decode re-packs ``gtid = file_seq << 40 | pos`` (binlog positions
+#: are < 2^40); an egress coordinate can be ANY int64 (source lakes
+#: fed by binlog/pgwal already pack file bits into their gtids), so
+#: the high bits ride in the emitted binlog FILE NAME and the low 40
+#: in ``pos`` — the decoded gtid is then exactly the emitted
+#: coordinate, monotone across dumps for every source gtid space.
+_POS_BITS = 40
 
-def _image(row: dict, names: list[str], suf: str) -> dict:
-    return {n: row[f"{n}_{suf}"] for n in names}
+
+def _coords(g: int) -> tuple[str, int]:
+    return (f"rookray-egress.{g >> _POS_BITS:06d}",
+            g & ((1 << _POS_BITS) - 1))
+
+
+def _image(row: dict, key: str, names: list[str], suf: str) -> dict:
+    # merge key FIRST: downstream payload inference
+    # (wire.infer_payload) takes the first-seen field as the key
+    out = {key: row[key]}
+    out.update({n: row[f"{n}_{suf}"] for n in names})
+    return out
 
 
 def write_debezium(feed: "ray.data.Dataset", out_dir: str,
-                   value_columns: list[str],
+                   key_column: str, value_columns: list[str],
                    delete_base: int,
                    db: str = "rook", table: str = "sequences",
                    server_id: int = 0,
                    server_name: str = "rookray") -> dict:
     """Serialize a ``changes_between`` feed (requested with every
     payload value column) into a Debezium-JSON dump under ``out_dir``.
-    ``delete_base`` must be ≥ the feed's max ``gtid_b`` (snapshot B's
-    closed watermark is the natural choice) — delete positions are
-    ``delete_base + gtid_a``.  Returns ``{"data_files", "events"}``."""
+    ``delete_base`` must be STRICTLY greater than the feed's max
+    ``gtid_b`` (snapshot B's watermark + 1 is the natural choice) —
+    delete positions are ``delete_base + gtid_a``, which keeps every
+    coordinate unique even for snapshot-bootstrap rows stamped
+    ``gtid_a = 0``.  Returns ``{"data_files", "events"}``."""
+    from rookray.wire import make_envelope
+
     os.makedirs(out_dir, exist_ok=True)
     names = list(value_columns)
 
@@ -77,27 +95,20 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
         for r in rows:
             change = r["change"]
             if change == "delete":
-                pos = delete_base + int(r["gtid_a"])
+                g = delete_base + int(r["gtid_a"])
             else:
-                pos = int(r["gtid_b"])
-            positions.append(pos)
-            env = {"payload": {
-                "before": (None if change == "insert"
-                           else _image(r, names, "a")
-                           | {"doc_id": r["doc_id"]}),
-                "after": (None if change == "delete"
-                          else _image(r, names, "b")
-                          | {"doc_id": r["doc_id"]}),
-                "source": {"version": "2.5.0.Final", "connector": "rookray",
-                           "name": server_name, "ts_ms": 0,
-                           "db": db, "table": table,
-                           "server_id": server_id,
-                           "file": _BINLOG_FILE, "pos": pos, "row": 0,
-                           "gtid": f"{server_name}:{pos}"},
-                "op": _OP[change], "ts_ms": 0,
-                "transaction": {"id": str(pos), "total_order": 1,
-                                "data_collection_order": 1},
-            }}
+                g = int(r["gtid_b"])
+            positions.append(g)
+            binlog_file, pos = _coords(g)
+            env = make_envelope(
+                _OP[change],
+                (None if change == "insert"
+                 else _image(r, key_column, names, "a")),
+                (None if change == "delete"
+                 else _image(r, key_column, names, "b")),
+                db, table, server_id, binlog_file, pos,
+                str(g), 1, connector="rookray",
+                server_name=server_name)
             lines.append(json.dumps(env, separators=(",", ":")))
         lo, hi = min(positions), max(positions)
         body = ("\n".join(lines) + "\n").encode()
@@ -133,12 +144,20 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     second lake bootstrapped from snapshot A
     (``tests/test_egress.py`` proves dump ∘ apply == snapshot B)."""
     payload = lake.payload_schema()
-    value_cols = [n for n in payload.names if n != payload.names[0]]
+    key = payload.names[0]
+    value_cols = [n for n in payload.names if n != key]
     feed = lake.changes_between(epoch_a, epoch_b, columns=value_cols)
-    wm_b = int(lake._snapshot_manifest(epoch_b)["closed_watermark"])
-    d = write_debezium(feed, out_dir, value_cols, delete_base=wm_b,
+    mb = lake._snapshot_manifest(epoch_b)
+    # tx_atomic=False lakes commit closed_watermark as None — the max
+    # gtid seen is always recorded and bounds every gtid_b equally
+    wm_b = mb["closed_watermark"]
+    if wm_b is None:
+        wm_b = mb["max_gtid_seen"]
+    base = int(wm_b) + 1  # strictly above every gtid_b: unique even
+    #                       for bootstrap rows stamped gtid_a = 0
+    d = write_debezium(feed, out_dir, key, value_cols, delete_base=base,
                        db="rook", table=lake.config.table,
                        server_id=0, server_name=server_name)
     d["payload"] = payload.names
-    d["delete_base"] = wm_b
+    d["delete_base"] = base
     return d

@@ -83,6 +83,35 @@ def _row_payload(struct_val) -> dict | None:
             for k, v in struct_val.items()}
 
 
+def make_envelope(op_char: str, before: dict | None, after: dict | None,
+                  db: str, table: str, server_id, file: str, pos: int,
+                  tx_id: str, total_order: int,
+                  connector: str = "mysql",
+                  server_name: str = "rookray") -> dict:
+    """The one Debezium envelope shape — shared by the recorded-dump
+    encoder below and the egress publisher (``rookray.egress``) so the
+    two can never drift."""
+    return {"payload": {
+        "before": before,
+        "after": after,
+        "source": {
+            "version": "2.5.0.Final", "connector": connector,
+            "name": server_name, "ts_ms": 0,
+            "db": db, "table": table,
+            "server_id": server_id,
+            "file": file, "pos": pos, "row": 0,
+            "gtid": f"{server_name}:{tx_id}",
+        },
+        "op": op_char,
+        "ts_ms": 0,
+        "transaction": {
+            "id": str(tx_id),
+            "total_order": total_order,
+            "data_collection_order": total_order,
+        },
+    }}
+
+
 def debezium_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                   connector: str = "mysql",
                   server_name: str = "rookray") -> dict:
@@ -100,25 +129,12 @@ def debezium_dump(events: pa.Table, out_dir: str, n_files: int = 4,
         path = os.path.join(out_dir, f"data-{fi // per:05d}.jsonl")
         with open(path, "w") as f:
             for r in chunk:
-                env = {"payload": {
-                    "before": _row_payload(r["before"]),
-                    "after": _row_payload(r["after"]),
-                    "source": {
-                        "version": "2.5.0.Final", "connector": connector,
-                        "name": server_name, "ts_ms": 0,
-                        "db": r["db"], "table": r["table"],
-                        "server_id": r["server_id"],
-                        "file": _BINLOG_FILE, "pos": r["gtid"], "row": 0,
-                        "gtid": f"{server_name}:{r['tx_id']}",
-                    },
-                    "op": _OP_TO_DBZ[r["op"]],
-                    "ts_ms": 0,
-                    "transaction": {
-                        "id": str(r["tx_id"]),
-                        "total_order": r["seq_in_tx"] + 1,
-                        "data_collection_order": r["seq_in_tx"] + 1,
-                    },
-                }}
+                env = make_envelope(
+                    _OP_TO_DBZ[r["op"]], _row_payload(r["before"]),
+                    _row_payload(r["after"]), r["db"], r["table"],
+                    r["server_id"], _BINLOG_FILE, r["gtid"],
+                    str(r["tx_id"]), r["seq_in_tx"] + 1,
+                    connector=connector, server_name=server_name)
                 f.write(json.dumps(env, separators=(",", ":")) + "\n")
         paths.append(path)
     # transaction topic: one BEGIN + one END per tx, in tx order

@@ -92,3 +92,41 @@ def test_empty_diff(tmp_path, ray_session):
     lake, e0, e1 = _two_epoch_lake(tmp_path)
     d = egress.export_changefeed(lake, e1, e1, str(tmp_path / "dump"))
     assert d["events"] == 0 and d["data_files"] == []
+
+
+def test_packed_source_coordinates_stay_monotone(tmp_path, ray_session):
+    """Source lakes fed by binlog/pgwal carry gtids with file bits
+    packed above 2^40.  decode re-packs gtid = file_seq<<40 | pos, so
+    egress splits each coordinate into (file name bits, pos) — the
+    decoded gtid must equal the emitted coordinate EXACTLY, preserving
+    cross-dump LWW order for every source gtid space (regression: raw
+    pos emission was non-monotonic past 2^40)."""
+    import ray.data
+
+    g1, g2, g3 = (2 << 40) | 5000, (3 << 40) | 100, (3 << 40) | 7
+    feed = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["k1", "k2", "k3"]),
+        "change": pa.array(["update", "insert", "delete"]),
+        "gtid_a": pa.array([g1 - 5, -1, g3], pa.int64()),
+        "gtid_b": pa.array([g1, g2, -1], pa.int64()),
+        "n_tok_a": pa.array([1, -1, 9], pa.int64()),
+        "n_tok_b": pa.array([2, 3, -1], pa.int64()),
+    }))
+    base = (3 << 40) | 101  # > max gtid_b
+    d = egress.write_debezium(feed, str(tmp_path / "dump"), "doc_id",
+                              ["n_tok"], delete_base=base)
+    t = read_debezium(
+        d["data_files"], tx_topic=None,
+        payload=pa.schema([("doc_id", pa.string()),
+                           ("n_tok", pa.int64())])).take_all()
+    got = {r["key"]: r["gtid"] for r in t}
+    assert got["k1"] == g1          # exact, despite pos bits > 2^40
+    assert got["k2"] == g2
+    assert got["k3"] == base + g3   # delete coordinate, also exact
+    assert got["k2"] > got["k1"]    # order preserved across 2^40
+    # images carry the key FIRST (downstream payload inference takes
+    # the first-seen field as the merge key)
+    import json
+    line = json.loads(open(d["data_files"][0]).readline())
+    img = line["payload"]["after"] or line["payload"]["before"]
+    assert next(iter(img)) == "doc_id"
