@@ -298,6 +298,32 @@ def cmd_pgwal(args) -> int:
     return 0
 
 
+def cmd_egress(args) -> int:
+    """CDC egress (the relay direction): publish the changefeed
+    between two committed snapshots as a Debezium-JSON dump any
+    downstream consumer — including another rookray lake — can
+    ingest.  Default epochs: previous → head (the incremental
+    publish a scheduler would run after each apply)."""
+    from rookray.egress import export_changefeed
+    from rookray.pipeline import LakeTable
+
+    _ensure_ray(args.num_cpus)
+    lake = LakeTable(args.table)
+    m = lake.manifest()
+    if not m:
+        print(json.dumps({"error": "empty table — nothing to egress"}))
+        return 1
+    head = int(m["epoch"])
+    to_epoch = head if args.to_epoch is None else args.to_epoch
+    from_epoch = (max(0, to_epoch - 1) if args.from_epoch is None
+                  else args.from_epoch)
+    res = export_changefeed(lake, from_epoch, to_epoch, args.out)
+    res["from_epoch"], res["to_epoch"] = from_epoch, to_epoch
+    res["data_files"] = len(res["data_files"])
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     from rookray.pipeline import LakeTable
 
@@ -550,6 +576,19 @@ def main(argv=None) -> int:
                          "tail copy); default raises on truncation")
     pg.add_argument("--num-cpus", type=int, default=None)
     pg.set_defaults(fn=cmd_pgwal)
+
+    eg = sub.add_parser("egress", help="publish the changefeed between "
+                        "two committed snapshots as a Debezium-JSON dump "
+                        "(CDC relay out of the lake)")
+    eg.add_argument("--table", required=True)
+    eg.add_argument("--out", required=True,
+                    help="output directory for the dump files")
+    eg.add_argument("--from-epoch", type=int, default=None,
+                    help="base snapshot (default: head - 1)")
+    eg.add_argument("--to-epoch", type=int, default=None,
+                    help="target snapshot (default: head)")
+    eg.add_argument("--num-cpus", type=int, default=None)
+    eg.set_defaults(fn=cmd_egress)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")
