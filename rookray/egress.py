@@ -14,13 +14,20 @@ Shape and coordinates:
 
 - One envelope per changed key: ``c`` (insert — after only), ``u``
   (update — full before/after images), ``d`` (delete — before only).
-- The dump is a FRESH coordinate space (a diff has no single source
-  coordinate per row): inserts/updates carry the winning row's
-  ``gtid_b`` as their binlog position; deletes — whose deleting
-  event's gtid is definitionally absent from snapshot B — carry
-  ``watermark_b + gtid_a``, which is unique and sorts after every
-  insert/update position AND after the deleted row's old version, so
-  a downstream LWW replay orders every key correctly.
+- Every coordinate in a dump lies inside the source span
+  ``(watermark_a, watermark_b]`` so CONSECUTIVE dumps compose exactly
+  like the source lake's own epochs (dump N+1's coordinates are all
+  above dump N's, and above the downstream floor dump N committed):
+  inserts/updates carry the winning row's ``gtid_b``; deletes — whose
+  deleting event's gtid is definitionally absent from snapshot B —
+  carry ``watermark_b`` itself, which sorts after the deleted
+  version's ``gtid_a`` (≤ watermark_a by construction).  Coordinates
+  may therefore COLLIDE across keys (several deletes share
+  ``watermark_b``); the engine's merge is per-key and its watermark
+  filters are range-based, so collisions are harmless — but
+  transaction identity must stay unique, so it rides separately:
+  ``gtid_b`` for inserts/updates, ``gtid_a`` for deletes (the two
+  ranges are disjoint — ``gtid_a ≤ watermark_a < gtid_b``).
 - Every envelope is its own single-event transaction (a snapshot diff
   carries exactly one event per key; there is no transaction
   structure to restate), so ``read_debezium``'s topic-less counting
@@ -69,17 +76,17 @@ def _image(row: dict, key: str, names: list[str], suf: str) -> dict:
 
 def write_debezium(feed: "ray.data.Dataset", out_dir: str,
                    key_column: str, value_columns: list[str],
-                   delete_base: int,
+                   delete_pos: int,
                    db: str = "rook", table: str = "sequences",
                    server_id: int = 0,
                    server_name: str = "rookray") -> dict:
     """Serialize a ``changes_between`` feed (requested with every
     payload value column) into a Debezium-JSON dump under ``out_dir``.
-    ``delete_base`` must be STRICTLY greater than the feed's max
-    ``gtid_b`` (snapshot B's watermark + 1 is the natural choice) —
-    delete positions are ``delete_base + gtid_a``, which keeps every
-    coordinate unique even for snapshot-bootstrap rows stamped
-    ``gtid_a = 0``.  Returns ``{"data_files", "events"}``."""
+    ``delete_pos`` is the coordinate every delete envelope carries —
+    snapshot B's watermark, i.e. ≥ the feed's max ``gtid_b`` and > any
+    ``gtid_a`` — see the module header for why collisions are safe and
+    how transaction identity stays unique.  Returns
+    ``{"data_files", "events"}``."""
     from rookray.wire import make_envelope
 
     os.makedirs(out_dir, exist_ok=True)
@@ -95,9 +102,9 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
         for r in rows:
             change = r["change"]
             if change == "delete":
-                g = delete_base + int(r["gtid_a"])
+                g, tx = delete_pos, int(r["gtid_a"])
             else:
-                g = int(r["gtid_b"])
+                g = tx = int(r["gtid_b"])
             positions.append(g)
             binlog_file, pos = _coords(g)
             env = make_envelope(
@@ -107,7 +114,7 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
                 (None if change == "delete"
                  else _image(r, key_column, names, "b")),
                 db, table, server_id, binlog_file, pos,
-                str(g), 1, connector="rookray",
+                str(tx), 1, connector="rookray",
                 server_name=server_name)
             lines.append(json.dumps(env, separators=(",", ":")))
         lo, hi = min(positions), max(positions)
@@ -153,11 +160,10 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     wm_b = mb["closed_watermark"]
     if wm_b is None:
         wm_b = mb["max_gtid_seen"]
-    base = int(wm_b) + 1  # strictly above every gtid_b: unique even
-    #                       for bootstrap rows stamped gtid_a = 0
-    d = write_debezium(feed, out_dir, key, value_cols, delete_base=base,
+    d = write_debezium(feed, out_dir, key, value_cols,
+                       delete_pos=int(wm_b),
                        db="rook", table=lake.config.table,
                        server_id=0, server_name=server_name)
     d["payload"] = payload.names
-    d["delete_base"] = base
+    d["delete_pos"] = int(wm_b)
     return d

@@ -84,7 +84,7 @@ def test_diff_shape_and_idempotent_rewrite(tmp_path, ray_session):
                 assert env["before"] is not None
     assert len(keys) == d1["events"]
     if del_pos and ud_pos:
-        assert min(del_pos) > max(ud_pos)
+        assert min(del_pos) >= max(ud_pos)  # deletes at the watermark
     assert del_pos and ud_pos  # the fixture exercises all three ops
 
 
@@ -112,9 +112,9 @@ def test_packed_source_coordinates_stay_monotone(tmp_path, ray_session):
         "n_tok_a": pa.array([1, -1, 9], pa.int64()),
         "n_tok_b": pa.array([2, 3, -1], pa.int64()),
     }))
-    base = (3 << 40) | 101  # > max gtid_b
+    wm = (3 << 40) | 101  # >= max gtid_b
     d = egress.write_debezium(feed, str(tmp_path / "dump"), "doc_id",
-                              ["n_tok"], delete_base=base)
+                              ["n_tok"], delete_pos=wm)
     t = read_debezium(
         d["data_files"], tx_topic=None,
         payload=pa.schema([("doc_id", pa.string()),
@@ -122,11 +122,49 @@ def test_packed_source_coordinates_stay_monotone(tmp_path, ray_session):
     got = {r["key"]: r["gtid"] for r in t}
     assert got["k1"] == g1          # exact, despite pos bits > 2^40
     assert got["k2"] == g2
-    assert got["k3"] == base + g3   # delete coordinate, also exact
+    assert got["k3"] == wm          # delete at the watermark, exact
     assert got["k2"] > got["k1"]    # order preserved across 2^40
+    # tx identity rides separately and stays unique: gtid_a for the
+    # delete, gtid_b otherwise
+    txs = {r["key"]: r["tx_id"] for r in t}
+    assert txs == {"k1": g1, "k2": g2, "k3": g3}
     # images carry the key FIRST (downstream payload inference takes
     # the first-seen field as the merge key)
     import json
     line = json.loads(open(d["data_files"][0]).readline())
     img = line["payload"]["after"] or line["payload"]["before"]
     assert next(iter(img)) == "doc_id"
+
+
+def test_incremental_egress_chain(tmp_path, ray_session):
+    """The relay run CONTINUOUSLY: dump(A→B) then dump(B→C) applied in
+    sequence onto a downstream lake bootstrapped from A must equal
+    snapshot C — cross-dump coordinates must stay monotone per key and
+    every dump's transactions must close on their own."""
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=9)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    e0 = lake.apply(meta["files"][:4])["epoch"]
+    e1 = lake.apply(meta["files"][3:7])["epoch"]
+    e2 = lake.apply(meta["files"][6:])["epoch"]
+
+    d01 = egress.export_changefeed(lake, e0, e1, str(tmp_path / "d01"))
+    d12 = egress.export_changefeed(lake, e1, e2, str(tmp_path / "d12"))
+
+    payload = lake.payload_schema()
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+    for d in (d01, d12):
+        if d["events"]:
+            ds = read_debezium(d["data_files"], tx_topic=None,
+                               payload=payload)
+            res = down.apply(ds.materialize())
+            assert res["closed_watermark"] is not None
+
+    got = _payload_state(down, None)
+    want = _payload_state(lake, e2)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
