@@ -302,8 +302,12 @@ def cmd_egress(args) -> int:
     """CDC egress (the relay direction): publish the changefeed
     between two committed snapshots as a Debezium-JSON dump any
     downstream consumer — including another rookray lake — can
-    ingest.  Default epochs: previous → head (the incremental
-    publish a scheduler would run after each apply)."""
+    ingest.  The out directory carries its own publish cursor
+    (``_EGRESS_STATE.json``), so repeated runs relay INCREMENTALLY:
+    each run publishes (last-published → head) and advances the
+    cursor after the dump lands — the cron-style relay loop.
+    Explicit ``--from-epoch``/``--to-epoch`` override the cursor
+    (and do not advance it)."""
     from rookray.egress import export_changefeed
     from rookray.pipeline import LakeTable
 
@@ -314,12 +318,32 @@ def cmd_egress(args) -> int:
         print(json.dumps({"error": "empty table — nothing to egress"}))
         return 1
     head = int(m["epoch"])
+    state_path = os.path.join(args.out, "_EGRESS_STATE.json")
+    cursor = None
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            cursor = int(json.load(f)["last_epoch"])
+    explicit = args.from_epoch is not None or args.to_epoch is not None
     to_epoch = head if args.to_epoch is None else args.to_epoch
-    from_epoch = (max(0, to_epoch - 1) if args.from_epoch is None
-                  else args.from_epoch)
+    if args.from_epoch is not None:
+        from_epoch = args.from_epoch
+    elif cursor is not None:
+        from_epoch = cursor
+    else:
+        from_epoch = max(0, to_epoch - 1)
+    if from_epoch == to_epoch and not explicit:
+        print(json.dumps({"events": 0, "data_files": 0,
+                          "from_epoch": from_epoch,
+                          "to_epoch": to_epoch, "up_to_date": True}))
+        return 0
     res = export_changefeed(lake, from_epoch, to_epoch, args.out)
     res["from_epoch"], res["to_epoch"] = from_epoch, to_epoch
     res["data_files"] = len(res["data_files"])
+    if not explicit:
+        # advance the cursor only after the dump fully landed
+        with open(state_path + ".tmp", "w") as f:
+            json.dump({"last_epoch": to_epoch}, f)
+        os.replace(state_path + ".tmp", state_path)
     print(json.dumps(res))
     return 0
 

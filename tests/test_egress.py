@@ -168,3 +168,39 @@ def test_incremental_egress_chain(tmp_path, ray_session):
     assert got.num_rows == want.num_rows
     for c in payload.names:
         assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_cli_incremental_relay_cursor(tmp_path, ray_session, capsys):
+    """`rookray egress` run repeatedly relays incrementally: the out
+    directory's cursor advances per run, a fresh epoch publishes only
+    its own diff, and an up-to-date relay is a no-op."""
+    import json as _json
+    from rookray.cli import main as cli_main
+
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=9)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(meta["files"][:4])
+    lake.apply(meta["files"][3:7])
+    out = str(tmp_path / "relay")
+
+    assert cli_main(["egress", "--table", str(tmp_path / "lake"),
+                     "--out", out]) == 0
+    r1 = _json.loads(capsys.readouterr().out)
+    assert (r1["from_epoch"], r1["to_epoch"]) == (0, 1)
+
+    # nothing new → no-op, cursor unchanged
+    assert cli_main(["egress", "--table", str(tmp_path / "lake"),
+                     "--out", out]) == 0
+    assert _json.loads(capsys.readouterr().out)["up_to_date"] is True
+
+    # a fresh epoch publishes only its own diff
+    lake2 = LakeTable(str(tmp_path / "lake"))
+    lake2.apply(meta["files"][6:])
+    assert cli_main(["egress", "--table", str(tmp_path / "lake"),
+                     "--out", out]) == 0
+    r3 = _json.loads(capsys.readouterr().out)
+    assert (r3["from_epoch"], r3["to_epoch"]) == (1, 2)
+    assert r3["events"] > 0
