@@ -264,3 +264,38 @@ def test_socket_death_mid_tx_then_file_resume(tmp_path):
     exp = final_state(cfg).sort_by("doc_id")
     assert state.column("doc_id").to_pylist() == exp.column("doc_id").to_pylist()
     assert state.column("tokens").to_pylist() == exp.column("tokens").to_pylist()
+
+
+def test_live_stream_feeds_windows(tmp_path):
+    """Composition: a live pgoutput socket feed drives the STREAMING
+    layer (tumbling windows close as the replication stream flows),
+    not just the lake — decoded change events are first-class stream
+    input.  The window sums must equal the per-window op counts of
+    the serial decode."""
+    import collections
+
+    from rookray.streaming import tumbling_stream
+
+    cfg = GenConfig(n_docs=30, n_events=300, noise_pct=0)
+    ev = generate_events(cfg)
+    d = PG.pgwal_dump(ev, str(tmp_path / "pg"), n_files=3)
+    payload = _payload_of(ev)
+
+    srv = PG.PgStreamServer()
+    ds = PG.stream_pgwal_socket(srv.host, srv.port, payload=payload)
+    for f in d["files"]:
+        srv.push_file(f, chunk=777)
+    srv.close()
+
+    win = 64
+    got = collections.Counter()
+    for tbl in tumbling_stream(ds, window=win, ts_col="gtid",
+                               key_col="op", n_sources=1):
+        for r in tbl.to_pylist():
+            got[(r["window_start"], r["op"])] += r["n_events"]
+
+    want = collections.Counter()
+    for g, op in zip(ev.column("gtid").to_pylist(),
+                     ev.column("op").to_pylist()):
+        want[((g // win) * win, op)] += 1
+    assert got == want
