@@ -180,6 +180,20 @@ def cmd_wire(args) -> int:
         committed = None
     if committed is not None and len(committed) == 0:
         committed = None
+    # checkpoint resume: skip whole dump files at or below the
+    # committed watermark after a head-of-file read (the binlog/pgwal
+    # coordinate-pruning analog for the JSON formats)
+    from rookray.wirejson import jsonl_files_above
+    n_all = len(paths)
+    m = lake.manifest()
+    if m and m.get("closed_watermark") is not None:
+        paths = jsonl_files_above(paths, int(m["closed_watermark"]),
+                                  args.format)
+    if not paths:
+        print(json.dumps({"events_applied": 0, "files": 0,
+                          "files_skipped": n_all,
+                          "format": args.format}))
+        return 0
     if args.format == "debezium":
         tx_topic = None
         if args.tx_topic:
@@ -208,6 +222,7 @@ def cmd_wire(args) -> int:
     res = lake.apply(ds.materialize())
     res["files"] = len(paths)
     res["format"] = args.format
+    res["files_skipped"] = n_all - len(paths)
     res["tx_topic"] = bool(tx_topic)
     print(json.dumps(res))
     return 0

@@ -94,6 +94,8 @@ from rookray.wire import (_field_or_null, _json_table, _payload_struct,
 __all__ = [
     "maxwell_dump", "decode_maxwell", "read_maxwell",
     "canal_dump", "decode_canal", "read_canal",
+    "infer_payload_maxwell", "infer_payload_canal",
+    "jsonl_first_coordinate", "jsonl_files_above",
     "MaxwellStreamServer", "CanalStreamServer",
     "stream_maxwell_socket", "stream_canal_socket",
 ]
@@ -639,6 +641,73 @@ def read_canal(paths: list[str],
 
     return ray.data.read_json(paths).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ============================================== checkpoint file pruning
+
+def jsonl_first_coordinate(path: str, fmt: str) -> int | None:
+    """The first row-mutation record's ENGINE coordinate (the decoded
+    gtid space) from a dump file's head — a few lines of JSON, no full
+    parse.  ``fmt``: "debezium" | "maxwell" | "canal".  None when the
+    file holds no coordinate-bearing mutation (e.g. all DDL)."""
+    import json as _json
+    import re as _re
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if i > 64:  # a dump head is mutations; don't scan forever
+                break
+            try:
+                rec = _json.loads(line)
+            except ValueError:
+                return None
+            if fmt == "canal":
+                # every record (DDL included) carries the monotone id
+                if rec.get("id") is not None:
+                    return int(rec["id"]) << _CANAL_ROW_BITS
+                continue
+            if fmt == "maxwell":
+                if rec.get("type") not in ("insert", "bootstrap-insert",
+                                           "update", "delete"):
+                    continue
+                m = _re.search(r"(\d+):(\d+)$", rec.get("position") or "")
+                if not m:
+                    return None
+                return (int(m.group(1)) << 40) | int(m.group(2))
+            # debezium
+            p = (rec.get("payload") or {})
+            if p.get("op") not in ("c", "r", "u", "d"):
+                continue
+            src = p.get("source") or {}
+            if src.get("pos") is not None:
+                m = _re.search(r"(\d+)$", src.get("file") or "0")
+                return ((int(m.group(1)) if m else 0) << 40) \
+                    | int(src["pos"])
+            g = src.get("gtid")
+            if g is not None:
+                return int(str(g).rsplit(":", 1)[-1]) << 20
+            return None
+    return None
+
+
+def jsonl_files_above(paths: list[str], watermark: int,
+                      fmt: str) -> list[str]:
+    """Checkpoint resume for recorded JSON dumps — the same
+    successor-based pruning as ``pgoutput.pgwal_files_above``: dump
+    files are stream-ordered, so a file whose SUCCESSOR's first
+    coordinate is at or below the lake's committed watermark is
+    skipped after a head-of-file read; the first overlapping file is
+    re-presented in full and the watermark filter drops the applied
+    prefix."""
+    if watermark is None or watermark < 0:
+        return list(paths)
+    firsts = [jsonl_first_coordinate(p, fmt) for p in paths]
+    out = []
+    for i, p in enumerate(paths):
+        nxt = next((f for f in firsts[i + 1:] if f is not None), None)
+        if nxt is not None and nxt - 1 <= watermark:
+            continue
+        out.append(p)
+    return out
 
 
 # ===================================================== schema inference

@@ -281,3 +281,49 @@ def test_maxwell_index_miss_holds_transaction():
     from rookray.txn import closed_watermark_table
     wm, mx = closed_watermark_table(t)
     assert wm < t.column("gtid").to_pylist()[0] <= mx
+
+
+def test_checkpoint_resume_prunes_json_dump_files(tmp_path, ray_session,
+                                                  capsys):
+    """The JSON-dump analog of the binlog/pgwal coordinate resume: a
+    second `rookray wire` run skips every dump file whose successor's
+    first coordinate is at or below the committed watermark (head-of-
+    file reads only), applies 0 events, and leaves state identical —
+    for all three JSON formats."""
+    import json as _json
+    from rookray.cli import main as cli_main
+    from rookray.pipeline import LakeTable
+    from rookray import wire as W
+
+    ev = generate_events(GenConfig(n_docs=20, n_events=160))
+    dumps = {
+        "maxwell": WJ.maxwell_dump(ev, str(tmp_path / "mx"), n_files=4),
+        "canal": WJ.canal_dump(ev, str(tmp_path / "cn"), n_files=4),
+        "debezium": W.debezium_dump(ev, str(tmp_path / "dz"), n_files=4),
+    }
+    dirs = {"maxwell": "mx", "canal": "cn", "debezium": "dz"}
+    for fmt, d in dumps.items():
+        t = str(tmp_path / f"lake_{fmt}")
+        assert cli_main(["wire", "--format", fmt,
+                         "--dump", str(tmp_path / dirs[fmt]),
+                         "--table", t, "--partitions", "2"]) == 0
+        first = _json.loads(capsys.readouterr().out)
+        assert first["files"] == 4 and first["files_skipped"] == 0, fmt
+        state1 = LakeTable(t).state_table().sort_by("doc_id")
+
+        files = d.get("files") or d["data_files"]
+        wm = first["closed_watermark"]
+        kept = WJ.jsonl_files_above(files, wm, fmt)
+        assert kept == files[3:], fmt  # only the tail re-presented
+
+        assert cli_main(["wire", "--format", fmt,
+                         "--dump", str(tmp_path / dirs[fmt]),
+                         "--table", t, "--partitions", "2"]) == 0
+        second = _json.loads(capsys.readouterr().out)
+        assert second["files_skipped"] == 3, fmt
+        assert second["events_applied"] == 0, fmt
+        state2 = LakeTable(t).state_table().sort_by("doc_id")
+        assert state1.to_pylist() == state2.to_pylist(), fmt
+
+        # watermark below everything → all files kept
+        assert WJ.jsonl_files_above(files, -1, fmt) == files, fmt
