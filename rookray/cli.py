@@ -219,6 +219,31 @@ def cmd_wire(args) -> int:
         ds = (read_maxwell if args.format == "maxwell"
               else read_canal)(paths, payload=payload)
         tx_topic = None
+    if args.route:
+        # multi-table routed ingest: one decoded stream maintains one
+        # lake per routed table behind a cross-table consistent commit
+        # (rook's per-table listener routing; readers never see one
+        # table's epoch ahead of another's)
+        from rookray.targets.fanout import AtomicFanout
+        targets = {}
+        for spec in args.route:
+            tbl, _, path = spec.partition("=")
+            if not path:
+                print(json.dumps({"error": f"--route {spec!r} is not "
+                                           "TABLE=LAKE_PATH"}))
+                return 1
+            targets[tbl] = LakeTable(path, CDCConfig(
+                num_partitions=args.partitions, table=tbl))
+        fan = AtomicFanout(targets, args.fanout_root
+                           or os.path.join(args.table, "_fanout"))
+        results = fan.apply(ds.materialize())
+        out = {"format": args.format, "files": len(paths),
+               "files_skipped": n_all - len(paths),
+               "targets": {k: (v["result"] if v["ok"]
+                               else {"error": v["error"]})
+                           for k, v in results.items()}}
+        print(json.dumps(out))
+        return 0 if all(v["ok"] for v in results.values()) else 1
     res = lake.apply(ds.materialize())
     res["files"] = len(paths)
     res["format"] = args.format
@@ -583,7 +608,17 @@ def main(argv=None) -> int:
     wr.add_argument("--tx-topic", default=None,
                     help="transaction-topic jsonl (default: tx-*.jsonl "
                          "under --dump if present, else a counting pass)")
-    wr.add_argument("--table", required=True)
+    wr.add_argument("--table", required=True,
+                    help="lake path (single-table mode), or the fanout "
+                         "root's parent with --route")
+    wr.add_argument("--route", action="append", default=None,
+                    metavar="TABLE=LAKE_PATH",
+                    help="multi-table routed ingest: maintain one lake "
+                         "per routed table behind a cross-table "
+                         "consistent commit (repeatable)")
+    wr.add_argument("--fanout-root", default=None,
+                    help="coordinator-manifest dir for --route "
+                         "(default: <table>/_fanout)")
     wr.add_argument("--partitions", type=int, default=16)
     wr.add_argument("--num-cpus", type=int, default=None)
     wr.set_defaults(fn=cmd_wire)

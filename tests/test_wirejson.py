@@ -327,3 +327,41 @@ def test_checkpoint_resume_prunes_json_dump_files(tmp_path, ray_session,
 
         # watermark below everything → all files kept
         assert WJ.jsonl_files_above(files, -1, fmt) == files, fmt
+
+
+def test_cli_multi_table_routed_ingest(tmp_path, ray_session, capsys):
+    """`wire --route` maintains one lake per table from one decoded
+    stream behind a cross-table consistent commit — the connector-dump
+    analog of rook's per-table listener routing."""
+    import json as _json
+    from rookray.cli import main as cli_main
+    from rookray.pipeline import LakeTable
+
+    ev = generate_events(GenConfig(n_docs=30, n_events=300,
+                                   noise_pct=30))
+    WJ.canal_dump(ev, str(tmp_path / "cn"), n_files=3)
+    assert cli_main([
+        "wire", "--format", "canal", "--dump", str(tmp_path / "cn"),
+        "--table", str(tmp_path / "fan"),
+        "--route", f"sequences={tmp_path / 'seq'}",
+        "--route", f"ignored_entity={tmp_path / 'noise'}",
+        "--partitions", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert set(out["targets"]) == {"sequences", "ignored_entity"}
+    assert all("error" not in v for v in out["targets"].values())
+
+    seq = LakeTable(str(tmp_path / "seq")).state_table()
+    noise = LakeTable(str(tmp_path / "noise")).state_table()
+    assert seq.num_rows > 0 and noise.num_rows > 0
+    # routing is strictly by TABLE: the noise lake holds only the
+    # ignored_entity rows (all noise-* docs); the sequences lake also
+    # holds the server-999 noise rows that sit on table 'sequences' —
+    # canal carries no server_id, so table is the routing dimension
+    assert all(d.startswith("noise-")
+               for d in noise.column("doc_id").to_pylist())
+    assert any(not d.startswith("noise-")
+               for d in seq.column("doc_id").to_pylist())
+    # the consistent commit landed
+    import os
+    assert os.path.exists(str(tmp_path / "fan" / "_fanout" /
+                              "atomic.json"))
