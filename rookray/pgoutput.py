@@ -29,6 +29,15 @@ big-endian, strings NUL-terminated):
   ``'D'`` Delete:   relid(4) ('K'|'O') TupleData
   ``'O'`` Origin, ``'Y'`` Type, ``'T'`` Truncate, ``'M'`` Message —
           parsed and skipped (not row mutations)
+  ``'S'`` StreamStart: xid(4) first_segment(1) — protocol v2: a LARGE
+          in-progress transaction ships as interleavable S..E
+          segments; rows buffer per xid
+  ``'E'`` StreamStop (ends the current segment)
+  ``'c'`` StreamCommit: xid(4) flags(1) commit_lsn(8) end_lsn(8)
+          ts(8) — flushes the xid's buffered rows as one transaction
+  ``'A'`` StreamAbort: xid(4) subxid(4) — whole-transaction aborts
+          discard the buffer; SUBtransaction aborts raise (the engine
+          does not track subtransaction boundaries)
 
   TupleData: ncols(2); per column: ``'n'`` (SQL NULL) | ``'u'``
   (unchanged TOAST value, not sent) | ``'t'`` len(4) + text-format
@@ -171,7 +180,9 @@ def _relation_msg(relid: int, ns: str, name: str, replident: bytes,
 def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                replident: str = "full",
                evolve_gtid: int | None = None,
-               pre_evolution_columns: int | None = None) -> dict:
+               pre_evolution_columns: int | None = None,
+               stream_txs_over: int | None = None,
+               stream_segment_rows: int = 8) -> dict:
     """Serialize a change-event table into a recorded pgoutput
     replication stream: ``pgwal-%05d.bin`` files of XLogData-framed
     messages, transactions bracketed by Begin/Commit and never
@@ -180,8 +191,11 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     (the pgoutput-native additive-DDL story: transactions below the
     threshold declare only ``pre_evolution_columns`` columns).
     ``replident``: ``"full"`` → 'O' complete before images; ``"key"``
-    → 'K' key-only before images.  Deterministic: same input table →
-    byte-identical dump."""
+    → 'K' key-only before images.  ``stream_txs_over``: transactions
+    with more rows ship as protocol-v2 streamed S..E segments of
+    ``stream_segment_rows`` each, closed by a StreamCommit — how a
+    real publisher ships transactions too large to buffer.
+    Deterministic: same input table → byte-identical dump."""
     os.makedirs(out_dir, exist_ok=True)
     rows = events.to_pylist()
     payload_fields = [(f.name, f.type)
@@ -209,7 +223,7 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
             return payload_fields[:pre_evolution_columns]
         return payload_fields
 
-    paths, n_events = [], 0
+    paths, n_events, n_streamed = [], 0, 0
     ident = b"f" if replident == "full" else b"i"
     for fi in range(0, len(txs), per):
         chunk = txs[fi:fi + per]
@@ -218,11 +232,16 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
         sent: dict[int, int] = {}  # relid → ncols last declared
         for tx in chunk:
             cols = cols_for(tx[-1]["gtid"])
-            first = tx[0]
-            w.frame(first["gtid"],
-                    b"B" + struct.pack(">QQI", first["gtid"], 0,
-                                       first["tx_id"] & 0xFFFFFFFF))
-            for r in tx:
+            first, last = tx[0], tx[-1]
+            xid = first["tx_id"] & 0xFFFFFFFF
+            streamed = (stream_txs_over is not None
+                        and len(tx) > stream_txs_over)
+            if not streamed:
+                w.frame(first["gtid"],
+                        b"B" + struct.pack(">QQI", first["gtid"], 0,
+                                           xid))
+
+            def row_body(r):
                 rid = relid_of(r["db"], r["table"])
                 if sent.get(rid) != len(cols):
                     w.frame(r["gtid"], _relation_msg(
@@ -234,37 +253,49 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                             for n, _ in cols]
 
                 if r["op"] == OP_INSERT:
-                    body = (b"I" + struct.pack(">I", rid) + b"N"
+                    return (b"I" + struct.pack(">I", rid) + b"N"
                             + _tuple_data(vals(r["after"])))
-                elif r["op"] == OP_UPDATE:
-                    if replident == "full":
-                        old = b"O" + _tuple_data(vals(r["before"]))
-                    else:
-                        key_only = [r["before"].get(names[0])
-                                    if i == 0 else None
-                                    for i, (n, _) in enumerate(cols)]
-                        old = b"K" + _tuple_data(key_only)
-                    body = (b"U" + struct.pack(">I", rid) + old
-                            + b"N" + _tuple_data(vals(r["after"])))
+                if replident == "full":
+                    old = b"O" + _tuple_data(vals(r["before"]))
                 else:
-                    if replident == "full":
-                        old = b"O" + _tuple_data(vals(r["before"]))
-                    else:
-                        key_only = [r["before"].get(names[0])
-                                    if i == 0 else None
-                                    for i, (n, _) in enumerate(cols)]
-                        old = b"K" + _tuple_data(key_only)
-                    body = b"D" + struct.pack(">I", rid) + old
-                w.frame(r["gtid"], body)
-                n_events += 1
-            last = tx[-1]
-            w.frame(last["gtid"],
-                    b"C\x00" + struct.pack(">QQQ", last["gtid"],
+                    key_only = [r["before"].get(names[0])
+                                if i == 0 else None
+                                for i, (n, _) in enumerate(cols)]
+                    old = b"K" + _tuple_data(key_only)
+                if r["op"] == OP_UPDATE:
+                    return (b"U" + struct.pack(">I", rid) + old
+                            + b"N" + _tuple_data(vals(r["after"])))
+                return b"D" + struct.pack(">I", rid) + old
+
+            if streamed:
+                # protocol v2: the tx ships as S..E segments while
+                # still in progress, then one StreamCommit
+                n_streamed += 1
+                for si in range(0, len(tx), stream_segment_rows):
+                    seg = tx[si:si + stream_segment_rows]
+                    w.frame(seg[0]["gtid"],
+                            b"S" + struct.pack(">IB", xid,
+                                               1 if si == 0 else 0))
+                    for r in seg:
+                        w.frame(r["gtid"], row_body(r))
+                        n_events += 1
+                    w.frame(seg[-1]["gtid"], b"E")
+                w.frame(last["gtid"],
+                        b"c" + struct.pack(">IBQQQ", xid, 0,
+                                           last["gtid"],
                                            last["gtid"] + 1, 0))
+            else:
+                for r in tx:
+                    w.frame(r["gtid"], row_body(r))
+                    n_events += 1
+                w.frame(last["gtid"],
+                        b"C\x00" + struct.pack(">QQQ", last["gtid"],
+                                               last["gtid"] + 1, 0))
         w.keepalive(chunk[-1][-1]["gtid"] + 1)
         w.close()
         paths.append(path)
-    return {"files": paths, "events": n_events, "txs": len(txs)}
+    return {"files": paths, "events": n_events, "txs": len(txs),
+            "streamed_txs": n_streamed}
 
 
 # --------------------------------------------------------------- parser
@@ -340,6 +371,10 @@ class PgOutputParser:
         self._rels: dict[int, tuple[str, str, list[str]]] = {}
         self._tx: list[tuple] | None = None
         self._xid = -1
+        # protocol v2 streamed in-progress transactions: rows buffer
+        # per xid across interleaved S..E blocks until StreamCommit
+        self._streams: dict[int, list[tuple]] = {}
+        self._cur_stream: int | None = None
         self._out: list[tuple] = []
         self._name_idx = {n: i for i, n in enumerate(payload.names)}
 
@@ -405,15 +440,41 @@ class PgOutputParser:
             struct.unpack_from(">BQQQ", mv, o)  # bounds check
             if self._tx is None:
                 raise PgOutputError("Commit without Begin")
-            nrows = len(self._tx)
-            for seq, (g, db, table, op, before, after) in \
-                    enumerate(self._tx):
-                key_src = before if before is not None else after
-                key = None if key_src is None else key_src[0]
-                self._out.append((g, self._xid, seq, nrows, db, table,
-                                  op, key, before, after))
+            self._flush_rows(self._tx, self._xid)
             self._tx = None
             return o + 25
+        # ---- protocol v2: streamed in-progress transactions --------
+        if tag == b"S":          # StreamStart: xid(4) first_segment(1)
+            xid, _first = struct.unpack_from(">IB", mv, o)
+            if self._cur_stream is not None:
+                raise PgOutputError("StreamStart inside a stream block")
+            self._cur_stream = xid
+            self._streams.setdefault(xid, [])
+            return o + 5
+        if tag == b"E":          # StreamStop: no payload
+            if self._cur_stream is None:
+                raise PgOutputError("StreamStop outside a stream block")
+            self._cur_stream = None
+            return o
+        if tag == b"c":          # StreamCommit: xid flags lsn lsn ts
+            xid, = struct.unpack_from(">I", mv, o)
+            struct.unpack_from(">BQQQ", mv, o + 4)  # bounds check
+            if self._cur_stream is not None:
+                raise PgOutputError("StreamCommit inside a stream block")
+            if xid not in self._streams:
+                raise PgOutputError(f"StreamCommit for unknown "
+                                    f"xid={xid}")
+            self._flush_rows(self._streams.pop(xid), xid)
+            return o + 29
+        if tag == b"A":          # StreamAbort: xid(4) subxid(4)
+            xid, subxid = struct.unpack_from(">II", mv, o)
+            if subxid != xid:
+                raise PgOutputError(
+                    f"subtransaction stream abort (xid={xid}, "
+                    f"subxid={subxid}) is not supported — the engine "
+                    "does not track subtransaction boundaries")
+            self._streams.pop(xid, None)
+            return o + 8
         if tag == b"R":
             (relid,) = struct.unpack_from(">I", mv, o)
             o += 4
@@ -469,9 +530,13 @@ class PgOutputParser:
                 vals, o = _read_tuple(mv, o + 1)
                 before = self._map(vals, names, None)
                 op = OP_DELETE
-            if self._tx is None:
+            row = (lsn, ns, rel, op, before, after)
+            if self._cur_stream is not None:
+                self._streams[self._cur_stream].append(row)
+            elif self._tx is not None:
+                self._tx.append(row)
+            else:
                 raise PgOutputError("row mutation outside a transaction")
-            self._tx.append((lsn, ns, rel, op, before, after))
             return o
         if tag == b"O":          # Origin: lsn(8) + name(cstr)
             o += 8
@@ -491,6 +556,14 @@ class PgOutputParser:
             (ln,) = struct.unpack_from(">I", mv, o)
             return o + 4 + ln
         raise PgOutputError(f"unknown pgoutput message {tag!r}")
+
+    def _flush_rows(self, rows: list[tuple], xid: int) -> None:
+        nrows = len(rows)
+        for seq, (g, db, table, op, before, after) in enumerate(rows):
+            key_src = before if before is not None else after
+            key = None if key_src is None else key_src[0]
+            self._out.append((g, xid, seq, nrows, db, table, op, key,
+                              before, after))
 
     def _map(self, vals: list, names: list[str],
              before: list | None) -> list:
@@ -554,7 +627,14 @@ class PgOutputParser:
             raise PgOutputError(
                 f"stream ends inside transaction xid={self._xid} "
                 f"({len(self._tx)} buffered rows) — torn tail")
+        if self._streams and not self.allow_partial_tail:
+            xid, rows = next(iter(self._streams.items()))
+            raise PgOutputError(
+                f"stream ends with {len(self._streams)} uncommitted "
+                f"streamed transaction(s) (e.g. xid={xid}, "
+                f"{len(rows)} buffered rows) — torn tail")
         self._tx = None
+        self._streams.clear()
         return self._emit(force=True)
 
 

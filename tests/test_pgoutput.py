@@ -299,3 +299,82 @@ def test_live_stream_feeds_windows(tmp_path):
                      ev.column("op").to_pylist()):
         want[((g // win) * win, op)] += 1
     assert got == want
+
+
+def test_streamed_transactions_roundtrip(tmp_path):
+    """Protocol v2: large transactions ship as S..E segments closed by
+    StreamCommit — decode must reproduce the exact same events as the
+    Begin/Commit encoding of the same stream."""
+    ev = generate_events(CFG)
+    payload = _payload_of(ev)
+    plain = PG.pgwal_dump(ev, str(tmp_path / "plain"), n_files=2)
+    streamed = PG.pgwal_dump(ev, str(tmp_path / "streamed"), n_files=2,
+                             stream_txs_over=2, stream_segment_rows=3)
+    a = _decode_all(plain["files"], payload)
+    b = _decode_all(streamed["files"], payload)
+    assert a.equals(b)
+    # the streamed dump genuinely used the stream protocol
+    assert streamed["streamed_txs"] > 0
+    blob = b"".join(open(p, "rb").read() for p in streamed["files"])
+    # chunked incremental feed over the streamed encoding still exact
+    pr = PG.PgOutputParser(payload, emit_rows=1 << 62)
+    for i in range(0, len(blob), 11):
+        pr.feed(blob[i:i + 11])
+    assert pr.finish().sort_by("gtid").equals(a)
+
+
+def test_interleaved_streams_and_abort():
+    """Two transactions interleave their S..E segments (the reason the
+    stream protocol exists); an aborted streamed transaction leaves no
+    rows; a torn open stream raises in strict mode."""
+    payload = SEQ_SCHEMA
+    rel = PG._relation_msg(16385, "rook", "sequences", b"f",
+                           [(f.name, f.type) for f in payload])
+
+    def tup(vals):
+        out = [struct.pack(">H", len(vals))]
+        for v in vals:
+            b = str(v).encode() if not isinstance(v, (list,)) else \
+                ("{" + ",".join(map(str, v)) + "}").encode()
+            out.append(b"t" + struct.pack(">I", len(b)) + b)
+        return b"".join(out)
+
+    def ins(doc, lsn):
+        return (lsn, b"I" + struct.pack(">I", 16385) + b"N"
+                + tup([doc, [1], 1, "s"]))
+
+    S = lambda xid, first: b"S" + struct.pack(">IB", xid, first)
+    msgs = [
+        (1, S(100, 1)), (1, rel), ins("a0", 2), (2, b"E"),
+        (3, S(200, 1)), ins("b0", 4), (4, b"E"),      # interleaved
+        (5, S(100, 0)), ins("a1", 5), (5, b"E"),
+        (6, S(300, 1)), ins("x0", 6), (6, b"E"),      # will abort
+        (7, b"c" + struct.pack(">IBQQQ", 100, 0, 7, 8, 0)),
+        (8, b"A" + struct.pack(">II", 300, 300)),
+        (9, b"c" + struct.pack(">IBQQQ", 200, 0, 9, 10, 0)),
+    ]
+    blob = b"".join(b"w" + struct.pack(">QQQ", lsn, lsn, 0) + m
+                    for lsn, m in msgs)
+    t = PG.decode_pgwal_file(blob, payload).sort_by("gtid")
+    assert t.column("key").to_pylist() == ["a0", "b0", "a1"]
+    assert t.column("tx_id").to_pylist() == [100, 200, 100]
+    assert t.column("tx_events").to_pylist() == [2, 1, 2]
+    assert t.column("seq_in_tx").to_pylist() == [0, 0, 1]
+
+    # torn open stream (no StreamCommit) raises; lenient drops it
+    torn = b"".join(b"w" + struct.pack(">QQQ", lsn, lsn, 0) + m
+                    for lsn, m in msgs[:4] + [(9, S(500, 1)),
+                                              ins("z", 9), (9, b"E")])
+    with pytest.raises(PG.PgOutputError, match="uncommitted streamed"):
+        PG.decode_pgwal_file(torn, payload)
+    t2 = PG.decode_pgwal_file(torn, payload, allow_partial_tail=True)
+    assert t2.num_rows == 0  # xid 100 never committed either
+
+    # subtransaction abort is explicitly unsupported
+    sub = b"".join(b"w" + struct.pack(">QQQ", lsn, lsn, 0) + m
+                   for lsn, m in [(1, S(700, 1)), (1, rel),
+                                  ins("q", 1), (1, b"E"),
+                                  (2, b"A" + struct.pack(">II",
+                                                         700, 701))])
+    with pytest.raises(PG.PgOutputError, match="subtransaction"):
+        PG.decode_pgwal_file(sub, payload, allow_partial_tail=True)

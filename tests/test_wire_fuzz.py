@@ -98,16 +98,18 @@ def test_canal_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
 
 
 @settings(max_examples=12, deadline=None)
-@given(**_CFG)
+@given(**_CFG, streamed=st.booleans())
 def test_pgoutput_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
-                                       zipf, evolve, n_files):
+                                       zipf, evolve, n_files, streamed):
     cfg, ev, payload = _gen(seed, n_docs, n_events, noise_pct, zipf,
                             evolve)
     with tempfile.TemporaryDirectory() as tmp:
         d = PG.pgwal_dump(ev, tmp, n_files=n_files,
                           evolve_gtid=cfg.evolve_at,
                           pre_evolution_columns=4 if cfg.evolve_at
-                          else None)
+                          else None,
+                          stream_txs_over=2 if streamed else None,
+                          stream_segment_rows=3)
         parts = [PG.decode_pgwal_file(open(p, "rb").read(), payload)
                  for p in d["files"]]
     got = pa.concat_tables(parts).sort_by("gtid")
