@@ -173,27 +173,54 @@ def cmd_wire(args) -> int:
         print(json.dumps({"error": f"no files match {pattern!r} "
                                    f"under {args.dump}"}))
         return 1
-    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
-    try:
-        committed = lake.payload_schema()
-    except Exception:
-        committed = None
-    if committed is not None and len(committed) == 0:
+    # routed targets resolve FIRST: in route mode the pruning floor
+    # and the committed schema come from the ROUTED lakes, never from
+    # the fanout-root placeholder at --table
+    route_targets: dict[str, "LakeTable"] = {}
+    if args.route:
+        for spec in args.route:
+            tbl, _, path = spec.partition("=")
+            if not path:
+                print(json.dumps({"error": f"--route {spec!r} is not "
+                                           "TABLE=LAKE_PATH"}))
+                return 1
+            route_targets[tbl] = LakeTable(path, CDCConfig(
+                num_partitions=args.partitions, table=tbl))
+        lakes = list(route_targets.values())
+    else:
+        lakes = [LakeTable(args.table,
+                           CDCConfig(num_partitions=args.partitions))]
+    committed = None
+    for lk in lakes:
+        try:
+            committed = lk.payload_schema()
+        except Exception:
+            committed = None
+        if committed is not None and len(committed):
+            break
         committed = None
     # checkpoint resume: skip whole dump files at or below the
     # committed watermark after a head-of-file read (the binlog/pgwal
-    # coordinate-pruning analog for the JSON formats)
+    # coordinate-pruning analog for the JSON formats).  With multiple
+    # routed targets the floor is the MIN over their watermarks — a
+    # file is skippable only when EVERY target already committed it;
+    # any target without a manifest needs everything (no pruning).
     from rookray.wirejson import jsonl_files_above
     n_all = len(paths)
-    m = lake.manifest()
-    if m and m.get("closed_watermark") is not None:
-        paths = jsonl_files_above(paths, int(m["closed_watermark"]),
-                                  args.format)
+    wms = []
+    for lk in lakes:
+        m = lk.manifest()
+        wms.append(m.get("closed_watermark") if m else None)
+    if all(w is not None for w in wms):
+        paths = jsonl_files_above(paths, int(min(wms)), args.format)
     if not paths:
-        print(json.dumps({"events_applied": 0, "files": 0,
-                          "files_skipped": n_all,
-                          "format": args.format}))
+        out = {"events_applied": 0, "files": 0, "files_skipped": n_all,
+               "format": args.format}
+        if args.route:
+            out["targets"] = {t: "up_to_date" for t in route_targets}
+        print(json.dumps(out))
         return 0
+    lake = lakes[0]
     if args.format == "debezium":
         tx_topic = None
         if args.tx_topic:
@@ -216,8 +243,11 @@ def cmd_wire(args) -> int:
         payload = committed or (infer_payload_maxwell(paths)
                                 if args.format == "maxwell"
                                 else infer_payload_canal(paths))
-        ds = (read_maxwell if args.format == "maxwell"
-              else read_canal)(paths, payload=payload)
+        if args.format == "maxwell":
+            ds = read_maxwell(paths, payload=payload,
+                              single_parse=not args.two_pass)
+        else:
+            ds = read_canal(paths, payload=payload)
         tx_topic = None
     if args.route:
         # multi-table routed ingest: one decoded stream maintains one
@@ -225,16 +255,7 @@ def cmd_wire(args) -> int:
         # (rook's per-table listener routing; readers never see one
         # table's epoch ahead of another's)
         from rookray.targets.fanout import AtomicFanout
-        targets = {}
-        for spec in args.route:
-            tbl, _, path = spec.partition("=")
-            if not path:
-                print(json.dumps({"error": f"--route {spec!r} is not "
-                                           "TABLE=LAKE_PATH"}))
-                return 1
-            targets[tbl] = LakeTable(path, CDCConfig(
-                num_partitions=args.partitions, table=tbl))
-        fan = AtomicFanout(targets, args.fanout_root
+        fan = AtomicFanout(route_targets, args.fanout_root
                            or os.path.join(args.table, "_fanout"))
         results = fan.apply(ds.materialize())
         out = {"format": args.format, "files": len(paths),
@@ -376,7 +397,23 @@ def cmd_egress(args) -> int:
                           "from_epoch": from_epoch,
                           "to_epoch": to_epoch, "up_to_date": True}))
         return 0
-    res = export_changefeed(lake, from_epoch, to_epoch, args.out)
+    if from_epoch > to_epoch:
+        # the cursor outran the lake (restored/recreated/purged lake,
+        # or an out-dir reused across lakes) — report, don't traceback
+        print(json.dumps({"error": f"publish cursor at epoch "
+                                   f"{from_epoch} is ahead of the "
+                                   f"target epoch {to_epoch} — pass "
+                                   "--from-epoch to re-anchor the "
+                                   "relay"}))
+        return 1
+    try:
+        res = export_changefeed(lake, from_epoch, to_epoch, args.out)
+    except ValueError as e:
+        # e.g. a cursor epoch behind the lake's GC horizon
+        print(json.dumps({"error": f"cannot diff epochs {from_epoch}"
+                                   f"→{to_epoch}: {e}; pass "
+                                   "--from-epoch to re-anchor"}))
+        return 1
     res["from_epoch"], res["to_epoch"] = from_epoch, to_epoch
     res["data_files"] = len(res["data_files"])
     if not explicit:
@@ -619,6 +656,11 @@ def main(argv=None) -> int:
     wr.add_argument("--fanout-root", default=None,
                     help="coordinator-manifest dir for --route "
                          "(default: <table>/_fanout)")
+    wr.add_argument("--two-pass", action="store_true",
+                    help="maxwell only: re-parse with a projected "
+                         "schema for the tx-index pass instead of "
+                         "materializing the parsed dump (for dumps "
+                         "too large to hold in the object store)")
     wr.add_argument("--partitions", type=int, default=16)
     wr.add_argument("--num-cpus", type=int, default=None)
     wr.set_defaults(fn=cmd_wire)

@@ -241,11 +241,15 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                         b"B" + struct.pack(">QQI", first["gtid"], 0,
                                            xid))
 
-            def row_body(r):
+            def row_body(r, xp=b""):
+                """DML message body; ``xp`` is the protocol-v2 Int32
+                xid prefix carried by every message inside a streamed
+                transaction (Relations included)."""
                 rid = relid_of(r["db"], r["table"])
                 if sent.get(rid) != len(cols):
-                    w.frame(r["gtid"], _relation_msg(
-                        rid, r["db"], r["table"], ident, cols))
+                    m = _relation_msg(rid, r["db"], r["table"], ident,
+                                      cols)
+                    w.frame(r["gtid"], m[:1] + xp + m[1:])
                     sent[rid] = len(cols)
 
                 def vals(img):
@@ -253,7 +257,7 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                             for n, _ in cols]
 
                 if r["op"] == OP_INSERT:
-                    return (b"I" + struct.pack(">I", rid) + b"N"
+                    return (b"I" + xp + struct.pack(">I", rid) + b"N"
                             + _tuple_data(vals(r["after"])))
                 if replident == "full":
                     old = b"O" + _tuple_data(vals(r["before"]))
@@ -263,21 +267,22 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                                 for i, (n, _) in enumerate(cols)]
                     old = b"K" + _tuple_data(key_only)
                 if r["op"] == OP_UPDATE:
-                    return (b"U" + struct.pack(">I", rid) + old
+                    return (b"U" + xp + struct.pack(">I", rid) + old
                             + b"N" + _tuple_data(vals(r["after"])))
-                return b"D" + struct.pack(">I", rid) + old
+                return b"D" + xp + struct.pack(">I", rid) + old
 
             if streamed:
                 # protocol v2: the tx ships as S..E segments while
                 # still in progress, then one StreamCommit
                 n_streamed += 1
+                xp = struct.pack(">I", xid)
                 for si in range(0, len(tx), stream_segment_rows):
                     seg = tx[si:si + stream_segment_rows]
                     w.frame(seg[0]["gtid"],
                             b"S" + struct.pack(">IB", xid,
                                                1 if si == 0 else 0))
                     for r in seg:
-                        w.frame(r["gtid"], row_body(r))
+                        w.frame(r["gtid"], row_body(r, xp))
                         n_events += 1
                     w.frame(seg[-1]["gtid"], b"E")
                 w.frame(last["gtid"],
@@ -430,6 +435,14 @@ class PgOutputParser:
     def _message(self, mv: memoryview, o: int, lsn: int) -> int:
         tag = _byte(mv, o)
         o += 1
+        # protocol v2: every message INSIDE a streamed transaction
+        # carries an Int32 xid right after the tag (what lets a real
+        # subscriber attribute interleaved content)
+        msg_xid: int | None = None
+        if (self._cur_stream is not None
+                and tag in (b"R", b"Y", b"I", b"U", b"D", b"T", b"M")):
+            (msg_xid,) = struct.unpack_from(">I", mv, o)
+            o += 4
         if tag == b"B":
             _, _, xid = struct.unpack_from(">QQI", mv, o)
             if self._tx is not None:
@@ -532,6 +545,12 @@ class PgOutputParser:
                 op = OP_DELETE
             row = (lsn, ns, rel, op, before, after)
             if self._cur_stream is not None:
+                # attribute by the per-message xid (the authoritative
+                # field); it must agree with the enclosing block
+                if msg_xid is not None and msg_xid != self._cur_stream:
+                    raise PgOutputError(
+                        f"streamed message xid={msg_xid} inside "
+                        f"StreamStart block xid={self._cur_stream}")
                 self._streams[self._cur_stream].append(row)
             elif self._tx is not None:
                 self._tx.append(row)
@@ -678,16 +697,9 @@ def pgwal_files_above(paths: list[str], watermark: int) -> list[str]:
     overlapping file is re-presented in full and the lake's watermark
     filter drops the already-applied prefix (overlap is
     correctness-free, skipped bytes are the win)."""
-    if watermark is None or watermark < 0:
-        return list(paths)
-    firsts = [first_lsn(p) for p in paths]
-    out = []
-    for i, p in enumerate(paths):
-        nxt = next((f for f in firsts[i + 1:] if f is not None), None)
-        if nxt is not None and nxt - 1 <= watermark:
-            continue  # everything in this file is at or below the mark
-        out.append(p)
-    return out
+    from rookray.source import segments_above
+    return segments_above(paths, watermark,
+                          [first_lsn(p) for p in paths])
 
 
 def read_pgwal(paths: list[str], payload: pa.Schema = SEQ_SCHEMA,

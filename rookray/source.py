@@ -390,6 +390,26 @@ def stream_events(shard_dir, pattern: str = "events-*.parquet",
 # stream holding one table of change events.  Length 0 = producer EOF.
 
 
+def segments_above(paths: list[str], watermark: int,
+                   firsts: list[int | None]) -> list[str]:
+    """Successor-based checkpoint pruning for stream-ordered segment
+    files: drop a file when the NEXT file's first coordinate is at or
+    below the committed watermark (everything in it was applied); the
+    first overlapping file is re-presented in full and the watermark
+    filter drops the applied prefix.  ``firsts[i]`` = first coordinate
+    of ``paths[i]`` (None = unknown → conservative keep).  Shared by
+    the pgoutput (LSN) and JSON-dump resume paths."""
+    if watermark is None or watermark < 0:
+        return list(paths)
+    out = []
+    for i, p in enumerate(paths):
+        nxt = next((f for f in firsts[i + 1:] if f is not None), None)
+        if nxt is not None and nxt - 1 <= watermark:
+            continue
+        out.append(p)
+    return out
+
+
 def connect_with_deadline(host: str, port: int, timeout_s: float):
     """Retry TCP connect until the deadline — shared by every socket
     datasource (the producer may come up after the read task does)."""

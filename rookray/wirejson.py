@@ -698,16 +698,10 @@ def jsonl_files_above(paths: list[str], watermark: int,
     skipped after a head-of-file read; the first overlapping file is
     re-presented in full and the watermark filter drops the applied
     prefix."""
-    if watermark is None or watermark < 0:
-        return list(paths)
-    firsts = [jsonl_first_coordinate(p, fmt) for p in paths]
-    out = []
-    for i, p in enumerate(paths):
-        nxt = next((f for f in firsts[i + 1:] if f is not None), None)
-        if nxt is not None and nxt - 1 <= watermark:
-            continue
-        out.append(p)
-    return out
+    from rookray.source import segments_above
+    return segments_above(paths, watermark,
+                          [jsonl_first_coordinate(p, fmt)
+                           for p in paths])
 
 
 # ===================================================== schema inference

@@ -204,3 +204,27 @@ def test_cli_incremental_relay_cursor(tmp_path, ray_session, capsys):
     r3 = _json.loads(capsys.readouterr().out)
     assert (r3["from_epoch"], r3["to_epoch"]) == (1, 2)
     assert r3["events"] > 0
+
+
+def test_cli_stale_cursor_reports_instead_of_crashing(tmp_path,
+                                                      ray_session,
+                                                      capsys):
+    """A publish cursor ahead of the lake's head (restored/recreated
+    lake, reused out dir) reports a JSON error with a re-anchor hint —
+    never an uncaught traceback."""
+    import json as _json
+    import os
+    from rookray.cli import main as cli_main
+
+    meta = write_shards(GenConfig(n_docs=10, n_events=80),
+                        str(tmp_path / "shards"), n_shards=2)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(num_partitions=2))
+    lake.apply(meta["files"])
+    out = str(tmp_path / "relay")
+    os.makedirs(out)
+    with open(os.path.join(out, "_EGRESS_STATE.json"), "w") as f:
+        _json.dump({"last_epoch": 5}, f)
+    assert cli_main(["egress", "--table", str(tmp_path / "lake"),
+                     "--out", out]) == 1
+    err = _json.loads(capsys.readouterr().out)
+    assert "ahead of the target epoch" in err["error"]

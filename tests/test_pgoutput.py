@@ -339,16 +339,21 @@ def test_interleaved_streams_and_abort():
             out.append(b"t" + struct.pack(">I", len(b)) + b)
         return b"".join(out)
 
-    def ins(doc, lsn):
-        return (lsn, b"I" + struct.pack(">I", 16385) + b"N"
+    def ins(doc, lsn, xid):
+        # protocol v2: in-stream messages carry an Int32 xid after
+        # the tag
+        return (lsn, b"I" + struct.pack(">II", xid, 16385) + b"N"
                 + tup([doc, [1], 1, "s"]))
+
+    def rel_in(xid):
+        return rel[:1] + struct.pack(">I", xid) + rel[1:]
 
     S = lambda xid, first: b"S" + struct.pack(">IB", xid, first)
     msgs = [
-        (1, S(100, 1)), (1, rel), ins("a0", 2), (2, b"E"),
-        (3, S(200, 1)), ins("b0", 4), (4, b"E"),      # interleaved
-        (5, S(100, 0)), ins("a1", 5), (5, b"E"),
-        (6, S(300, 1)), ins("x0", 6), (6, b"E"),      # will abort
+        (1, S(100, 1)), (1, rel_in(100)), ins("a0", 2, 100), (2, b"E"),
+        (3, S(200, 1)), ins("b0", 4, 200), (4, b"E"),   # interleaved
+        (5, S(100, 0)), ins("a1", 5, 100), (5, b"E"),
+        (6, S(300, 1)), ins("x0", 6, 300), (6, b"E"),   # will abort
         (7, b"c" + struct.pack(">IBQQQ", 100, 0, 7, 8, 0)),
         (8, b"A" + struct.pack(">II", 300, 300)),
         (9, b"c" + struct.pack(">IBQQQ", 200, 0, 9, 10, 0)),
@@ -361,10 +366,18 @@ def test_interleaved_streams_and_abort():
     assert t.column("tx_events").to_pylist() == [2, 1, 2]
     assert t.column("seq_in_tx").to_pylist() == [0, 0, 1]
 
+    # a wrong per-message xid inside a block is a protocol error
+    bad = b"".join(b"w" + struct.pack(">QQQ", lsn, lsn, 0) + m
+                   for lsn, m in [(1, S(100, 1)), (1, rel_in(100)),
+                                  ins("a0", 2, 999), (2, b"E")])
+    with pytest.raises(PG.PgOutputError, match="inside StreamStart"):
+        PG.decode_pgwal_file(bad, payload, allow_partial_tail=True)
+
     # torn open stream (no StreamCommit) raises; lenient drops it
     torn = b"".join(b"w" + struct.pack(">QQQ", lsn, lsn, 0) + m
                     for lsn, m in msgs[:4] + [(9, S(500, 1)),
-                                              ins("z", 9), (9, b"E")])
+                                              ins("z", 9, 500),
+                                              (9, b"E")])
     with pytest.raises(PG.PgOutputError, match="uncommitted streamed"):
         PG.decode_pgwal_file(torn, payload)
     t2 = PG.decode_pgwal_file(torn, payload, allow_partial_tail=True)
@@ -372,8 +385,8 @@ def test_interleaved_streams_and_abort():
 
     # subtransaction abort is explicitly unsupported
     sub = b"".join(b"w" + struct.pack(">QQQ", lsn, lsn, 0) + m
-                   for lsn, m in [(1, S(700, 1)), (1, rel),
-                                  ins("q", 1), (1, b"E"),
+                   for lsn, m in [(1, S(700, 1)), (1, rel_in(700)),
+                                  ins("q", 1, 700), (1, b"E"),
                                   (2, b"A" + struct.pack(">II",
                                                          700, 701))])
     with pytest.raises(PG.PgOutputError, match="subtransaction"):

@@ -365,3 +365,47 @@ def test_cli_multi_table_routed_ingest(tmp_path, ray_session, capsys):
     import os
     assert os.path.exists(str(tmp_path / "fan" / "_fanout" /
                               "atomic.json"))
+
+
+def test_route_mode_prunes_by_routed_targets_only(tmp_path, ray_session,
+                                                  capsys):
+    """Regression (review-confirmed data loss): checkpoint pruning in
+    --route mode must consult the ROUTED lakes' watermarks, never the
+    fanout-root placeholder at --table.  A fresh routed lake gets the
+    whole dump even when --table points at an already-caught-up
+    lake."""
+    import json as _json
+    from rookray.cli import main as cli_main
+    from rookray.pipeline import LakeTable
+
+    ev = generate_events(GenConfig(n_docs=20, n_events=160))
+    WJ.canal_dump(ev, str(tmp_path / "cn"), n_files=4)
+    L = str(tmp_path / "single")
+    assert cli_main(["wire", "--format", "canal",
+                     "--dump", str(tmp_path / "cn"),
+                     "--table", L, "--partitions", "2"]) == 0
+    first = _json.loads(capsys.readouterr().out)
+    assert first["files_skipped"] == 0
+
+    # reuse the caught-up lake's path as the fanout root (exactly the
+    # misuse the --table help text invites)
+    assert cli_main(["wire", "--format", "canal",
+                     "--dump", str(tmp_path / "cn"),
+                     "--table", L,
+                     "--route", f"sequences={tmp_path / 'seq'}",
+                     "--partitions", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["files_skipped"] == 0  # fresh target → no pruning
+    seq = LakeTable(str(tmp_path / "seq")).state_table()
+    want = LakeTable(L).state_table()
+    assert seq.sort_by("doc_id").to_pylist() \
+        == want.sort_by("doc_id").to_pylist()
+
+    # second routed run: now the routed lake IS caught up → prune
+    assert cli_main(["wire", "--format", "canal",
+                     "--dump", str(tmp_path / "cn"),
+                     "--table", L,
+                     "--route", f"sequences={tmp_path / 'seq'}",
+                     "--partitions", "2"]) == 0
+    again = _json.loads(capsys.readouterr().out)
+    assert again["files_skipped"] == 3
