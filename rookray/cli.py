@@ -154,6 +154,64 @@ def cmd_tail_socket(args) -> int:
     return 1 if "warning" in res else 0
 
 
+def _route_targets(args) -> "dict | None":
+    """Parse repeatable ``--route TABLE=LAKE_PATH`` specs into
+    ``{table: LakeTable}`` (None without --route; raises SystemExit-
+    style error dict via ValueError for a malformed spec)."""
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    if not getattr(args, "route", None):
+        return None
+    targets = {}
+    for spec in args.route:
+        tbl, _, path = spec.partition("=")
+        if not path:
+            raise ValueError(f"--route {spec!r} is not TABLE=LAKE_PATH")
+        targets[tbl] = LakeTable(path, CDCConfig(
+            num_partitions=args.partitions, table=tbl))
+    return targets
+
+
+def _prune_floor(lakes) -> "int | None":
+    """Checkpoint-pruning floor across ingest targets: the MIN over
+    their committed watermarks — a dump file is skippable only when
+    EVERY target already committed it; any target without a manifest
+    needs everything (no pruning)."""
+    wms = []
+    for lk in lakes:
+        m = lk.manifest()
+        wm = m.get("closed_watermark") if m else None
+        if wm is None:
+            return None
+        wms.append(int(wm))
+    return min(wms) if wms else None
+
+
+def _apply_single_or_routed(args, ds, lake, route_targets,
+                            n_all: int, n_kept: int,
+                            extra: dict) -> int:
+    """Shared tail of every dump-ingest command: apply the decoded
+    Dataset to ONE lake, or fan it out to the routed lakes behind a
+    cross-table consistent commit."""
+    if route_targets:
+        from rookray.targets.fanout import AtomicFanout
+        fan = AtomicFanout(route_targets, args.fanout_root
+                           or os.path.join(args.table, "_fanout"))
+        results = fan.apply(ds.materialize())
+        out = dict(extra, files=n_kept, files_skipped=n_all - n_kept,
+                   targets={k: (v["result"] if v["ok"]
+                                else {"error": v["error"]})
+                            for k, v in results.items()})
+        print(json.dumps(out))
+        return 0 if all(v["ok"] for v in results.values()) else 1
+    res = lake.apply(ds.materialize())
+    res.update(extra)
+    res["files"] = n_kept
+    res["files_skipped"] = n_all - n_kept
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_wire(args) -> int:
     """Public wire-format ingest: decode a recorded CDC JSON dump —
     Debezium envelopes (data topic + optional transaction topic),
@@ -176,20 +234,14 @@ def cmd_wire(args) -> int:
     # routed targets resolve FIRST: in route mode the pruning floor
     # and the committed schema come from the ROUTED lakes, never from
     # the fanout-root placeholder at --table
-    route_targets: dict[str, "LakeTable"] = {}
-    if args.route:
-        for spec in args.route:
-            tbl, _, path = spec.partition("=")
-            if not path:
-                print(json.dumps({"error": f"--route {spec!r} is not "
-                                           "TABLE=LAKE_PATH"}))
-                return 1
-            route_targets[tbl] = LakeTable(path, CDCConfig(
-                num_partitions=args.partitions, table=tbl))
-        lakes = list(route_targets.values())
-    else:
-        lakes = [LakeTable(args.table,
-                           CDCConfig(num_partitions=args.partitions))]
+    try:
+        route_targets = _route_targets(args)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    lakes = (list(route_targets.values()) if route_targets
+             else [LakeTable(args.table,
+                             CDCConfig(num_partitions=args.partitions))])
     committed = None
     for lk in lakes:
         try:
@@ -199,24 +251,18 @@ def cmd_wire(args) -> int:
         if committed is not None and len(committed):
             break
         committed = None
-    # checkpoint resume: skip whole dump files at or below the
-    # committed watermark after a head-of-file read (the binlog/pgwal
-    # coordinate-pruning analog for the JSON formats).  With multiple
-    # routed targets the floor is the MIN over their watermarks — a
-    # file is skippable only when EVERY target already committed it;
-    # any target without a manifest needs everything (no pruning).
+    # checkpoint resume: skip whole dump files at or below every
+    # target's committed watermark after a head-of-file read (the
+    # binlog/pgwal coordinate-pruning analog for the JSON formats)
     from rookray.wirejson import jsonl_files_above
     n_all = len(paths)
-    wms = []
-    for lk in lakes:
-        m = lk.manifest()
-        wms.append(m.get("closed_watermark") if m else None)
-    if all(w is not None for w in wms):
-        paths = jsonl_files_above(paths, int(min(wms)), args.format)
+    floor = _prune_floor(lakes)
+    if floor is not None:
+        paths = jsonl_files_above(paths, floor, args.format)
     if not paths:
         out = {"events_applied": 0, "files": 0, "files_skipped": n_all,
                "format": args.format}
-        if args.route:
+        if route_targets:
             out["targets"] = {t: "up_to_date" for t in route_targets}
         print(json.dumps(out))
         return 0
@@ -249,29 +295,11 @@ def cmd_wire(args) -> int:
         else:
             ds = read_canal(paths, payload=payload)
         tx_topic = None
-    if args.route:
-        # multi-table routed ingest: one decoded stream maintains one
-        # lake per routed table behind a cross-table consistent commit
-        # (rook's per-table listener routing; readers never see one
-        # table's epoch ahead of another's)
-        from rookray.targets.fanout import AtomicFanout
-        fan = AtomicFanout(route_targets, args.fanout_root
-                           or os.path.join(args.table, "_fanout"))
-        results = fan.apply(ds.materialize())
-        out = {"format": args.format, "files": len(paths),
-               "files_skipped": n_all - len(paths),
-               "targets": {k: (v["result"] if v["ok"]
-                               else {"error": v["error"]})
-                           for k, v in results.items()}}
-        print(json.dumps(out))
-        return 0 if all(v["ok"] for v in results.values()) else 1
-    res = lake.apply(ds.materialize())
-    res["files"] = len(paths)
-    res["format"] = args.format
-    res["files_skipped"] = n_all - len(paths)
-    res["tx_topic"] = bool(tx_topic)
-    print(json.dumps(res))
-    return 0
+    extra = {"format": args.format}
+    if not route_targets:
+        extra["tx_topic"] = bool(tx_topic)
+    return _apply_single_or_routed(args, ds, lake, route_targets,
+                                   n_all, len(paths), extra)
 
 
 def cmd_binlog(args) -> int:
@@ -291,30 +319,41 @@ def cmd_binlog(args) -> int:
         print(json.dumps({"error": f"no files match {args.pattern!r} "
                                    f"under {args.dump}"}))
         return 1
-    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
     try:
-        payload = lake.payload_schema()
-    except Exception:
+        route_targets = _route_targets(args)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    lakes = (list(route_targets.values()) if route_targets
+             else [LakeTable(args.table,
+                             CDCConfig(num_partitions=args.partitions))])
+    payload = None
+    for lk in lakes:
+        try:
+            payload = lk.payload_schema()
+        except Exception:
+            payload = None
+        if payload is not None and len(payload):
+            break
         payload = None
-    if payload is None or len(payload) == 0:
+    if payload is None:
         payload = SEQ_SCHEMA_V2
-    # coordinate-checkpoint resume: skip files entirely at or below the
-    # committed watermark without opening them
+    # coordinate-checkpoint resume: skip files entirely at or below
+    # every target's committed watermark without opening them
     n_all = len(paths)
-    m = lake.manifest()
-    if m and m.get("closed_watermark") is not None:
-        paths = binlog_files_above(paths, int(m["closed_watermark"]))
+    floor = _prune_floor(lakes)
+    if floor is not None:
+        paths = binlog_files_above(paths, floor)
     if not paths:
-        print(json.dumps({"events_applied": 0, "files": 0,
-                          "files_skipped": n_all}))
+        out = {"events_applied": 0, "files": 0, "files_skipped": n_all}
+        if route_targets:
+            out["targets"] = {t: "up_to_date" for t in route_targets}
+        print(json.dumps(out))
         return 0
     ds = read_binlog(paths, payload=payload,
                      allow_partial_tail=args.allow_partial_tail)
-    res = lake.apply(ds.materialize())
-    res["files"] = len(paths)
-    res["files_skipped"] = n_all - len(paths)
-    print(json.dumps(res))
-    return 0
+    return _apply_single_or_routed(args, ds, lakes[0], route_targets,
+                                   n_all, len(paths), {})
 
 
 def cmd_pgwal(args) -> int:
@@ -333,30 +372,41 @@ def cmd_pgwal(args) -> int:
         print(json.dumps({"error": f"no files match {args.pattern!r} "
                                    f"under {args.dump}"}))
         return 1
-    lake = LakeTable(args.table, CDCConfig(num_partitions=args.partitions))
     try:
-        payload = lake.payload_schema()
-    except Exception:
+        route_targets = _route_targets(args)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    lakes = (list(route_targets.values()) if route_targets
+             else [LakeTable(args.table,
+                             CDCConfig(num_partitions=args.partitions))])
+    payload = None
+    for lk in lakes:
+        try:
+            payload = lk.payload_schema()
+        except Exception:
+            payload = None
+        if payload is not None and len(payload):
+            break
         payload = None
-    if payload is None or len(payload) == 0:
+    if payload is None:
         payload = SEQ_SCHEMA_V2
-    # LSN-checkpoint resume: skip whole segments at or below the
-    # committed watermark after a header-only read
+    # LSN-checkpoint resume: skip whole segments at or below every
+    # target's committed watermark after a header-only read
     n_all = len(paths)
-    m = lake.manifest()
-    if m and m.get("closed_watermark") is not None:
-        paths = pgwal_files_above(paths, int(m["closed_watermark"]))
+    floor = _prune_floor(lakes)
+    if floor is not None:
+        paths = pgwal_files_above(paths, floor)
     if not paths:
-        print(json.dumps({"events_applied": 0, "files": 0,
-                          "files_skipped": n_all}))
+        out = {"events_applied": 0, "files": 0, "files_skipped": n_all}
+        if route_targets:
+            out["targets"] = {t: "up_to_date" for t in route_targets}
+        print(json.dumps(out))
         return 0
     ds = read_pgwal(paths, payload=payload,
                     allow_partial_tail=args.allow_partial_tail)
-    res = lake.apply(ds.materialize())
-    res["files"] = len(paths)
-    res["files_skipped"] = n_all - len(paths)
-    print(json.dumps(res))
-    return 0
+    return _apply_single_or_routed(args, ds, lakes[0], route_targets,
+                                   n_all, len(paths), {})
 
 
 def cmd_egress(args) -> int:
@@ -676,6 +726,10 @@ def main(argv=None) -> int:
     bl.add_argument("--allow-partial-tail", action="store_true",
                     help="tolerate a torn trailing transaction (live-"
                          "tail copy); default raises on truncation")
+    bl.add_argument("--route", action="append", default=None,
+                    metavar="TABLE=LAKE_PATH",
+                    help="multi-table routed ingest (repeatable)")
+    bl.add_argument("--fanout-root", default=None)
     bl.add_argument("--num-cpus", type=int, default=None)
     bl.set_defaults(fn=cmd_binlog)
 
@@ -690,6 +744,10 @@ def main(argv=None) -> int:
     pg.add_argument("--allow-partial-tail", action="store_true",
                     help="tolerate a torn trailing transaction (live-"
                          "tail copy); default raises on truncation")
+    pg.add_argument("--route", action="append", default=None,
+                    metavar="TABLE=LAKE_PATH",
+                    help="multi-table routed ingest (repeatable)")
+    pg.add_argument("--fanout-root", default=None)
     pg.add_argument("--num-cpus", type=int, default=None)
     pg.set_defaults(fn=cmd_pgwal)
 
