@@ -165,7 +165,7 @@ def _route_targets(args) -> "dict | None":
     targets = {}
     for spec in args.route:
         tbl, _, path = spec.partition("=")
-        if not path:
+        if not tbl or not path:
             raise ValueError(f"--route {spec!r} is not TABLE=LAKE_PATH")
         targets[tbl] = LakeTable(path, CDCConfig(
             num_partitions=args.partitions, table=tbl))
@@ -173,18 +173,34 @@ def _route_targets(args) -> "dict | None":
 
 
 def _prune_floor(lakes) -> "int | None":
-    """Checkpoint-pruning floor across ingest targets: the MIN over
-    their committed watermarks — a dump file is skippable only when
-    EVERY target already committed it; any target without a manifest
-    needs everything (no pruning)."""
-    wms = []
+    """Checkpoint-pruning floor across ingest targets — delegates to
+    ``Fanout.manifest()``'s composite watermark (MIN over children; a
+    dump file is skippable only when EVERY target already committed
+    it; any target without a manifest needs everything, so no
+    pruning)."""
+    from rookray.targets.fanout import Fanout
+    m = Fanout({str(i): lk for i, lk in enumerate(lakes)}).manifest()
+    wm = (m or {}).get("closed_watermark")
+    return None if wm is None else int(wm)
+
+
+def _committed_union(lakes) -> "pa.Schema | None":
+    """The UNION of the routed lakes' committed payload schemas under
+    the additive-evolution policy — decode must see every routed
+    table's columns; conflicting types raise rather than letting
+    whichever lake happens to be first win."""
+    from rookray.schema import unify_additive
+    schemas = []
     for lk in lakes:
-        m = lk.manifest()
-        wm = m.get("closed_watermark") if m else None
-        if wm is None:
-            return None
-        wms.append(int(wm))
-    return min(wms) if wms else None
+        try:
+            s = lk.payload_schema()
+        except Exception:
+            continue
+        if s is not None and len(s):
+            schemas.append(s)
+    if not schemas:
+        return None
+    return unify_additive(schemas)
 
 
 def _apply_single_or_routed(args, ds, lake, route_targets,
@@ -242,15 +258,7 @@ def cmd_wire(args) -> int:
     lakes = (list(route_targets.values()) if route_targets
              else [LakeTable(args.table,
                              CDCConfig(num_partitions=args.partitions))])
-    committed = None
-    for lk in lakes:
-        try:
-            committed = lk.payload_schema()
-        except Exception:
-            committed = None
-        if committed is not None and len(committed):
-            break
-        committed = None
+    committed = _committed_union(lakes)
     # checkpoint resume: skip whole dump files at or below every
     # target's committed watermark after a head-of-file read (the
     # binlog/pgwal coordinate-pruning analog for the JSON formats)
@@ -327,17 +335,7 @@ def cmd_binlog(args) -> int:
     lakes = (list(route_targets.values()) if route_targets
              else [LakeTable(args.table,
                              CDCConfig(num_partitions=args.partitions))])
-    payload = None
-    for lk in lakes:
-        try:
-            payload = lk.payload_schema()
-        except Exception:
-            payload = None
-        if payload is not None and len(payload):
-            break
-        payload = None
-    if payload is None:
-        payload = SEQ_SCHEMA_V2
+    payload = _committed_union(lakes) or SEQ_SCHEMA_V2
     # coordinate-checkpoint resume: skip files entirely at or below
     # every target's committed watermark without opening them
     n_all = len(paths)
@@ -380,17 +378,7 @@ def cmd_pgwal(args) -> int:
     lakes = (list(route_targets.values()) if route_targets
              else [LakeTable(args.table,
                              CDCConfig(num_partitions=args.partitions))])
-    payload = None
-    for lk in lakes:
-        try:
-            payload = lk.payload_schema()
-        except Exception:
-            payload = None
-        if payload is not None and len(payload):
-            break
-        payload = None
-    if payload is None:
-        payload = SEQ_SCHEMA_V2
+    payload = _committed_union(lakes) or SEQ_SCHEMA_V2
     # LSN-checkpoint resume: skip whole segments at or below every
     # target's committed watermark after a header-only read
     n_all = len(paths)
@@ -728,8 +716,12 @@ def main(argv=None) -> int:
                          "tail copy); default raises on truncation")
     bl.add_argument("--route", action="append", default=None,
                     metavar="TABLE=LAKE_PATH",
-                    help="multi-table routed ingest (repeatable)")
-    bl.add_argument("--fanout-root", default=None)
+                    help="multi-table routed ingest behind a cross-"
+                         "table consistent commit (repeatable); "
+                         "--table then only anchors the fanout root")
+    bl.add_argument("--fanout-root", default=None,
+                    help="coordinator-manifest dir for --route "
+                         "(default: <table>/_fanout)")
     bl.add_argument("--num-cpus", type=int, default=None)
     bl.set_defaults(fn=cmd_binlog)
 
@@ -746,8 +738,12 @@ def main(argv=None) -> int:
                          "tail copy); default raises on truncation")
     pg.add_argument("--route", action="append", default=None,
                     metavar="TABLE=LAKE_PATH",
-                    help="multi-table routed ingest (repeatable)")
-    pg.add_argument("--fanout-root", default=None)
+                    help="multi-table routed ingest behind a cross-"
+                         "table consistent commit (repeatable); "
+                         "--table then only anchors the fanout root")
+    pg.add_argument("--fanout-root", default=None,
+                    help="coordinator-manifest dir for --route "
+                         "(default: <table>/_fanout)")
     pg.add_argument("--num-cpus", type=int, default=None)
     pg.set_defaults(fn=cmd_pgwal)
 

@@ -282,3 +282,46 @@ def test_checkpoint_resume_skips_whole_files(tmp_path, ray_session, capsys):
     # a partial overlap: pretend only file 2 committed → files 3,4 kept
     lo_wm = (3 << (B._POS_BITS + B._ROW_BITS)) - 1
     assert binlog_files_above(d["files"], lo_wm) == d["files"][2:]
+
+
+def test_cli_multi_table_routed_ingest(tmp_path, ray_session, capsys):
+    """`binlog --route` maintains one lake per table from one decoded
+    binary stream behind a cross-table consistent commit, resumes by
+    the MIN over routed watermarks, and rejects malformed specs."""
+    import json as _json
+    from rookray.cli import main as cli_main
+    from rookray.pipeline import LakeTable
+
+    ev = generate_events(GenConfig(n_docs=20, n_events=200,
+                                   noise_pct=30))
+    dump = str(tmp_path / "blg")
+    B.binlog_dump(ev, dump, n_files=4)
+
+    args = ["binlog", "--dump", dump, "--table", str(tmp_path / "fan"),
+            "--route", f"sequences={tmp_path / 'seq'}",
+            "--route", f"ignored_entity={tmp_path / 'noise'}",
+            "--partitions", "2"]
+    assert cli_main(args) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert all("error" not in v for v in out["targets"].values())
+    seq = LakeTable(str(tmp_path / "seq")).state_table()
+    noise = LakeTable(str(tmp_path / "noise")).state_table()
+    assert seq.num_rows > 0 and noise.num_rows > 0
+    assert all(d.startswith("noise-")
+               for d in noise.column("doc_id").to_pylist())
+
+    # resume: both targets caught up → files pruned, 0 applied
+    assert cli_main(args) == 0
+    again = _json.loads(capsys.readouterr().out)
+    assert again["files_skipped"] == 3 and again["files"] == 1
+    assert all(v.get("events_applied") == 0
+               for v in again["targets"].values())
+
+    # malformed spec (empty table name) is rejected, not silently
+    # registered as a match-nothing lake
+    assert cli_main(["binlog", "--dump", dump,
+                     "--table", str(tmp_path / "fan"),
+                     "--route", f"={tmp_path / 'oops'}",
+                     "--partitions", "2"]) == 1
+    err = _json.loads(capsys.readouterr().out)
+    assert "TABLE=LAKE_PATH" in err["error"]
