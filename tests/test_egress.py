@@ -228,3 +228,52 @@ def test_cli_stale_cursor_reports_instead_of_crashing(tmp_path,
                      "--out", out]) == 1
     err = _json.loads(capsys.readouterr().out)
     assert "ahead of the target epoch" in err["error"]
+
+
+def test_egress_roundtrip_any_stream(ray_session, tmp_path_factory):
+    """Property fuzz of the relay loop: for ANY stream shape and ANY
+    epoch split, dump(A→B) applied onto a lake bootstrapped from
+    snapshot A equals snapshot B."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from rookray.gen import generate_events
+    from rookray.wire import read_debezium
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 2**31 - 1),
+           n_docs=st.integers(3, 50),
+           n_events=st.integers(40, 400),
+           noise_pct=st.sampled_from([0, 15]),
+           evolve=st.booleans(),
+           cut=st.floats(0.15, 0.85))
+    def run(seed, n_docs, n_events, noise_pct, evolve, cut):
+        tmp = tmp_path_factory.mktemp("egr_fuzz")
+        cfg = GenConfig(seed=seed, n_docs=n_docs, n_events=n_events,
+                        noise_pct=noise_pct,
+                        evolve_at=(n_events // 2 + 1) if evolve
+                        else None)
+        meta = write_shards(cfg, str(tmp / "s"), n_shards=6)
+        lake = LakeTable(str(tmp / "lake"), CDCConfig(
+            num_partitions=4,
+            ignored_tables=frozenset({"ignored_entity"}),
+            ignored_server_ids=frozenset({999})))
+        k = max(1, min(5, int(6 * cut)))
+        e0 = lake.apply(meta["files"][:k + 1])["epoch"]
+        e1 = lake.apply(meta["files"][k:])["epoch"]
+
+        d = egress.export_changefeed(lake, e0, e1, str(tmp / "dump"))
+        payload = lake.payload_schema()
+        down = LakeTable(str(tmp / "down"), CDCConfig(num_partitions=4))
+        down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+        if d["events"]:
+            down.apply(read_debezium(d["data_files"], tx_topic=None,
+                                     payload=payload).materialize())
+        got = _payload_state(down, None)
+        want = _payload_state(lake, e1)
+        assert got.num_rows == want.num_rows
+        for c in payload.names:
+            assert got.column(c).to_pylist() \
+                == want.column(c).to_pylist(), c
+
+    run()
