@@ -691,8 +691,12 @@ class BinlogParser:
             ridx += 1
 
     def _flush_tx(self, xid_gno: int | None):
+        # both paths share the GNO-is-1-based convention: a transaction
+        # without a GTID_LOG_EVENT (gtid_mode=OFF) falls back to the XID
+        # value MINUS ONE so its identity can never collide with the
+        # next GTID'd transaction's gno-1
         tx_id = (self._cur_gno - 1) if self._cur_gno is not None else (
-            xid_gno if xid_gno is not None else 0)
+            (xid_gno - 1) if xid_gno is not None else 0)
         n = len(self._txbuf)
         fseq = self._fseq
         for seq, (epos, ridx, srv, db, table, op, before, after) in \

@@ -25,9 +25,12 @@ Shape and coordinates:
   may therefore COLLIDE across keys (several deletes share
   ``watermark_b``); the engine's merge is per-key and its watermark
   filters are range-based, so collisions are harmless — but
-  transaction identity must stay unique, so it rides separately:
-  ``gtid_b`` for inserts/updates, ``gtid_a`` for deletes (the two
-  ranges are disjoint — ``gtid_a ≤ watermark_a < gtid_b``).
+  transaction identity must stay unique ACROSS DUMPS (a relay
+  directory accumulates dumps that downstream ingests in one pass),
+  so it rides separately: ``gtid_b`` for inserts/updates,
+  ``-(gtid_a + 2)`` for deletes — a disjoint negative id space,
+  because dump N+1's delete of a key re-surfaces the very ``gtid_b``
+  dump N published for it.
 - Every envelope is its own single-event transaction (a snapshot diff
   carries exactly one event per key; there is no transaction
   structure to restate), so ``read_debezium``'s topic-less counting
@@ -102,7 +105,16 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
         for r in rows:
             change = r["change"]
             if change == "delete":
-                g, tx = delete_pos, int(r["gtid_a"])
+                # transaction identity must be unique across EVERY dump
+                # a relay directory accumulates, not just within one:
+                # dump N's insert/update rides tx = gtid_b = G, and if
+                # that key is deleted later the delete's gtid_a IS that
+                # same G — so deletes map into a disjoint NEGATIVE id
+                # space (-(gtid_a+2), never the -1 no-tx sentinel).  A
+                # version coordinate is deleted at most once, so the
+                # mapping stays unique across dumps too, and the
+                # topic-less counting pass always sees singletons.
+                g, tx = delete_pos, -(int(r["gtid_a"]) + 2)
             else:
                 g = tx = int(r["gtid_b"])
             positions.append(g)

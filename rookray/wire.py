@@ -294,6 +294,66 @@ def _tx_identity(p: pa.StructArray, n: int) -> tuple[np.ndarray, np.ndarray,
 _FALLBACK_SEQ_BITS = 20
 
 
+def _gtid_of(p: pa.StructArray, n: int,
+             seq_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(gtid int64, pos_valid bool) per envelope: binlog coordinates
+    ``file_seq << 40 | pos`` when ``source.pos`` is present, else the
+    GTID-string composite ``txno << 20 | seq``.  Shared by decode and
+    the topic-less counting pass so identity can never diverge."""
+    names = [f.name for f in p.type]
+    src = p.field("source") if "source" in names else None
+    pos = _field_or_null(src, "pos", pa.int64(), n) \
+        if src is not None else pa.nulls(n, pa.int64())
+    file_s = _field_or_null(src, "file", pa.string(), n) \
+        if src is not None else pa.nulls(n, pa.string())
+    pos_valid = pos.is_valid().to_numpy(zero_copy_only=False)
+    pos_np = pos.fill_null(0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    fseq = pc.extract_regex(pc.coalesce(file_s, pa.scalar("0")),
+                            r"(?P<n>\d+)$")
+    fseq_np = np.where(
+        fseq.is_valid().to_numpy(zero_copy_only=False),
+        pc.cast(pc.struct_field(fseq, "n"), pa.int64()).fill_null(0)
+        .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+    src_gtid = _field_or_null(src, "gtid", pa.string(), n) \
+        if src is not None else pa.nulls(n, pa.string())
+    txno = _num_after_colon(src_gtid).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    no_coords = ~pos_valid & (txno < 0)
+    if no_coords.any():
+        raise ValueError(
+            f"{int(no_coords.sum())} envelope(s) carry neither "
+            "source.pos nor source.gtid — no ordering coordinates; "
+            "refusing to decode into an arbitrary LWW order")
+    if (~pos_valid & (seq_np >= (1 << _FALLBACK_SEQ_BITS))).any():
+        raise ValueError(
+            "transaction with >= 2^20 events in GTID-string fallback "
+            "mode — the composite coordinate would collide with the "
+            "next transaction; supply binlog positions (source.pos)")
+    gtid = np.where(pos_valid,
+                    (fseq_np << np.int64(40)) | pos_np,
+                    (txno << np.int64(_FALLBACK_SEQ_BITS)) | seq_np)
+    return gtid, pos_valid
+
+
+def _decode_identity(p: pa.StructArray, n: int) -> tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(tx_id, seq, gtid, had_tx_block, pos_valid) per envelope — the
+    one place transaction identity is decided.  With transaction
+    metadata DISABLED (Debezium's default: ``payload.transaction`` is
+    null) each envelope is its own singleton transaction keyed by its
+    per-row coordinate; grouping such rows by the GTID string's txno
+    would report multi-row transactions whose seqs are all 0, wedging
+    the completeness watermark forever."""
+    tx_id_i, seq_np, tx_valid = _tx_identity(p, n)
+    gtid, pos_valid = _gtid_of(p, n, seq_np)
+    no_blk = ~tx_valid
+    if no_blk.any():
+        tx_id_i = np.where(no_blk, gtid, tx_id_i)
+        seq_np = np.where(no_blk, 0, seq_np)
+    return tx_id_i, seq_np, gtid, tx_valid, pos_valid
+
+
 def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
                      tx_index: tuple[np.ndarray, np.ndarray] | None = None,
                      ) -> pa.Table:
@@ -338,49 +398,21 @@ def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     table = _field_or_null(src, "table", pa.string(), n)
     server_id = _field_or_null(src, "server_id", pa.int64(), n)
 
-    tx_id_i, seq_np, _ = _tx_identity(p, n)
-
-    # gtid per row: binlog coordinates when present, GTID-string
-    # composite otherwise
-    pos = _field_or_null(src, "pos", pa.int64(), n)
-    file_s = _field_or_null(src, "file", pa.string(), n)
-    pos_valid = pos.is_valid().to_numpy(zero_copy_only=False)
-    pos_np = pos.fill_null(0).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    fseq = pc.extract_regex(pc.coalesce(file_s, pa.scalar("0")),
-                            r"(?P<n>\d+)$")
-    fseq_np = np.where(
-        fseq.is_valid().to_numpy(zero_copy_only=False),
-        pc.cast(pc.struct_field(fseq, "n"), pa.int64()).fill_null(0)
-        .to_numpy(zero_copy_only=False), 0).astype(np.int64)
-    src_gtid = _field_or_null(src, "gtid", pa.string(), n)
-    txno = _num_after_colon(src_gtid).fill_null(-1) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    no_coords = ~pos_valid & (txno < 0)
-    if no_coords.any():
-        raise ValueError(
-            f"{int(no_coords.sum())} envelope(s) carry neither "
-            "source.pos nor source.gtid — no ordering coordinates; "
-            "refusing to decode into an arbitrary LWW order")
-    if (~pos_valid & (seq_np >= (1 << _FALLBACK_SEQ_BITS))).any():
-        raise ValueError(
-            "transaction with >= 2^20 events in GTID-string fallback "
-            "mode — the composite coordinate would collide with the "
-            "next transaction; supply binlog positions (source.pos)")
-    gtid = np.where(pos_valid,
-                    (fseq_np << np.int64(40)) | pos_np,
-                    (txno << np.int64(_FALLBACK_SEQ_BITS)) | seq_np)
+    tx_id_i, seq_np, gtid, tx_valid, _ = _decode_identity(p, n)
 
     # tx_events from the transaction-topic index (searchsorted on the
-    # broadcast sorted arrays — no Python per row)
+    # broadcast sorted arrays — no Python per row); envelopes WITHOUT
+    # a transaction block are singleton transactions (tx_events=1) —
+    # their identity is the per-row coordinate, never index-resolved
     if tx_index is not None and len(tx_index[0]):
         ids_a, counts_a = tx_index
         loc = np.searchsorted(ids_a, tx_id_i)
         loc_c = np.clip(loc, 0, len(ids_a) - 1)
-        hit = ids_a[loc_c] == tx_id_i
-        tx_events = np.where(hit, counts_a[loc_c], -1).astype(np.int32)
+        hit = (ids_a[loc_c] == tx_id_i) & tx_valid
+        tx_events = np.where(hit, counts_a[loc_c],
+                             np.where(tx_valid, -1, 1)).astype(np.int32)
     else:
-        tx_events = np.full(n, -1, dtype=np.int32)
+        tx_events = np.where(tx_valid, -1, 1).astype(np.int32)
 
     names = [f.name for f in p.type]
     before = _payload_struct(p.field("before") if "before" in names
@@ -465,23 +497,48 @@ def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
             if len(p):
                 # count only row mutations, and by the SAME transaction
                 # identity rule decode_envelopes assigns (incl. the
-                # uuid:txno form and the no-transaction-block fallback)
+                # uuid:txno form and the no-transaction-block singleton
+                # rule — identity = the per-row coordinate there)
                 code = pc.index_in(
                     p.field("op"), value_set=pa.array(["c", "r", "u", "d"]))
                 p = p.filter(code.is_valid())
             if len(p) == 0:
                 return pa.table({"tx_id": pa.array([], pa.int64()),
-                                 "n": pa.array([], pa.int64())})
-            tx_id_i, _, _ = _tx_identity(p, len(p))
-            ids, counts = np.unique(tx_id_i, return_counts=True)
-            return pa.table({"tx_id": pa.array(ids, pa.int64()),
-                             "n": pa.array(counts.astype(np.int64))})
+                                 "n": pa.array([], pa.int64()),
+                                 "loose": pa.array([], pa.int64())})
+            tx_id_i, _, _, tx_valid, pos_valid = _decode_identity(p, len(p))
+            # "loose" marks identities whose rows have NEITHER a tx
+            # block NOR a binlog position: their coordinate is the
+            # txno<<20 composite with seq 0, so rows of one multi-row
+            # tx COLLIDE — detectable here (count > 1), undecodable
+            loose = (~tx_valid & ~pos_valid).astype(np.int64)
+            order = np.argsort(tx_id_i, kind="stable")
+            xs, ls = tx_id_i[order], loose[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], xs[1:] != xs[:-1]]))
+            ends = np.concatenate([starts[1:], [len(xs)]])
+            return pa.table({
+                "tx_id": pa.array(xs[starts], pa.int64()),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "loose": pa.array(np.maximum.reduceat(ls, starts)
+                                  .astype(np.int64)),
+            })
 
-        from ray.data.aggregate import Sum
+        from ray.data.aggregate import Max, Sum
         counts = (ray.data.read_json(paths)
                   .map_batches(tx_partial, batch_format="pyarrow")
-                  .groupby("tx_id").aggregate(Sum("n", alias_name="n"))
+                  .groupby("tx_id").aggregate(
+                      Sum("n", alias_name="n"),
+                      Max("loose", alias_name="loose"))
                   .take_all())
+        bad = sum(1 for r in counts if r["loose"] and r["n"] > 1)
+        if bad:
+            raise ValueError(
+                f"{bad} multi-row transaction(s) carry neither "
+                "transaction metadata nor binlog positions — rows "
+                "within such a transaction are indistinguishable "
+                "(identical txno<<20 coordinates); enable the "
+                "transaction topic or source.pos on the producer")
         ids_a = np.asarray([r["tx_id"] for r in counts], dtype=np.int64)
         cnt_a = np.asarray([r["n"] for r in counts], dtype=np.int64)
         order = np.argsort(ids_a, kind="stable")

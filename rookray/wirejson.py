@@ -34,15 +34,21 @@ canal-json format; one JSON object per row-batch of ONE statement)::
 Mapping into the engine's model (and the honest caveats):
 
 - **Maxwell** carries ``xid`` + a ``commit`` flag but no per-row index
-  within the transaction, so ``seq_in_tx``/``tx_events`` are recovered
-  by a distributed counting pass over the dump (count + first
-  coordinate per xid — tiny partials → groupby → broadcast), valid for
-  a bounded recorded dump exactly like ``read_debezium``'s topic-less
-  mode.  Ordering comes from ``position`` (``file:pos`` — the same
-  coordinates rook checkpoints), packed ``file_seq << 40 | pos``;
-  records without a position (daemon run without
-  ``output_binlog_position``) carry no ordering information and decode
-  refuses rather than invent an LWW order.
+  within the transaction.  For a recorded dump,
+  ``seq_in_tx``/``tx_events`` are recovered by a counting pass that
+  rank-indexes every xid-bearing record's coordinate
+  (:func:`maxwell_tx_index` — real positions are sparse binlog byte
+  offsets, so seq is the RANK within the tx, never a coordinate
+  delta), valid for a bounded dump exactly like ``read_debezium``'s
+  topic-less mode.  A LIVE feed needs no index: the ``commit`` flag
+  closes each transaction in-stream (:class:`MaxwellTxBuffer`, O(open
+  transactions) state — the same shape as the binlog adapter's XID
+  buffering and pgoutput's Begin/Commit bracketing).  Ordering comes
+  from ``position`` (``file:pos`` — the same coordinates rook
+  checkpoints), packed ``file_seq << 40 | pos``; records without a
+  position (daemon run without ``output_binlog_position``) carry no
+  ordering information and decode refuses rather than invent an LWW
+  order.
 - Maxwell's ``old`` holds only the CHANGED columns.  JSON struct
   inference cannot distinguish "column absent from old" (unchanged)
   from "old value was SQL NULL" (changed from null), so — like every
@@ -93,6 +99,7 @@ from rookray.wire import (_field_or_null, _json_table, _payload_struct,
 
 __all__ = [
     "maxwell_dump", "decode_maxwell", "read_maxwell",
+    "maxwell_tx_index", "MaxwellTxBuffer",
     "canal_dump", "decode_canal", "read_canal",
     "infer_payload_maxwell", "infer_payload_canal",
     "jsonl_first_coordinate", "jsonl_files_above",
@@ -137,15 +144,27 @@ def _image_dict(struct_val) -> dict | None:
 
 
 def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
-                 ddl_before_gtid: int | None = None) -> dict:
+                 ddl_before_gtid: int | None = None,
+                 sparse_positions: bool = False) -> dict:
     """Serialize a change-event table into a Maxwell dump:
     ``maxwell-%05d.jsonl`` files, one JSON object per row mutation,
     with binlog positions (``output_binlog_position`` style) and
     ``xid``/``commit`` transaction markers.  ``ddl_before_gtid``
     interleaves a ``table-alter`` DDL record just before that
-    coordinate (the additive-evolution restatement).  Deterministic:
-    same input table → byte-identical dump."""
+    coordinate (the additive-evolution restatement).
+    ``sparse_positions`` emits gapped byte-offset-style positions (an
+    order-preserving irregular mapping of the gtid) — what a REAL
+    Maxwell daemon writes — instead of the dense gtid itself.
+    Deterministic: same input table → byte-identical dump."""
     os.makedirs(out_dir, exist_ok=True)
+
+    def _pos_of(g: int) -> int:
+        if not sparse_positions:
+            return g
+        # strictly increasing (step ≥ 9), irregular gaps like real
+        # binlog event byte offsets
+        return 4 + 97 * g + (g * 2654435761) % 89
+
     rows = events.to_pylist()
     per = -(-len(rows) // max(1, n_files)) or 1
     paths, n_written = [], 0
@@ -168,7 +187,7 @@ def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                     "xid": r["tx_id"],
                     "commit": r["seq_in_tx"] == r["tx_events"] - 1,
                     "server_id": r["server_id"], "thread_id": 1,
-                    "position": f"{_BINLOG_FILE}:{r['gtid']}",
+                    "position": f"{_BINLOG_FILE}:{_pos_of(r['gtid'])}",
                     "data": _image_dict(r["before"] if r["op"] == OP_DELETE
                                         else r["after"]),
                 }
@@ -225,12 +244,42 @@ def _maxwell_coords(tbl: pa.Table) -> tuple[pa.Table, np.ndarray,
     return tbl, op, gtid, xid
 
 
+def maxwell_tx_index(xid: np.ndarray, coord: np.ndarray) -> tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Build the Maxwell transaction index from every xid-bearing
+    record's ``(xid, coordinate)`` pair: ``(sorted unique xids, event
+    count per xid, globally sorted coordinates, 0-based rank of each
+    coordinate within its transaction)``.
+
+    Real Maxwell positions are binlog BYTE OFFSETS — sparse and gapped
+    within a transaction — so ``seq_in_tx`` must be the coordinate's
+    RANK inside its transaction, not a coordinate delta (a delta is
+    dense only for synthetic encoders; with gaps the completeness test
+    ``max_seq == tx_events-1`` never passes and the watermark wedges).
+    Coordinates are globally unique (byte offsets within a file
+    sequence), so decode recovers the rank with one global
+    searchsorted."""
+    order = np.lexsort((coord, xid))
+    xs, gs = xid[order], coord[order]
+    if len(xs):
+        starts = np.flatnonzero(np.concatenate([[True], xs[1:] != xs[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(xs)]]))
+        rank = np.arange(len(xs), dtype=np.int64) \
+            - np.repeat(starts, counts)
+    else:
+        starts = np.empty(0, np.int64)
+        counts = np.empty(0, np.int64)
+        rank = np.empty(0, np.int64)
+    o2 = np.argsort(gs, kind="stable")
+    return (xs[starts], counts.astype(np.int64), gs[o2], rank[o2])
+
+
 def decode_maxwell(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
-                   tx_index: tuple[np.ndarray, np.ndarray,
+                   tx_index: tuple[np.ndarray, np.ndarray, np.ndarray,
                                    np.ndarray] | None = None) -> pa.Table:
     """One batch of JSON-parsed Maxwell records → the change-event
-    schema.  ``tx_index`` is ``(sorted xids, event counts, first
-    coordinate per xid)`` from :func:`read_maxwell`'s counting pass;
+    schema.  ``tx_index`` is :func:`maxwell_tx_index`'s ``(sorted
+    xids, event counts, sorted coordinates, rank per coordinate)``;
     records without an ``xid`` decode as singleton transactions.  DDL
     and bootstrap bookkeeping records are dropped (``bootstrap-insert``
     itself decodes as INSERT — it IS a row image)."""
@@ -243,17 +292,20 @@ def decode_maxwell(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     no_xid = xid < 0
     tx_id = np.where(no_xid, gtid, xid)
     if tx_index is not None and len(tx_index[0]):
-        ids_a, counts_a, firsts_a = tx_index
+        ids_a, counts_a, coords_a, ranks_a = tx_index
         loc = np.clip(np.searchsorted(ids_a, xid), 0, len(ids_a) - 1)
-        hit = (ids_a[loc] == xid) & ~no_xid
+        cpos = np.clip(np.searchsorted(coords_a, gtid),
+                       0, len(coords_a) - 1)
         # xid-less records (bootstrap rows run outside transactions)
-        # are genuine singletons; an xid MISSING from the index (a tx
-        # newer than the backlog snapshot on a live feed) has UNKNOWN
-        # size → -1 holds it back until re-presented with an index
-        # that covers it, like wire.decode_envelopes' topic-less rows
+        # are genuine singletons; an xid (or coordinate) MISSING from
+        # the index (a tx newer than the backlog snapshot on a live
+        # feed) has UNKNOWN size → -1 holds it back until re-presented
+        # with an index that covers it, like wire.decode_envelopes'
+        # topic-less rows
+        hit = (ids_a[loc] == xid) & (coords_a[cpos] == gtid) & ~no_xid
         tx_events = np.where(hit, counts_a[loc],
                              np.where(no_xid, 1, -1)).astype(np.int32)
-        seq = np.where(hit, gtid - firsts_a[loc], 0).astype(np.int32)
+        seq = np.where(hit, ranks_a[cpos], 0).astype(np.int32)
     else:
         tx_events = np.where(no_xid, 1, -1).astype(np.int32)
         seq = np.zeros(n, np.int32)
@@ -303,46 +355,36 @@ def read_maxwell(paths: list[str],
                  payload: pa.Schema = SEQ_SCHEMA,
                  single_parse: bool = True) -> "ray.data.Dataset":
     """A ``ray.data.Dataset`` of engine change events decoded from a
-    recorded Maxwell dump.  Per-transaction event counts and first
-    coordinates are recovered by a counting pass over the dump (tiny
-    per-batch partials → driver reduction → broadcast) — valid for a
-    bounded recorded dump; a LIVE Maxwell feed must precompute the
-    index from its own bounded backlog (:func:`stream_maxwell_socket`).
+    recorded Maxwell dump.  Per-transaction event counts and
+    within-transaction coordinate RANKS (real Maxwell positions are
+    sparse binlog byte offsets — see :func:`maxwell_tx_index`) are
+    recovered by a counting pass over the dump: each task emits its
+    xid-bearing ``(xid, coordinate)`` pairs — two int64 columns, ~16
+    bytes/event — which the driver rank-indexes and broadcasts.  Valid
+    for a bounded recorded dump (the index must be broadcast either
+    way); a LIVE Maxwell feed needs NO index at all — the per-xid
+    buffering decoder (:class:`MaxwellTxBuffer` via
+    :func:`stream_maxwell_socket`) holds O(open transactions) state.
 
     ``single_parse`` (default): JSON-parse once and materialize the
     parsed stream in the object store so both the counting pass and
-    the decode read it (parse dominates; measured 80 k → ~130 k
-    events/s).  Set False for dumps too large to hold materialized —
-    the counting pass then re-parses with a projected 3-column schema
-    instead."""
+    the decode read it (parse dominates).  Set False for dumps too
+    large to hold materialized — the counting pass then re-parses with
+    a projected 3-column schema instead."""
     import ray
     import ray.data
 
-    def tx_partial(t: pa.Table) -> pa.Table:
+    def tx_pairs(t: pa.Table) -> pa.Table:
         _, _, g, x = _maxwell_coords(t)
         m = x >= 0
-        g, x = g[m], x[m]
-        if len(x) == 0:
-            return pa.table({"tx_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64()),
-                             "first": pa.array([], pa.int64())})
-        order = np.argsort(x, kind="stable")
-        xs, gs = x[order], g[order]
-        starts = np.flatnonzero(np.concatenate([[True], xs[1:] != xs[:-1]]))
-        return pa.table({
-            "tx_id": pa.array(xs[starts], pa.int64()),
-            "n": pa.array(np.diff(np.concatenate([starts, [len(xs)]]))
-                          .astype(np.int64)),
-            "first": pa.array(np.minimum.reduceat(gs, starts), pa.int64()),
-        })
+        return pa.table({"tx_id": pa.array(x[m], pa.int64()),
+                         "coord": pa.array(g[m], pa.int64())})
 
     # the counting pass needs only (type, xid, position): an explicit
     # parse schema lets the C++ JSON reader skip materializing the row
     # images on this pass (the decode pass parses them once).  The
-    # per-batch partials are one row per (xid, batch); the final index
-    # is O(#txs) on the driver EITHER way (it must be broadcast), so a
-    # numpy reduction of the collected partials replaces the groupby
-    # shuffle barrier outright.
+    # pairs come back as Arrow block refs (no Python rows) and the
+    # rank index is built in one numpy lexsort on the driver.
     if single_parse:
         raw = ray.data.read_json(paths).materialize()
         count_src = raw
@@ -355,19 +397,16 @@ def read_maxwell(paths: list[str],
             unexpected_field_behavior="ignore")
         raw = ray.data.read_json(paths)
         count_src = ray.data.read_json(paths, parse_options=slim)
-    parts = (count_src
-             .map_batches(tx_partial, batch_format="pyarrow")
-             .take_all())
-    ids = np.asarray([r["tx_id"] for r in parts], dtype=np.int64)
-    ns = np.asarray([r["n"] for r in parts], dtype=np.int64)
-    firsts = np.asarray([r["first"] for r in parts], dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids, ns, firsts = ids[order], ns[order], firsts[order]
-    starts = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]])) \
-        if len(ids) else np.empty(0, np.int64)
-    tx_index = (ids[starts],
-                np.add.reduceat(ns, starts) if len(ids) else ns,
-                np.minimum.reduceat(firsts, starts) if len(ids) else firsts)
+    pair_tables = ray.get(
+        count_src.map_batches(tx_pairs, batch_format="pyarrow")
+        .to_arrow_refs())
+    pairs = pa.concat_tables([t for t in pair_tables if t.num_rows]) \
+        if any(t.num_rows for t in pair_tables) else \
+        pa.table({"tx_id": pa.array([], pa.int64()),
+                  "coord": pa.array([], pa.int64())})
+    tx_index = maxwell_tx_index(
+        pairs.column("tx_id").to_numpy(zero_copy_only=False),
+        pairs.column("coord").to_numpy(zero_copy_only=False))
     ref = ray.put(tx_index)
 
     def decode(t: pa.Table) -> pa.Table:
@@ -839,18 +878,101 @@ class _JsonSocketDatasource(Datasource):
         return [ReadTask(read_fn, meta)]
 
 
+class MaxwellTxBuffer:
+    """Live Maxwell decoder with NO precomputed index: buffer each
+    transaction's records per ``xid`` until its ``commit: true`` record
+    arrives, then emit the whole transaction with exact ``tx_events``
+    and dense 0-based ``seq_in_tx`` (coordinate rank) — exactly how the
+    binlog adapter buffers until the XID event and the pgoutput adapter
+    brackets Begin/Commit.  State is O(open transactions) — the binlog
+    serializes transactions at commit time, so typically one — instead
+    of an O(#transactions) driver-built index.  xid-less records
+    (bootstrap rows run outside transactions) emit immediately as
+    singletons; incomplete transactions are never emitted (a crashed
+    producer's open tail must not apply)."""
+
+    def __init__(self, payload: pa.Schema = SEQ_SCHEMA):
+        self.payload = payload
+        # xid → [(raw record slice, coordinates)]; raw slices are kept
+        # separate (their JSON-inferred widths differ across schema
+        # evolution) and each decodes against the SAME per-coordinate
+        # rank index once the tx closes
+        self._buf: dict[int, list[tuple[pa.Table, np.ndarray]]] = {}
+
+    def pending(self) -> int:
+        """Open (uncommitted) transactions currently buffered."""
+        return len(self._buf)
+
+    def feed(self, tbl: pa.Table) -> pa.Table:
+        """One frame of JSON-parsed Maxwell records → decoded change
+        events for every transaction this frame COMPLETES, plus any
+        xid-less singletons; everything else stays buffered."""
+        schema = change_event_schema(self.payload)
+        ftbl, _, gtid, xid = _maxwell_coords(tbl)
+        n = ftbl.num_rows
+        if n == 0:
+            return schema.empty_table()
+        commit = _tcol(ftbl, "commit", pa.bool_(), n).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        no_xid = xid < 0
+        out_parts = []
+        if no_xid.any():
+            out_parts.append(decode_maxwell(
+                ftbl.filter(pa.array(no_xid)), payload=self.payload))
+        tx_rows = np.flatnonzero(~no_xid)
+        closed: list[int] = []
+        if len(tx_rows):
+            x = xid[tx_rows]
+            order = np.argsort(x, kind="stable")
+            xs = x[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], xs[1:] != xs[:-1]]))
+            ends = np.concatenate([starts[1:], [len(xs)]])
+            for s, e in zip(starts, ends):
+                rows = tx_rows[order[s:e]]
+                xv = int(xs[s])
+                self._buf.setdefault(xv, []).append(
+                    (ftbl.take(pa.array(rows)), gtid[rows]))
+                if commit[rows].any():
+                    closed.append(xv)
+        for xv in closed:
+            parts = self._buf.pop(xv)
+            g_all = np.concatenate([g for _, g in parts])
+            idx = maxwell_tx_index(
+                np.full(len(g_all), xv, np.int64), g_all)
+            out_parts.extend(
+                decode_maxwell(t, payload=self.payload, tx_index=idx)
+                for t, _ in parts)
+        if not out_parts:
+            return schema.empty_table()
+        if len(out_parts) == 1:
+            return out_parts[0]
+        return pa.concat_tables(out_parts)
+
+
 def stream_maxwell_socket(host: str, port: int,
                           tx_index: tuple[np.ndarray, np.ndarray,
-                                          np.ndarray],
+                                          np.ndarray,
+                                          np.ndarray] | None = None,
                           payload: pa.Schema = SEQ_SCHEMA,
                           connect_timeout_s: float = 10.0):
     """Unbounded Dataset of engine change events from a live Maxwell
-    JSON socket feed.  ``tx_index`` must be precomputed from the bounded
-    backlog (a live feed has no dump to count)."""
+    JSON socket feed.  By default (``tx_index=None``) transactions are
+    assembled in-stream by :class:`MaxwellTxBuffer` — O(open
+    transactions) state inside the read task, no precomputed index.
+    Passing a :func:`maxwell_tx_index` remains supported for feeds
+    whose ``commit`` flags are unreliable (daemon restarted mid-tx)
+    when a bounded backlog is available to count."""
     import ray.data
 
-    def decode(t: pa.Table) -> pa.Table:
-        return decode_maxwell(t, payload=payload, tx_index=tx_index)
+    if tx_index is not None:
+        def decode(t: pa.Table) -> pa.Table:
+            return decode_maxwell(t, payload=payload, tx_index=tx_index)
+    else:
+        buf = MaxwellTxBuffer(payload)
+
+        def decode(t: pa.Table) -> pa.Table:
+            return buf.feed(t)
 
     return ray.data.read_datasource(
         _JsonSocketDatasource(host, port, decode, "MaxwellSocketStream",

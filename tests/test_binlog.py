@@ -126,7 +126,9 @@ def test_deterministic_dump(tmp_path):
 
 def test_xid_fallback_without_gtid_event(tmp_path):
     """Older servers without gtid_mode: transactions are delimited by
-    BEGIN…XID alone; tx_id falls back to the XID value."""
+    BEGIN…XID alone; tx_id falls back to XID-1 so both paths share the
+    GNO-is-1-based convention (raw XID would collide with the NEXT
+    GTID'd transaction's gno-1 identity)."""
     path = str(tmp_path / "old.000001")
     w = B._FileWriter(path)
     codecs = [B._codec_for(f.type) for f in SEQ_SCHEMA]
@@ -141,7 +143,7 @@ def test_xid_fallback_without_gtid_event(tmp_path):
     t = B.decode_binlog_file(open(path, "rb").read(), path,
                              payload=SEQ_SCHEMA)
     assert t.num_rows == 1
-    assert t.column("tx_id").to_pylist() == [77]
+    assert t.column("tx_id").to_pylist() == [76]
     assert t.column("key").to_pylist() == ["d1"]
     assert t.column("after").to_pylist()[0]["tokens"] == [1, 2]
 

@@ -124,10 +124,12 @@ def test_packed_source_coordinates_stay_monotone(tmp_path, ray_session):
     assert got["k2"] == g2
     assert got["k3"] == wm          # delete at the watermark, exact
     assert got["k2"] > got["k1"]    # order preserved across 2^40
-    # tx identity rides separately and stays unique: gtid_a for the
-    # delete, gtid_b otherwise
+    # tx identity rides separately and stays unique ACROSS dumps:
+    # -(gtid_a+2) for the delete (disjoint negative space — the
+    # deleted version's gtid_a was some earlier dump's gtid_b),
+    # gtid_b otherwise
     txs = {r["key"]: r["tx_id"] for r in t}
-    assert txs == {"k1": g1, "k2": g2, "k3": g3}
+    assert txs == {"k1": g1, "k2": g2, "k3": -(g3 + 2)}
     # images carry the key FIRST (downstream payload inference takes
     # the first-seen field as the merge key)
     import json
@@ -277,3 +279,56 @@ def test_egress_roundtrip_any_stream(ray_session, tmp_path_factory):
                 == want.column(c).to_pylist(), c
 
     run()
+
+
+def test_multi_dump_relay_directory_single_pass(tmp_path, ray_session):
+    """A relay OUT DIR accumulates dumps that downstream gulps in ONE
+    read_debezium pass (cmd_wire globs the directory wholesale).  An
+    insert in dump N rides tx = gtid_b = G; a later delete of that key
+    carries gtid_a = G — with a shared identity the counting pass
+    builds a phantom 2-event tx (seqs [0,0]) that never closes and the
+    watermark pins below G forever.  Delete identities live in a
+    disjoint negative space, so every envelope stays a singleton."""
+    import glob
+
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=9)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    e0 = lake.apply(meta["files"][:4])["epoch"]
+    e1 = lake.apply(meta["files"][3:7])["epoch"]
+    e2 = lake.apply(meta["files"][6:])["epoch"]
+
+    out = str(tmp_path / "relay")
+    d01 = egress.export_changefeed(lake, e0, e1, out)
+    d12 = egress.export_changefeed(lake, e1, e2, out)
+    assert d01["events"] and d12["events"]
+    # the wedge needs a version published in dump 1 whose coordinate
+    # re-surfaces as a dump-2 delete's gtid_a — verify the stream
+    # shape actually exercises the collision channel
+    import json as _json
+    tx1 = {int(_json.loads(line)["payload"]["transaction"]["id"])
+           for f in d01["data_files"] for line in open(f)
+           if _json.loads(line)["payload"]["op"] != "d"}
+    del2 = {-(int(_json.loads(line)["payload"]["transaction"]["id"])) - 2
+            for f in d12["data_files"] for line in open(f)
+            if _json.loads(line)["payload"]["op"] == "d"}
+    assert tx1 & del2, "stream lacks the insert-then-delete collision"
+
+    payload = lake.payload_schema()
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+    files = sorted(glob.glob(out + "/data-*.jsonl"))
+    assert set(files) == set(d01["data_files"]) | set(d12["data_files"])
+    ds = read_debezium(files, tx_topic=None, payload=payload)
+    res = down.apply(ds.materialize())
+    # every envelope is a singleton tx → the watermark closes the
+    # ENTIRE two-dump range in one pass
+    assert res["closed_watermark"] is not None
+
+    got = _payload_state(down, None)
+    want = _payload_state(lake, e2)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c

@@ -52,7 +52,9 @@ def test_tx_counts_recovered_without_topic(tmp_path):
 def test_snapshot_read_op_and_missing_fields(tmp_path):
     """'r' (snapshot read) decodes as INSERT; envelopes whose payload
     never mentions an evolved column still decode to the typed schema;
-    missing transaction block falls back to the GTID-string composite."""
+    missing transaction block → each envelope is a SINGLETON
+    transaction keyed by its coordinate (the GTID-string composite
+    here), so the watermark closes immediately."""
     lines = [json.dumps({"payload": {
         "before": None,
         "after": {"doc_id": f"d{i}", "tokens": [i, i + 1], "n_tok": 2,
@@ -70,7 +72,10 @@ def test_snapshot_read_op_and_missing_fields(tmp_path):
     assert t.column("after").combine_chunks().field("lang").null_count == 5
     # gtid fallback: per-tx number << 20 | (total_order-1 → 0)
     assert t.column("gtid").to_pylist() == [i << 20 for i in range(5)]
-    assert t.column("tx_events").to_pylist() == [-1] * 5
+    # no transaction metadata → singleton transactions, coordinate-keyed
+    assert t.column("tx_events").to_pylist() == [1] * 5
+    assert t.column("tx_id").to_pylist() == [i << 20 for i in range(5)]
+    assert t.column("seq_in_tx").to_pylist() == [0] * 5
 
 
 def test_decode_empty_batch():
@@ -170,9 +175,12 @@ def test_real_world_debezium_shapes(tmp_path):
     p.write_text("\n".join(json.dumps(r) for r in plain) + "\n")
     ds = wire.read_debezium([str(p)], tx_topic=None, payload=SEQ_SCHEMA)
     got = pa.Table.from_pylist(ds.take_all()).sort_by("gtid")
-    # identity falls back to the GTID-string tx number; counts match
-    assert got.column("tx_id").to_pylist() == [30, 30, 31, 31]
-    assert got.column("tx_events").to_pylist() == [2, 2, 2, 2]
+    # metadata disabled → singleton transactions keyed by the binlog
+    # coordinate (grouping by the GTID-string txno would report
+    # 2-event txs whose seqs are all 0 — unclosable)
+    assert got.column("tx_id").to_pylist() \
+        == [(3 << 40) | (200 + i) for i in range(4)]
+    assert got.column("tx_events").to_pylist() == [1, 1, 1, 1]
 
 
 def test_no_ordering_coordinates_raises():
@@ -187,3 +195,63 @@ def test_no_ordering_coordinates_raises():
         wire.decode_envelopes(
             wire._json_table(json.dumps(rows[0]).encode()),
             payload=SEQ_SCHEMA)
+
+
+def test_metadata_disabled_multirow_tx_closes(tmp_path, ray_session):
+    """Debezium's DEFAULT config ships NO transaction block
+    (payload.transaction is null).  Grouping such rows by the GTID
+    string's txno would report multi-row transactions whose seqs are
+    all 0 — the completeness test never passes and the watermark pins
+    below the first multi-row tx forever.  Each envelope must decode
+    as a singleton transaction keyed by its binlog coordinate."""
+    from rookray.txn import closed_watermark_table
+
+    def env(i, txno, pos):
+        return json.dumps({"payload": {
+            "before": None,
+            "after": {"doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                      "source": "s"},
+            "source": {"name": "s", "db": "rook", "table": "sequences",
+                       "server_id": 1, "file": "b.000001", "pos": pos,
+                       "gtid": f"s:{txno}"},
+            "op": "c", "transaction": None}})
+
+    # txno 7 spans three envelopes (a real multi-row transaction)
+    lines = [env(0, 7, 100), env(1, 7, 140), env(2, 7, 210),
+             env(3, 8, 300)]
+    p = tmp_path / "nometa.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    ds = wire.read_debezium([str(p)], tx_topic=None, payload=SEQ_SCHEMA)
+    t = pa.Table.from_pylist(ds.take_all()).sort_by("gtid")
+    assert t.column("tx_events").to_pylist() == [1] * 4
+    assert t.column("seq_in_tx").to_pylist() == [0] * 4
+    # identity = the per-row coordinate → all four are distinct txs
+    assert len(set(t.column("tx_id").to_pylist())) == 4
+    t2 = pa.Table.from_pylist(
+        t.to_pylist(), schema=change_event_schema(SEQ_SCHEMA))
+    wm, mx = closed_watermark_table(t2)
+    assert wm == mx == (1 << 40) | 300
+
+
+def test_metadata_disabled_without_positions_refuses(tmp_path,
+                                                     ray_session):
+    """No transaction block AND no binlog positions: rows of one
+    multi-row transaction are indistinguishable (identical txno<<20
+    coordinates) — the counting pass must refuse loudly instead of
+    decoding an arbitrary LWW order."""
+    def env(i, txno):
+        return json.dumps({"payload": {
+            "before": None,
+            "after": {"doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                      "source": "s"},
+            "source": {"name": "s", "db": "rook", "table": "sequences",
+                       "server_id": 1, "gtid": f"s:{txno}"},
+            "op": "c"}})
+
+    lines = [env(0, 7), env(1, 7), env(2, 8)]
+    p = tmp_path / "loose.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="neither[\\s\\S]*transaction"):
+        wire.read_debezium([str(p)], tx_topic=None,
+                           payload=SEQ_SCHEMA).materialize()

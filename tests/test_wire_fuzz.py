@@ -61,12 +61,8 @@ def test_maxwell_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
     tbl = _json_table(blob)
     # tx index exactly as read_maxwell's counting pass builds it
     _, _, g, x = WJ._maxwell_coords(tbl)
-    order = np.argsort(x, kind="stable")
-    xs, gs = x[order], g[order]
-    starts = np.flatnonzero(np.concatenate([[True], xs[1:] != xs[:-1]]))
-    idx = (xs[starts],
-           np.diff(np.concatenate([starts, [len(xs)]])).astype(np.int64),
-           np.minimum.reduceat(gs, starts))
+    m = x >= 0
+    idx = WJ.maxwell_tx_index(x[m], g[m])
     got = WJ.decode_maxwell(tbl, payload=payload,
                             tx_index=idx).sort_by("gtid")
     orig = ev.sort_by("gtid")

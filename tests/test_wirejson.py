@@ -102,19 +102,12 @@ def test_maxwell_socket_feed_applies_to_lake(tmp_path):
     from rookray.pipeline import CDCConfig, LakeTable
 
     ev = generate_events(CFG)
-    d = WJ.maxwell_dump(ev, str(tmp_path / "mx"), n_files=4)
-    # live feeds precompute the tx index from the bounded backlog
-    ds_idx = WJ.read_maxwell(d["files"], payload=_payload_of(ev))
-    t = pa.Table.from_pylist(ds_idx.take_all()).sort_by("tx_id")
-    tx = t.column("tx_id").to_numpy(zero_copy_only=False)
-    g = np.asarray(t.column("gtid")) - np.asarray(t.column("seq_in_tx"))
-    starts = np.flatnonzero(np.concatenate([[True], tx[1:] != tx[:-1]]))
-    idx = (tx[starts],
-           np.diff(np.concatenate([starts, [len(tx)]])).astype(np.int64),
-           g[starts])
-
+    d = WJ.maxwell_dump(ev, str(tmp_path / "mx"), n_files=4,
+                        sparse_positions=True)
+    # no precomputed index: the commit flag closes each transaction
+    # in-stream (MaxwellTxBuffer inside the read task)
     srv = WJ.MaxwellStreamServer()
-    ds = WJ.stream_maxwell_socket(srv.host, srv.port, idx,
+    ds = WJ.stream_maxwell_socket(srv.host, srv.port,
                                   payload=_payload_of(ev))
     for f in d["files"]:
         srv.push_file(f)
@@ -270,8 +263,9 @@ def test_maxwell_index_miss_holds_transaction():
              "position": f"master.000001:{100 + i}",
              "data": {"doc_id": f"d{i}", "tokens": [1], "n_tok": 1,
                       "source": "s"}} for i in range(2)]
-    idx = (np.array([5], np.int64), np.array([3], np.int64),
-           np.array([50], np.int64))  # covers xid 5 only
+    idx = WJ.maxwell_tx_index(          # covers xid 5 only
+        np.array([5, 5, 5], np.int64),
+        np.array([50, 51, 52], np.int64))
     t = WJ.decode_maxwell(
         _json_table(("\n".join(json.dumps(r) for r in rows)).encode()),
         payload=SEQ_SCHEMA, tx_index=idx)
@@ -409,3 +403,73 @@ def test_route_mode_prunes_by_routed_targets_only(tmp_path, ray_session,
                      "--partitions", "2"]) == 0
     again = _json.loads(capsys.readouterr().out)
     assert again["files_skipped"] == 3
+
+
+# ---------------------------------------- real-world Maxwell positions
+
+def test_maxwell_sparse_positions_roundtrip_and_watermark(tmp_path):
+    """Real Maxwell dumps carry binlog BYTE OFFSETS — sparse and gapped
+    within a transaction.  seq_in_tx must be the coordinate's RANK in
+    its tx (a coordinate delta decodes gapped seqs, the completeness
+    test max_seq==tx_events-1 never passes, and the watermark wedges
+    below the first multi-row tx forever)."""
+    from rookray.txn import closed_watermark_table
+
+    ev = generate_events(CFG)
+    d = WJ.maxwell_dump(ev, str(tmp_path / "mx"), n_files=3,
+                        sparse_positions=True)
+    ds = WJ.read_maxwell(d["files"], payload=_payload_of(ev))
+    got = pa.Table.from_pylist(
+        ds.take_all(), schema=change_event_schema(_payload_of(ev))
+    ).sort_by("gtid")
+    orig = ev.sort_by("gtid")
+    # coordinates are order-preserving but NOT the original gtids;
+    # tx structure and images recover exactly despite the gaps
+    assert got.num_rows == orig.num_rows
+    for c in ["tx_id", "seq_in_tx", "tx_events", "db", "table", "op",
+              "key", "before", "after"]:
+        assert got.column(c).to_pylist() == orig.column(c).to_pylist(), c
+    seq = np.asarray(got.column("seq_in_tx"))
+    assert seq.max() > 0  # the stream really has multi-row txs
+    # every transaction closes: the watermark reaches the stream's end
+    wm, mx = closed_watermark_table(got)
+    assert wm == mx == int(np.asarray(got.column("gtid")).max())
+
+
+def test_maxwell_tx_buffer_interleaved_frames():
+    """MaxwellTxBuffer assembles transactions across frames with no
+    precomputed index: xid-interleaved records, commit flags closing
+    txs in different frames, an uncommitted tail never emitted."""
+    def rec(i, xid, pos, commit, typ="insert"):
+        return {"database": "rook", "table": "sequences", "type": typ,
+                "ts": 0, "xid": xid, "commit": commit, "server_id": 1,
+                "position": f"master.000001:{pos}",
+                "data": {"doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                         "source": "s"}}
+
+    # tx 10: rows at sparse positions 100, 207 (commit)
+    # tx 11: rows at 310, 455, 523 (commit) — split across frames
+    # tx 12: row at 600, never committed (producer crashed)
+    frame1 = [rec(0, 10, 100, False), rec(1, 11, 310, False)]
+    frame2 = [rec(2, 10, 207, True), rec(3, 11, 455, False)]
+    frame3 = [rec(4, 11, 523, True), rec(5, 12, 600, False)]
+
+    buf = WJ.MaxwellTxBuffer(SEQ_SCHEMA)
+    outs = []
+    for fr in (frame1, frame2, frame3):
+        blob = ("\n".join(json.dumps(r) for r in fr)).encode()
+        outs.append(buf.feed(_json_table(blob)))
+    assert outs[0].num_rows == 0           # nothing committed yet
+    t1 = outs[1]                           # tx 10 closed by frame 2
+    assert t1.column("tx_id").to_pylist() == [10, 10]
+    assert sorted(t1.column("seq_in_tx").to_pylist()) == [0, 1]
+    assert t1.column("tx_events").to_pylist() == [2, 2]
+    t2 = outs[2]                           # tx 11 closed by frame 3
+    assert t2.column("tx_id").to_pylist() == [11, 11, 11]
+    assert sorted(t2.column("seq_in_tx").to_pylist()) == [0, 1, 2]
+    assert t2.column("tx_events").to_pylist() == [3, 3, 3]
+    # seq is the coordinate RANK: gtid order within the tx
+    g = np.asarray(t2.column("gtid"))
+    s = np.asarray(t2.column("seq_in_tx"))
+    assert np.array_equal(np.argsort(g), np.argsort(s))
+    assert buf.pending() == 1              # tx 12 stays open, unemitted
