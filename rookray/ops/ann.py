@@ -17,7 +17,6 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -30,6 +29,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _list_matrix(col) -> np.ndarray:
+    """2-D float64 matrix from an Arrow ``list<float>`` column — one
+    flatten of the child values buffer, no per-row Python objects.
+    Rows must share one dimension (embedding columns do)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, -1)
+
+
+_TOPK_SCHEMA = pa.schema([("query_id", pa.int64()),
+                          ("neighbor_id", pa.int64()),
+                          ("cosine", pa.float64())])
+
+
+def _topk_table(qids: np.ndarray, ids: np.ndarray, cosine: np.ndarray
+                ) -> pa.Table:
+    return pa.table({"query_id": pa.array(qids.astype(np.int64)),
+                     "neighbor_id": pa.array(ids.astype(np.int64)),
+                     "cosine": pa.array(cosine.astype(np.float64))})
+
+
 class _ScoreBatch:
     """map_batches stage: per-batch cosine top-k against broadcast queries."""
 
@@ -40,9 +63,11 @@ class _ScoreBatch:
         self.k = k
         self.vec_col, self.id_col = vec_col, id_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[self.id_col].to_numpy()
-        m = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_list_matrix(batch.column(self.vec_col)))
         sim = self.qm @ m.T  # (Q, B)
         k = min(self.k, sim.shape[1])
         # deterministic tie-break (cosine DESC, neighbor_id ASC) BEFORE
@@ -51,21 +76,27 @@ class _ScoreBatch:
         # SQL oracle's ordering
         ids_b = np.broadcast_to(ids, sim.shape)
         order = np.lexsort((ids_b, -sim), axis=1)[:, :k]
-        rows = {
-            "query_id": np.repeat(self.qids, k),
-            "neighbor_id": ids[order].reshape(-1).astype(np.int64),
-            "cosine": np.take_along_axis(sim, order, axis=1).reshape(-1).astype(np.float64),
-        }
-        return pd.DataFrame(rows)
+        return _topk_table(np.repeat(self.qids, k),
+                           ids[order].reshape(-1),
+                           np.take_along_axis(sim, order, axis=1).reshape(-1))
 
 
-def _final_topk(g: pd.DataFrame, k: int, exclude_self: bool) -> pd.DataFrame:
+def _final_topk(g: pa.Table, k: int, exclude_self: bool) -> pa.Table:
+    """Per-query reduce over the per-batch combiner rows (map_groups):
+    cosine DESC, neighbor_id ASC, head k, 1-based rank."""
+    q = g.column("query_id").to_numpy(zero_copy_only=False)
+    nb = g.column("neighbor_id").to_numpy(zero_copy_only=False)
+    cs = g.column("cosine").to_numpy(zero_copy_only=False)
     if exclude_self:
-        g = g[g["neighbor_id"] != g["query_id"]]
-    g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-    g = g.copy()
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g
+        keep = nb != q
+        q, nb, cs = q[keep], nb[keep], cs[keep]
+    order = np.lexsort((nb, -cs))[:k]
+    return pa.table({
+        "query_id": pa.array(q[order].astype(np.int64)),
+        "neighbor_id": pa.array(nb[order].astype(np.int64)),
+        "cosine": pa.array(cs[order].astype(np.float64)),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
 
 
 def bruteforce_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
@@ -78,10 +109,11 @@ def bruteforce_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
     partial = ds.map_batches(
         _ScoreBatch, fn_constructor_args=(ref, k + (1 if exclude_self else 0),
                                           vec_col, id_col),
-        batch_format="pandas", batch_size=4096, concurrency=(1, concurrency),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=(1, concurrency),
     )
     return partial.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k, exclude_self), batch_format="pandas"
+        lambda g: _final_topk(g, k, exclude_self), batch_format="pyarrow"
     )
 
 
@@ -94,10 +126,13 @@ def make_queries(ds: "ray.data.Dataset", n_queries: int,
     each batch emits at most n candidate rows, the driver keeps the n
     smallest of the tiny union."""
 
-    def smallest(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.nsmallest(n_queries, id_col)[[id_col, vec_col]]
+    def smallest(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:n_queries]
+        return batch.select([id_col, vec_col]).take(pa.array(idx))
 
-    rows = ds.map_batches(smallest, batch_format="pandas").take_all()
+    rows = ds.map_batches(smallest, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
     rows.sort(key=lambda r: r[id_col])
     rows = rows[:n_queries]
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
@@ -148,11 +183,10 @@ class _LshBucket:
             bits = (m @ self.planes) > 0
         return (bits * (1 << np.arange(bits.shape[1]))).sum(1).astype(np.int64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(batch[self.vec_col].to_numpy())
-        out = batch.copy()
-        out["bucket"] = self.bucket_of(m)
-        return out
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _list_matrix(batch.column(self.vec_col))
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(m), pa.int64()))
 
 
 def lsh_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
@@ -186,37 +220,38 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
             self.qm = _normalize(q["matrix"])
             self.bucketer = bucketer
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(batch[vec_col].to_numpy())
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _TOPK_SCHEMA.empty_table()
+            m = _list_matrix(batch.column(vec_col))
             buckets = self.bucketer.bucket_of(m)
+            all_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             outs = []
             for b in np.unique(buckets):
                 qidx = self.by_bucket.get(int(b))
                 if not qidx:
                     continue
                 sel = buckets == b
-                ids = batch[id_col].to_numpy()[sel]
-                mm = _normalize(m[sel].astype(np.float64))
+                ids = all_ids[sel]
+                mm = _normalize(m[sel])
                 sim = self.qm[qidx] @ mm.T
                 kk = min(k + 1, sim.shape[1])
                 ids_b = np.broadcast_to(ids, sim.shape)
                 idx = np.lexsort((ids_b, -sim), axis=1)[:, :kk]
-                outs.append(pd.DataFrame({
-                    "query_id": np.repeat(self.qids[qidx], kk),
-                    "neighbor_id": ids[idx].reshape(-1).astype(np.int64),
-                    "cosine": np.take_along_axis(sim, idx, axis=1).reshape(-1).astype(np.float64),
-                }))
+                outs.append(_topk_table(
+                    np.repeat(self.qids[qidx], kk),
+                    ids[idx].reshape(-1),
+                    np.take_along_axis(sim, idx, axis=1).reshape(-1)))
             if not outs:
-                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                     "neighbor_id": pd.Series([], dtype="int64"),
-                                     "cosine": pd.Series([], dtype="float64")})
-            return pd.concat(outs, ignore_index=True)
+                return _TOPK_SCHEMA.empty_table()
+            return pa.concat_tables(outs)
 
     ScoreBucketed.__name__ = "ScoreBucketed"
-    partial = ds.map_batches(ScoreBucketed, batch_format="pandas",
+    partial = ds.map_batches(ScoreBucketed, batch_format="pyarrow",
+                             zero_copy_batch=True,
                              batch_size=4096, concurrency=(1, concurrency))
     return partial.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k, exclude_self), batch_format="pandas"
+        lambda g: _final_topk(g, k, exclude_self), batch_format="pyarrow"
     )
 
 
@@ -278,10 +313,14 @@ def build_ivf_centroids_distributed(ds: "ray.data.Dataset",
     for _ in range(iters):
         ref = ray.put(cents)
 
-        def partials(batch: pd.DataFrame) -> pa.Table:
+        def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
-            m = _normalize(np.stack(batch[vec_col].to_numpy())
-                           .astype(np.float64))
+            if batch.num_rows == 0:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            m = _normalize(_list_matrix(batch.column(vec_col)))
             assign = np.argmax(m @ c.T, axis=1)
             cells = np.unique(assign)
             # per-batch combiner: one (cell, dim) row per present cell
@@ -300,8 +339,8 @@ def build_ivf_centroids_distributed(ds: "ray.data.Dataset",
                 "n": pa.array(np.repeat(counts, dim), pa.int64()),
             })
 
-        agg = (ds.map_batches(partials, batch_format="pandas",
-                              batch_size=4096)
+        agg = (ds.map_batches(partials, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=4096)
                .groupby(["cell", "dim"])
                .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
                .to_pandas())  # tiny: cells × dim rows
@@ -363,9 +402,11 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
             self.qids, self.qm = q["ids"], q["matrix"]
             self.probe_of_cell = q["probe_of_cell"]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-            ids = batch[id_col].to_numpy()
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _TOPK_SCHEMA.empty_table()
+            m = _normalize(_list_matrix(batch.column(vec_col)))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             cell = np.argmax(m @ self.cents.T, axis=1)
             outs = []
             for c in np.unique(cell):
@@ -378,23 +419,20 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
                 kk = min(k + 1, sim.shape[1])
                 ids_b = np.broadcast_to(mids, sim.shape)
                 idx = np.lexsort((ids_b, -sim), axis=1)[:, :kk]
-                outs.append(pd.DataFrame({
-                    "query_id": np.repeat(self.qids[qidx], kk),
-                    "neighbor_id": mids[idx].reshape(-1).astype(np.int64),
-                    "cosine": np.take_along_axis(sim, idx, axis=1)
-                              .reshape(-1).astype(np.float64),
-                }))
+                outs.append(_topk_table(
+                    np.repeat(self.qids[qidx], kk),
+                    mids[idx].reshape(-1),
+                    np.take_along_axis(sim, idx, axis=1).reshape(-1)))
             if not outs:
-                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                     "neighbor_id": pd.Series([], dtype="int64"),
-                                     "cosine": pd.Series([], dtype="float64")})
-            return pd.concat(outs, ignore_index=True)
+                return _TOPK_SCHEMA.empty_table()
+            return pa.concat_tables(outs)
 
     ScoreIvf.__name__ = "ScoreIvf"
-    partial = ds.map_batches(ScoreIvf, batch_format="pandas",
+    partial = ds.map_batches(ScoreIvf, batch_format="pyarrow",
+                             zero_copy_batch=True,
                              batch_size=4096, concurrency=(1, concurrency))
     return partial.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k, exclude_self), batch_format="pandas"
+        lambda g: _final_topk(g, k, exclude_self), batch_format="pyarrow"
     )
 
 
@@ -437,13 +475,21 @@ def ivfpq_encode(ds: "ray.data.Dataset", cents: np.ndarray,
     n_sub, n_codes, sd = books.shape
     ref = ray.put({"cents": cents, "books": books})
 
-    def encode(batch: pd.DataFrame) -> pa.Table:
+    def encode(batch: pa.Table) -> pa.Table:
         q = ray.get(ref)
         c, b = q["cents"], q["books"]
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cell": pa.array([], pa.int64()),
+                 **{f"code{s}": pa.array([], pa.uint8())
+                    for s in range(n_sub)}})
+        m = _normalize(_list_matrix(batch.column(vec_col)))
         cell = np.argmax(m @ c.T, axis=1)
         resid = m - c[cell]
-        cols = {id_col: pa.array(batch[id_col].to_numpy().astype(np.int64)),
+        cols = {id_col: pa.array(batch.column(id_col)
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
                 "cell": pa.array(cell.astype(np.int64))}
         for s in range(n_sub):
             sub = resid[:, s * sd:(s + 1) * sd]
@@ -451,7 +497,8 @@ def ivfpq_encode(ds: "ray.data.Dataset", cents: np.ndarray,
             cols[f"code{s}"] = pa.array(np.argmin(d, axis=1).astype(np.uint8))
         return pa.table(cols)
 
-    return ds.map_batches(encode, batch_format="pandas", batch_size=4096)
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096)
 
 
 def ivfpq_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
@@ -509,7 +556,9 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
             self.qcent = q["qcent"]
             self.probe_of_cell = q["probe_of_cell"]
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _TOPK_SCHEMA.empty_table()
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             cell = batch.column("cell").to_numpy(zero_copy_only=False)
             codes = np.stack([
@@ -530,24 +579,20 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
                 kk = min(k + 1, sim.shape[1])
                 ids_b = np.broadcast_to(mids, sim.shape)
                 idx = np.lexsort((ids_b, -sim), axis=1)[:, :kk]
-                outs.append(pd.DataFrame({
-                    "query_id": np.repeat(self.qids[qidx], kk),
-                    "neighbor_id": mids[idx].reshape(-1).astype(np.int64),
-                    "cosine": np.take_along_axis(sim, idx, axis=1)
-                              .reshape(-1).astype(np.float64),
-                }))
+                outs.append(_topk_table(
+                    np.repeat(self.qids[qidx], kk),
+                    mids[idx].reshape(-1),
+                    np.take_along_axis(sim, idx, axis=1).reshape(-1)))
             if not outs:
-                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                     "neighbor_id": pd.Series([], dtype="int64"),
-                                     "cosine": pd.Series([], dtype="float64")})
-            return pd.concat(outs, ignore_index=True)
+                return _TOPK_SCHEMA.empty_table()
+            return pa.concat_tables(outs)
 
     ScoreAdc.__name__ = "ScoreAdc"
     partial = index.map_batches(ScoreAdc, batch_format="pyarrow",
-                                batch_size=4096,
+                                zero_copy_batch=True, batch_size=4096,
                                 concurrency=(1, concurrency))
     return partial.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k, exclude_self), batch_format="pandas"
+        lambda g: _final_topk(g, k, exclude_self), batch_format="pyarrow"
     )
 
 

@@ -89,13 +89,13 @@ def grouped_quantiles(ds, key_col: str, value_col: str,
         v = (batch.column(value_col).to_numpy(zero_copy_only=False)
              .astype(np.float64))
         vq = np.floor(v * scale + 0.5).astype(np.int64)
-        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
-                           "vq": vq})
-        g = (df.groupby([key_col, "vq"], sort=False).size()
-             .rename("c").reset_index())
-        return pa.Table.from_pandas(g.astype({"vq": np.int64,
-                                              "c": np.int64}),
-                                    preserve_index=False)
+        t = pa.table({key_col: batch.column(key_col),
+                      "vq": pa.array(vq, pa.int64())})
+        g = t.group_by([key_col, "vq"], use_threads=False) \
+             .aggregate([([], "count_all")])
+        return pa.table({key_col: g.column(key_col),
+                         "vq": g.column("vq"),
+                         "c": g.column("count_all").cast(pa.int64())})
 
     hist = (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)

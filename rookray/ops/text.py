@@ -110,12 +110,12 @@ class LangId:
 
     Profiles (lang → top-trigram set) are built ONCE on the driver from
     a labeled sample and shipped via constructor (broadcast once per
-    actor, never per batch); ``__call__`` scores batches vectorized
-    with pandas C string ops.  Use as::
+    actor, never per batch); ``__call__`` scores Arrow batches with one
+    numpy pass over a NUL-joined byte buffer.  Use as::
 
         profiles = LangId.build_profiles(sample_df)
         ds.map_batches(LangId, fn_constructor_args=(profiles,),
-                       concurrency=N, batch_format="pandas")
+                       concurrency=N, batch_format="pyarrow")
     """
 
     def __init__(self, profiles: dict[str, set[str]]):
@@ -152,15 +152,17 @@ class LangId:
             profiles[lang] = set(sorted(counts, key=counts.get, reverse=True)[:top])
         return profiles
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         # fully vectorized scoring: all texts concatenated into one
         # byte buffer (NUL-separated), trigram codes by three shifted
         # slices, per-doc DISTINCT via np.unique on (doc, code) keys,
-        # profile lookup via searchsorted, scatter-add of lang rows
-        texts = (" " + batch["text"].str.lower() + " ").tolist()
-        n = len(texts)
+        # profile lookup via searchsorted, scatter-add of lang rows.
+        # Python str.lower (not pc.utf8_lower) keeps predictions
+        # bit-identical to the profile builder's casing.
+        n = batch.num_rows
         scores = np.zeros((n, len(self.langs)))
-        enc = [t.encode("utf-8") for t in texts]
+        enc = [f" {s.lower()} ".encode("utf-8")
+               for s in batch.column("text").to_pylist()]
         if n and self.codes.size:
             buf = np.frombuffer(b"\x00\x00".join(enc), dtype=np.uint8)
             lens = np.fromiter((len(b) for b in enc), np.int64, count=n)
@@ -181,13 +183,14 @@ class LangId:
                 hit = self.codes[idx_c] == uc
                 np.add.at(scores, ud[hit], self.M[idx_c[hit]])
         best = np.argmax(scores, axis=1)
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "pred_lang": np.asarray(self.langs, dtype=object)[best],
-                "lang_score": scores[np.arange(len(texts)), best],
-            }
-        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(
+                [self.langs[b] for b in best] if self.langs else [None] * n,
+                pa.string()),
+            "lang_score": pa.array(scores[np.arange(n), best],
+                                   pa.float64()),
+        })
 
 
 # default PII-style scrub patterns (RE2 dialect — the same engine
@@ -274,8 +277,8 @@ def repetition(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset":
 def lang_id(ds: "ray.data.Dataset", profiles: dict[str, set[str]],
             concurrency: int = 4) -> "ray.data.Dataset":
     return ds.map_batches(
-        LangId, fn_constructor_args=(profiles,), batch_format="pandas",
-        batch_size=2048, concurrency=(1, concurrency),
+        LangId, fn_constructor_args=(profiles,), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048, concurrency=(1, concurrency),
     )
 
 

@@ -4281,6 +4281,75 @@ FROM events GROUP BY user_id HAVING count(*) >= 75
 # =====================================================================
 
 QUERIES = {
+    # ---- DICT ORDER IS THE DRIVER'S SAMPLING ORDER --------------------
+    # The correctness driver checks the FIRST 50 entries of queries().
+    # Rounds 1-4 sampled one fixed set (the block further down, from
+    # cdc_lww_state through decontaminate_docs), so the entries below —
+    # the full-engine CDC replays, the five wire-format adapters, the
+    # egress roundtrip, fti/vecidx, streaming, sketches — had only the
+    # in-repo oracle rehearsal (tests/test_queries_oracle.py, which runs
+    # ALL entries with the driver's own comparison).  They lead now so
+    # each gets a hard external CORRECTNESS row; the previously-sampled
+    # block stays pinned by that same rehearsal.
+    # full-engine CDC + wire formats
+    "cdc_replay_sequences": cdc_replay_sequences,
+    "cdc_wire_debezium": cdc_wire_debezium,
+    "cdc_wire_binlog": cdc_wire_binlog,
+    "cdc_wire_maxwell": cdc_wire_maxwell,
+    "cdc_wire_canal": cdc_wire_canal,
+    "cdc_wire_pgoutput": cdc_wire_pgoutput,
+    "cdc_egress_roundtrip": cdc_egress_roundtrip,
+    "cdc_patch_replay": cdc_patch_replay,
+    "cdc_smt_replay": cdc_smt_replay,
+    "cdc_purged_state": cdc_purged_state,
+    "cdc_export_by_source": cdc_export_by_source,
+    "cdc_route_tables": cdc_route_tables,
+    "cdc_expectations": cdc_expectations,
+    # north-rule features: lineage checkpoint, skew salting, evolution
+    "cdc_lineage_metrics": cdc_lineage_metrics,
+    "cdc_salted_replay": cdc_salted_replay,
+    "cdc_schema_evolution": cdc_schema_evolution,
+    # snapshot isolation over the epoch history
+    "cdc_time_travel": cdc_time_travel,
+    "cdc_changefeed": cdc_changefeed,
+    "cdc_incremental_view": cdc_incremental_view,
+    "cdc_stream_enrich": cdc_stream_enrich,
+    # changefeed-maintained indexes
+    "fti_postings": fti_postings,
+    "fti_search_bm25": fti_search_bm25,
+    "fti_search_phrase": fti_search_phrase,
+    "vecidx_search": vecidx_search,
+    "vecidx_cells": vecidx_cells,
+    "cdc_derived_index": cdc_derived_index,
+    "cdc_evictions": cdc_evictions,
+    # streaming
+    "session_stream_users": session_stream_users,
+    "join_streams_windowed": join_streams_windowed,
+    "join_streams_left": join_streams_left,
+    "dedup_stream_events": dedup_stream_events,
+    "topk_stream_users": topk_stream_users,
+    "hll_stream_windows": hll_stream_windows,
+    "cdc_rolling_window": cdc_rolling_window,
+    # layout / stats / sketches
+    "zorder_scan_orders": zorder_scan_orders,
+    "stats_quantiles": stats_quantiles,
+    "stats_grouped_quantiles": stats_grouped_quantiles,
+    "sketch_hll_orderkeys": sketch_hll_orderkeys,
+    "sketch_cm_counters": sketch_cm_counters,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
+    "sketch_bottomk_orderkeys": sketch_bottomk_orderkeys,
+    # corpus tail never sampled in r1-r4
+    "decontaminate_scale": decontaminate_scale,
+    "vocab_topk": vocab_topk,
+    "dedup_incremental": dedup_incremental,
+    "chunk_content_defined": chunk_content_defined,
+    "dedup_chunk_spans": dedup_chunk_spans,
+    "join_orders_range": join_orders_range,
+    "q18_large_orders": q18_large_orders,
+    # tokenizer training (rows-only: iterative; self-checking vs the
+    # serial reference inside the query)
+    "bpe_train_merges": bpe_train_merges,
+    # ---- sampled green in rounds 1-4 (pinned by the in-repo rehearsal)
     # CDC over the events log (SQL-checkable)
     "cdc_lww_state": cdc_lww_state,
     "cdc_partition_watermarks": cdc_partition_watermarks,
@@ -4340,61 +4409,6 @@ QUERIES = {
     "corpus_clean_pack": corpus_clean_pack,
     "shuffle_training_order": shuffle_training_order,
     "decontaminate_docs": decontaminate_docs,
-    "decontaminate_scale": decontaminate_scale,
-    "vocab_topk": vocab_topk,
-    "dedup_incremental": dedup_incremental,
-    "chunk_content_defined": chunk_content_defined,
-    "dedup_chunk_spans": dedup_chunk_spans,
-    "join_orders_range": join_orders_range,
-    "cdc_rolling_window": cdc_rolling_window,
-    "stats_quantiles": stats_quantiles,
-    "stats_grouped_quantiles": stats_grouped_quantiles,
-    # full-engine CDC (rows-only)
-    "cdc_replay_sequences": cdc_replay_sequences,
-    "cdc_wire_debezium": cdc_wire_debezium,
-    "cdc_wire_binlog": cdc_wire_binlog,
-    "cdc_wire_maxwell": cdc_wire_maxwell,
-    "cdc_wire_canal": cdc_wire_canal,
-    "cdc_wire_pgoutput": cdc_wire_pgoutput,
-    "cdc_egress_roundtrip": cdc_egress_roundtrip,
-    "fti_postings": fti_postings,
-    "cdc_purged_state": cdc_purged_state,
-    "cdc_export_by_source": cdc_export_by_source,
-    "cdc_route_tables": cdc_route_tables,
-    "q18_large_orders": q18_large_orders,
-    "cdc_smt_replay": cdc_smt_replay,
-    "session_stream_users": session_stream_users,
-    "cdc_expectations": cdc_expectations,
-    "vecidx_search": vecidx_search,
-    "vecidx_cells": vecidx_cells,
-    "cdc_patch_replay": cdc_patch_replay,
-    "fti_search_bm25": fti_search_bm25,
-    "fti_search_phrase": fti_search_phrase,
-    "join_streams_windowed": join_streams_windowed,
-    "join_streams_left": join_streams_left,
-    "dedup_stream_events": dedup_stream_events,
-    "topk_stream_users": topk_stream_users,
-    "hll_stream_windows": hll_stream_windows,
-    "zorder_scan_orders": zorder_scan_orders,
-    "cdc_derived_index": cdc_derived_index,
-    "cdc_evictions": cdc_evictions,
-    # north-rule features: lineage checkpoint, skew salting, evolution
-    "cdc_lineage_metrics": cdc_lineage_metrics,
-    "cdc_salted_replay": cdc_salted_replay,
-    "cdc_schema_evolution": cdc_schema_evolution,
-    # snapshot isolation over the epoch history
-    "cdc_time_travel": cdc_time_travel,
-    "cdc_changefeed": cdc_changefeed,
-    "cdc_incremental_view": cdc_incremental_view,
-    "cdc_stream_enrich": cdc_stream_enrich,
-    # sketches (contents oracle-checked exactly)
-    "sketch_hll_orderkeys": sketch_hll_orderkeys,
-    # tokenizer training (rows-only: iterative; self-checking vs the
-    # serial reference inside the query)
-    "bpe_train_merges": bpe_train_merges,
-    "sketch_cm_counters": sketch_cm_counters,
-    "sketch_heavy_hitters": sketch_heavy_hitters,
-    "sketch_bottomk_orderkeys": sketch_bottomk_orderkeys,
 }
 
 ORACLES = {

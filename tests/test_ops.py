@@ -368,7 +368,7 @@ def test_langid_vectorized_matches_reference(docs):
     profiles = LangId.build_profiles(pdf)
     scorer = LangId(profiles)
     t0 = time.monotonic()
-    out = scorer(pdf)
+    out = scorer(pa.Table.from_pandas(pdf, preserve_index=False))
     t_vec = time.monotonic() - t0
 
     langs = sorted(profiles)
@@ -387,9 +387,9 @@ def test_langid_vectorized_matches_reference(docs):
     t_ref = time.monotonic() - t0
     ref_pred = np.asarray(langs, dtype=object)[np.argmax(ref_scores, axis=1)]
 
-    assert (out["pred_lang"].to_numpy() == ref_pred).all()
+    assert out.column("pred_lang").to_pylist() == list(ref_pred)
     np.testing.assert_allclose(
-        out["lang_score"].to_numpy(),
+        out.column("lang_score").to_numpy(zero_copy_only=False),
         ref_scores[np.arange(len(texts)), np.argmax(ref_scores, axis=1)])
     print(f"\nlangid vectorized {t_vec:.3f}s vs reference loop {t_ref:.3f}s "
           f"({t_ref / max(t_vec, 1e-9):.1f}x)")
