@@ -240,7 +240,9 @@ def cmd_wire(args) -> int:
 
     _ensure_ray(args.num_cpus)
     pattern = args.pattern
-    if pattern == "data-*.jsonl" and args.format != "debezium":
+    if pattern == "data-*.jsonl" and args.format == "avro":
+        pattern = "data-*.avrowire"
+    elif pattern == "data-*.jsonl" and args.format != "debezium":
         pattern = f"{args.format}-*.jsonl"
     paths = sorted(glob.glob(os.path.join(args.dump, pattern)))
     if not paths:
@@ -262,11 +264,18 @@ def cmd_wire(args) -> int:
     # checkpoint resume: skip whole dump files at or below every
     # target's committed watermark after a head-of-file read (the
     # binlog/pgwal coordinate-pruning analog for the JSON formats)
-    from rookray.wirejson import jsonl_files_above
     n_all = len(paths)
     floor = _prune_floor(lakes)
+    registry = None
+    if args.format == "avro":
+        registry = args.registry or os.path.join(args.dump, "registry.json")
     if floor is not None:
-        paths = jsonl_files_above(paths, floor, args.format)
+        if args.format == "avro":
+            from rookray.wireavro import avro_files_above
+            paths = avro_files_above(paths, floor, registry)
+        else:
+            from rookray.wirejson import jsonl_files_above
+            paths = jsonl_files_above(paths, floor, args.format)
     if not paths:
         out = {"events_applied": 0, "files": 0, "files_skipped": n_all,
                "format": args.format}
@@ -286,6 +295,15 @@ def cmd_wire(args) -> int:
         # (inference types never-seen-non-null columns as string)
         ds = read_debezium(paths, tx_topic=tx_topic,
                            payload=committed or infer_payload(paths))
+    elif args.format == "avro":
+        from rookray.wireavro import infer_payload_avro, read_avro
+        tx_topic = [args.tx_topic] if args.tx_topic else (
+            sorted(glob.glob(os.path.join(args.dump, "tx-*.avrowire")))
+            or None)
+        # the registry snapshot IS the catalog — no dump inference
+        # needed unless the lake already committed a (wider) schema
+        ds = read_avro(paths, registry, tx_topic=tx_topic,
+                       payload=committed or infer_payload_avro(registry))
     else:
         from rookray.wirejson import (infer_payload_canal,
                                       infer_payload_maxwell, read_canal,
@@ -670,19 +688,25 @@ def main(argv=None) -> int:
     ts.add_argument("--num-cpus", type=int, default=None)
     ts.set_defaults(fn=cmd_tail_socket)
 
-    wr = sub.add_parser("wire", help="decode a recorded CDC JSON dump "
-                        "(Debezium / Maxwell / Canal wire formats) into "
-                        "the lake as one exactly-once epoch")
+    wr = sub.add_parser("wire", help="decode a recorded CDC dump "
+                        "(Debezium-JSON / Maxwell / Canal / Confluent-"
+                        "Avro wire formats) into the lake as one "
+                        "exactly-once epoch")
     wr.add_argument("--dump", required=True,
-                    help="directory holding the data-topic jsonl files")
+                    help="directory holding the data-topic files")
     wr.add_argument("--format", default="debezium",
-                    choices=["debezium", "maxwell", "canal"],
-                    help="JSON envelope flavor (default: debezium)")
+                    choices=["debezium", "maxwell", "canal", "avro"],
+                    help="envelope flavor (default: debezium); 'avro' = "
+                         "Confluent schema-registry framing")
     wr.add_argument("--pattern", default="data-*.jsonl",
-                    help="defaults to <format>-*.jsonl for maxwell/canal")
+                    help="defaults to <format>-*.jsonl for maxwell/"
+                         "canal, data-*.avrowire for avro")
     wr.add_argument("--tx-topic", default=None,
-                    help="transaction-topic jsonl (default: tx-*.jsonl "
-                         "under --dump if present, else a counting pass)")
+                    help="transaction-topic file (default: tx-* under "
+                         "--dump if present, else a counting pass)")
+    wr.add_argument("--registry", default=None,
+                    help="avro only: schema-registry snapshot JSON "
+                         "(default: <dump>/registry.json)")
     wr.add_argument("--table", required=True,
                     help="lake path (single-table mode), or the fanout "
                          "root's parent with --route")

@@ -2327,6 +2327,48 @@ def cdc_wire_pgoutput(sf_dir: str) -> pd.DataFrame:
 CDC_WIRE_PGOUTPUT_SQL = CDC_WIRE_CANAL_SQL
 
 
+def _flagship_avro() -> dict:
+    """Recorded Confluent-framed Avro dump of the flagship stream:
+    schema-registry wire format (magic 0x00 + 4-byte schema id + Avro
+    binary body), data + transaction topics, and a registry snapshot
+    with TWO envelope schema ids switching at the mid-stream DDL —
+    the most common production Debezium deployment shape."""
+    from rookray import wireavro as WAV
+    cfg = _flagship_cfg()
+    return _cached_wire_dump(
+        "avro", lambda out: WAV.avro_dump(
+            _flagship_events(), out, n_files=8,
+            evolve_gtid=cfg.evolve_at, pre_evolution_columns=4))
+
+
+def cdc_wire_avro(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #6 — Debezium over the Confluent
+    schema-registry Avro envelope (rookray.wireavro): decode a
+    recorded Confluent-framed binary dump (per-message schema-id
+    dispatch, Avro binary bodies, registry snapshot, the mid-stream
+    DDL as a re-registered value schema) and replay it through the
+    full lake apply.  The oracle is the same LWW SQL as the flagship,
+    so any codec defect — zig-zag varints, union branching, named-type
+    references, framing — is a state-digest mismatch."""
+    import tempfile
+    from rookray import wireavro as WAV
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_avro()
+    ds = WAV.read_avro(d["data_files"], d["registry"],
+                       tx_topic=[d["tx_file"]], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_avr_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+CDC_WIRE_AVRO_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 def cdc_egress_roundtrip(sf_dir: str) -> pd.DataFrame:
     """CDC egress closes the relay loop (rook is CDC *in* only,
     MySQLReplicationStream.java:161-179): the flagship lake's
@@ -4298,6 +4340,7 @@ QUERIES = {
     "cdc_wire_maxwell": cdc_wire_maxwell,
     "cdc_wire_canal": cdc_wire_canal,
     "cdc_wire_pgoutput": cdc_wire_pgoutput,
+    "cdc_wire_avro": cdc_wire_avro,
     "cdc_egress_roundtrip": cdc_egress_roundtrip,
     "cdc_patch_replay": cdc_patch_replay,
     "cdc_smt_replay": cdc_smt_replay,
@@ -4465,6 +4508,7 @@ ORACLES = {
     "cdc_wire_maxwell": CDC_WIRE_MAXWELL_SQL,
     "cdc_wire_canal": CDC_WIRE_CANAL_SQL,
     "cdc_wire_pgoutput": CDC_WIRE_PGOUTPUT_SQL,
+    "cdc_wire_avro": CDC_WIRE_AVRO_SQL,
     "cdc_egress_roundtrip": CDC_EGRESS_ROUNDTRIP_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,

@@ -67,7 +67,7 @@ from rookray.source import ChangeStreamServer, _read_exact
 __all__ = [
     "debezium_dump", "decode_envelopes", "read_debezium",
     "DebeziumSocketDatasource", "stream_debezium_socket",
-    "DebeziumStreamServer", "parse_tx_topic",
+    "DebeziumStreamServer", "parse_tx_topic", "tx_count_index",
 ]
 
 _OP_TO_DBZ = {OP_INSERT: "c", OP_UPDATE: "u", OP_DELETE: "d"}
@@ -473,6 +473,70 @@ def infer_payload(paths: list[str], sample_files: int = 2) -> pa.Schema:
                       for n, t in fields.items()])
 
 
+def tx_count_index(envelopes: "ray.data.Dataset",
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-transaction event counts recovered by a counting pass over a
+    bounded Dataset of parsed envelope batches (any batch shape with a
+    ``payload`` struct column): tiny partial-count partials → groupby
+    sum → broadcast.  Valid for a recorded dump only — a LIVE feed must
+    supply the transaction topic, exactly as a real Debezium consumer
+    needs it for transaction boundaries.  Shared by the JSON and the
+    Confluent-Avro envelope readers so tx identity can never diverge
+    between the counting pass and ``decode_envelopes``."""
+
+    def tx_partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("payload").combine_chunks()
+        if len(p):
+            # count only row mutations, and by the SAME transaction
+            # identity rule decode_envelopes assigns (incl. the
+            # uuid:txno form and the no-transaction-block singleton
+            # rule — identity = the per-row coordinate there)
+            code = pc.index_in(
+                p.field("op"), value_set=pa.array(["c", "r", "u", "d"]))
+            p = p.filter(code.is_valid())
+        if len(p) == 0:
+            return pa.table({"tx_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "loose": pa.array([], pa.int64())})
+        tx_id_i, _, _, tx_valid, pos_valid = _decode_identity(p, len(p))
+        # "loose" marks identities whose rows have NEITHER a tx
+        # block NOR a binlog position: their coordinate is the
+        # txno<<20 composite with seq 0, so rows of one multi-row
+        # tx COLLIDE — detectable here (count > 1), undecodable
+        loose = (~tx_valid & ~pos_valid).astype(np.int64)
+        order = np.argsort(tx_id_i, kind="stable")
+        xs, ls = tx_id_i[order], loose[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], xs[1:] != xs[:-1]]))
+        ends = np.concatenate([starts[1:], [len(xs)]])
+        return pa.table({
+            "tx_id": pa.array(xs[starts], pa.int64()),
+            "n": pa.array((ends - starts).astype(np.int64)),
+            "loose": pa.array(np.maximum.reduceat(ls, starts)
+                              .astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Max, Sum
+    counts = (envelopes
+              .map_batches(tx_partial, batch_format="pyarrow")
+              .groupby("tx_id").aggregate(
+                  Sum("n", alias_name="n"),
+                  Max("loose", alias_name="loose"))
+              .take_all())
+    bad = sum(1 for r in counts if r["loose"] and r["n"] > 1)
+    if bad:
+        raise ValueError(
+            f"{bad} multi-row transaction(s) carry neither "
+            "transaction metadata nor binlog positions — rows "
+            "within such a transaction are indistinguishable "
+            "(identical txno<<20 coordinates); enable the "
+            "transaction topic or source.pos on the producer")
+    ids_a = np.asarray([r["tx_id"] for r in counts], dtype=np.int64)
+    cnt_a = np.asarray([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(ids_a, kind="stable")
+    return ids_a[order], cnt_a[order]
+
+
 def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
                   payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
     """A ``ray.data.Dataset`` of engine change events decoded from
@@ -480,11 +544,9 @@ def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
     the read tasks (C++, block-parallel); the envelope mapping is one
     vectorized ``map_batches``.
 
-    Without ``tx_topic``, per-transaction event counts are recovered by
-    a counting pass over the dump (tiny partial-count partials →
-    groupby sum → broadcast) — valid for a bounded recorded dump; a
-    LIVE feed must supply the transaction topic, exactly as a real
-    Debezium consumer needs it for transaction boundaries."""
+    Without ``tx_topic``, per-transaction event counts come from
+    ``tx_count_index`` over the dump (bounded replay only — a live
+    feed needs the topic)."""
     import ray
     import ray.data
 
@@ -492,57 +554,7 @@ def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
     if tx_topic is not None:
         tx_index = parse_tx_topic(tx_topic)
     else:
-        def tx_partial(tbl: pa.Table) -> pa.Table:
-            p = tbl.column("payload").combine_chunks()
-            if len(p):
-                # count only row mutations, and by the SAME transaction
-                # identity rule decode_envelopes assigns (incl. the
-                # uuid:txno form and the no-transaction-block singleton
-                # rule — identity = the per-row coordinate there)
-                code = pc.index_in(
-                    p.field("op"), value_set=pa.array(["c", "r", "u", "d"]))
-                p = p.filter(code.is_valid())
-            if len(p) == 0:
-                return pa.table({"tx_id": pa.array([], pa.int64()),
-                                 "n": pa.array([], pa.int64()),
-                                 "loose": pa.array([], pa.int64())})
-            tx_id_i, _, _, tx_valid, pos_valid = _decode_identity(p, len(p))
-            # "loose" marks identities whose rows have NEITHER a tx
-            # block NOR a binlog position: their coordinate is the
-            # txno<<20 composite with seq 0, so rows of one multi-row
-            # tx COLLIDE — detectable here (count > 1), undecodable
-            loose = (~tx_valid & ~pos_valid).astype(np.int64)
-            order = np.argsort(tx_id_i, kind="stable")
-            xs, ls = tx_id_i[order], loose[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], xs[1:] != xs[:-1]]))
-            ends = np.concatenate([starts[1:], [len(xs)]])
-            return pa.table({
-                "tx_id": pa.array(xs[starts], pa.int64()),
-                "n": pa.array((ends - starts).astype(np.int64)),
-                "loose": pa.array(np.maximum.reduceat(ls, starts)
-                                  .astype(np.int64)),
-            })
-
-        from ray.data.aggregate import Max, Sum
-        counts = (ray.data.read_json(paths)
-                  .map_batches(tx_partial, batch_format="pyarrow")
-                  .groupby("tx_id").aggregate(
-                      Sum("n", alias_name="n"),
-                      Max("loose", alias_name="loose"))
-                  .take_all())
-        bad = sum(1 for r in counts if r["loose"] and r["n"] > 1)
-        if bad:
-            raise ValueError(
-                f"{bad} multi-row transaction(s) carry neither "
-                "transaction metadata nor binlog positions — rows "
-                "within such a transaction are indistinguishable "
-                "(identical txno<<20 coordinates); enable the "
-                "transaction topic or source.pos on the producer")
-        ids_a = np.asarray([r["tx_id"] for r in counts], dtype=np.int64)
-        cnt_a = np.asarray([r["n"] for r in counts], dtype=np.int64)
-        order = np.argsort(ids_a, kind="stable")
-        tx_index = (ids_a[order], cnt_a[order])
+        tx_index = tx_count_index(ray.data.read_json(paths))
 
     ref = ray.put(tx_index)
 

@@ -1,0 +1,245 @@
+"""Confluent schema-registry Avro envelope adapter: binary codec
+roundtrips, framed-dump decode, schema evolution by registered id,
+transaction topic, socket feed, lake apply."""
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rookray import wireavro as WA
+from rookray.gen import GenConfig, generate_events, final_state
+from rookray.schema import SEQ_SCHEMA_V2, change_event_schema
+
+CFG = GenConfig(n_docs=40, n_events=240, evolve_at=121)
+
+
+def _payload_of(ev: pa.Table) -> pa.Schema:
+    return pa.schema(list(ev.schema.field("after").type))
+
+
+def test_codec_primitives_roundtrip():
+    sch = {"type": "record", "name": "T", "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "neg", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "b", "type": "boolean"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "empty", "type": {"type": "array", "items": "long"}},
+    ]}
+    c = WA._Codec(sch)
+    v = {"l": 2**62, "neg": -3, "i": -2**31, "d": 1.5, "f": 0.25,
+         "b": True, "s": "héllo", "by": b"\x00\xff", "opt": None,
+         "arr": [1, -2, 3], "empty": []}
+    enc = c.encode(v)
+    dec, end = c.decode(enc)
+    assert end == len(enc)
+    assert dec == v
+
+
+def test_codec_zigzag_edges():
+    sch = {"type": "record", "name": "T",
+           "fields": [{"name": "x", "type": "long"}]}
+    c = WA._Codec(sch)
+    for x in (0, 1, -1, 63, 64, -64, -65, 2**63 - 1, -(2**63)):
+        dec, _ = c.decode(c.encode({"x": x}))
+        assert dec["x"] == x, x
+
+
+def test_array_block_bytesize_form_decodes():
+    """A spec-compliant writer may emit a negative block count followed
+    by the block's byte size; the decoder must honor it."""
+    sch = {"type": "record", "name": "T", "fields": [
+        {"name": "arr", "type": {"type": "array", "items": "long"}}]}
+    c = WA._Codec(sch)
+    buf = bytearray()
+    WA._zz_write(buf, -2)          # block of 2 items, size-prefixed
+    inner = bytearray()
+    WA._zz_write(inner, 7)
+    WA._zz_write(inner, 8)
+    WA._zz_write(buf, len(inner))
+    buf.extend(inner)
+    buf.append(0)                  # terminator
+    dec, end = c.decode(bytes(buf))
+    assert dec == {"arr": [7, 8]} and end == len(buf)
+
+
+def test_roundtrip_exact_with_evolution(tmp_path):
+    """encode (two registered schema ids, switch at the DDL point) →
+    read_avro → every change-event column equals the original stream;
+    gtid decodes as binlog coordinates (file_seq=1) << 40 | pos."""
+    ev = generate_events(CFG)
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=3,
+                     evolve_gtid=CFG.evolve_at)
+    assert d["events"] == ev.num_rows
+    reg = json.load(open(d["registry"]))
+    assert set(reg) == {"1", "2", "3"}
+    v1_fields = [f["name"] for f in reg["1"]["fields"][0]["type"][1]["fields"]]
+    assert "lang" not in v1_fields
+    ds = WA.read_avro(d["data_files"], d["registry"],
+                      tx_topic=[d["tx_file"]], payload=_payload_of(ev))
+    got = pa.Table.from_pylist(
+        ds.take_all(), schema=change_event_schema(_payload_of(ev))
+    ).sort_by("gtid")
+    orig = ev.sort_by("gtid")
+    assert np.array_equal(np.asarray(got.column("gtid")),
+                          (1 << 40) | np.asarray(orig.column("gtid")))
+    for c in ["tx_id", "seq_in_tx", "tx_events", "server_id", "db",
+              "table", "op", "key", "before", "after"]:
+        assert got.column(c).to_pylist() == orig.column(c).to_pylist(), c
+
+
+def test_tx_counts_recovered_without_topic(tmp_path):
+    ev = generate_events(CFG)
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=2)
+    ds = WA.read_avro(d["data_files"], d["registry"], tx_topic=None,
+                      payload=_payload_of(ev))
+    got = pa.Table.from_pylist(ds.take_all()).sort_by("gtid")
+    assert (got.column("tx_events").to_pylist()
+            == ev.sort_by("gtid").column("tx_events").to_pylist())
+
+
+def test_unknown_schema_id_raises(tmp_path):
+    ev = generate_events(GenConfig(n_docs=5, n_events=10))
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=1)
+    reg = WA._Registry({2: WA.tx_meta_avro_schema()})  # missing id 1
+    with pytest.raises(ValueError, match="not in the registry"):
+        reg.decode_file(open(d["data_files"][0], "rb").read())
+
+
+def test_bad_magic_and_torn_frames_raise():
+    reg = WA._Registry({1: WA.tx_meta_avro_schema()})
+    body = struct.pack(">bI", 7, 1) + b"x"  # wrong magic
+    framed = struct.pack(">I", len(body)) + body
+    with pytest.raises(ValueError, match="magic"):
+        reg.decode_file(framed)
+    with pytest.raises(ValueError, match="torn"):
+        reg.decode_file(struct.pack(">I", 100) + b"short")
+
+
+def test_under_read_detected(tmp_path):
+    """A message whose framed length exceeds its Avro body is a
+    corruption signal, not silently ignored trailing bytes."""
+    c = WA._Codec(WA.tx_meta_avro_schema())
+    body = c.encode({"status": "BEGIN", "id": "1", "event_count": None,
+                     "data_collections": None})
+    msg = struct.pack(">bI", 0, 1) + body + b"JUNK"
+    framed = struct.pack(">I", len(msg)) + msg
+    reg = WA._Registry({1: WA.tx_meta_avro_schema()})
+    with pytest.raises(ValueError, match="under-read"):
+        reg.decode_file(framed)
+
+
+def test_socket_feed_applies_to_lake(tmp_path):
+    """Live Confluent-Avro frames over a socket → stream decode →
+    lake apply reproduces the generated final state."""
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    ev = generate_events(CFG)
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=4,
+                     evolve_gtid=CFG.evolve_at)
+    tx_index = WA.parse_tx_topic_avro([d["tx_file"]], d["registry"])
+
+    srv = WA.AvroStreamServer()
+    ds = WA.stream_avro_socket(srv.host, srv.port, d["registry"],
+                               tx_index, payload=_payload_of(ev))
+    for p in d["data_files"]:
+        srv.push_file(p)
+    srv.close()
+
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(ds.materialize())
+    state = lake.state_table().sort_by("doc_id")
+    want = final_state(CFG).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == \
+        want.column("doc_id").to_pylist()
+    assert state.column("tokens").to_pylist() == \
+        want.column("tokens").to_pylist()
+
+
+def test_dump_is_deterministic(tmp_path):
+    ev = generate_events(GenConfig(n_docs=10, n_events=40))
+    d1 = WA.avro_dump(ev, str(tmp_path / "a"), n_files=2)
+    d2 = WA.avro_dump(ev, str(tmp_path / "b"), n_files=2)
+    for p1, p2 in zip(d1["data_files"], d2["data_files"]):
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+    assert (open(d1["tx_file"], "rb").read()
+            == open(d2["tx_file"], "rb").read())
+
+
+def test_infer_payload_from_registry(tmp_path):
+    """The registry snapshot carries the catalog: inference merges
+    envelope schemas in id order, so the post-DDL column appears with
+    its REAL type (the JSON dialects must guess from data)."""
+    ev = generate_events(CFG)
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=2,
+                     evolve_gtid=CFG.evolve_at)
+    inferred = WA.infer_payload_avro(d["registry"])
+    assert inferred.equals(SEQ_SCHEMA_V2), inferred
+
+
+def test_checkpoint_pruning_files_above(tmp_path):
+    ev = generate_events(CFG)
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=4)
+    firsts = [WA.avro_first_coordinate(p, d["registry"])
+              for p in d["data_files"]]
+    assert all(f is not None for f in firsts)
+    assert firsts == sorted(firsts)
+    # watermark inside the second file's range → only the first file
+    # is provably fully applied (successor rule) and prunable
+    kept = WA.avro_files_above(d["data_files"], firsts[1],
+                               d["registry"])
+    assert kept == d["data_files"][1:]
+    # watermark at the last coordinate before file 2 → files 0 and 1
+    # both prunable
+    kept2 = WA.avro_files_above(d["data_files"], firsts[2] - 1,
+                                d["registry"])
+    assert kept2 == d["data_files"][2:]
+    # no watermark → everything kept
+    assert WA.avro_files_above(d["data_files"], -1, d["registry"]) \
+        == d["data_files"]
+
+
+def test_cli_wire_avro_ingest_and_resume(tmp_path, capsys):
+    """`rookray wire --format avro` end-to-end: payload from the
+    registry snapshot, tx topic auto-discovered, final state matches
+    the serial oracle; a second run prunes every file below the
+    committed watermark and applies nothing."""
+    from rookray.cli import main
+    from rookray.pipeline import LakeTable
+
+    cfg = GenConfig(n_docs=30, n_events=200, evolve_at=101)
+    ev = generate_events(cfg)
+    dump = str(tmp_path / "dump")
+    WA.avro_dump(ev, dump, n_files=3, evolve_gtid=cfg.evolve_at)
+    t = str(tmp_path / "lake")
+    assert main(["wire", "--format", "avro", "--dump", dump,
+                 "--table", t, "--partitions", "2"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["tx_topic"] is True and res["files"] == 3
+    lake = LakeTable(t)
+    state = lake.state_table().sort_by("doc_id")
+    exp = final_state(cfg).sort_by("doc_id")
+    assert state.column("doc_id").to_pylist() == \
+        exp.column("doc_id").to_pylist()
+    assert state.column("tokens").to_pylist() == \
+        exp.column("tokens").to_pylist()
+    # resume: everything at/below the watermark → all but the last
+    # file pruned at the head read, zero new events applied
+    assert main(["wire", "--format", "avro", "--dump", dump,
+                 "--table", t, "--partitions", "2"]) == 0
+    res2 = json.loads(capsys.readouterr().out)
+    assert res2["events_applied"] == 0
+    assert res2["files_skipped"] >= 2
