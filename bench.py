@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "cdc_wire_debezium",
     "cdc_wire_binlog",
     "ann_lsh",
+    # round-5: Confluent schema-registry Avro envelope
+    "cdc_wire_avro",
 ]
 
 
@@ -112,7 +114,7 @@ WIRE_EVENTS = int(os.environ.get("ROOKRAY_BENCH_WIRE_EVENTS", "100000"))
 
 def ensure_wire_dumps(n_events: int) -> dict:
     """Deterministic cached wire-format dumps of ONE stream (encode is
-    untimed): the five public CDC envelopes the engine decodes."""
+    untimed): the six public CDC envelopes the engine decodes."""
     from rookray.gen import GenConfig, generate_events
 
     out = os.path.join("/tmp/rookray_bench", f"wire-{n_events}")
@@ -121,6 +123,7 @@ def ensure_wire_dumps(n_events: int) -> dict:
         from rookray import binlog as B
         from rookray import pgoutput as PG
         from rookray import wire as W
+        from rookray import wireavro as WA
         from rookray import wirejson as WJ
 
         ev = generate_events(GenConfig(
@@ -137,12 +140,30 @@ def ensure_wire_dumps(n_events: int) -> dict:
                                    n_files=16),
             "pgoutput": PG.pgwal_dump(ev, os.path.join(out, "pgo"),
                                       n_files=16),
+            "avro": WA.avro_dump(ev, os.path.join(out, "avr"),
+                                 n_files=16),
         }
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(meta_path + ".tmp", meta_path)
     with open(meta_path) as f:
         return json.load(f)
+
+
+def cpu_sample() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
+    sampled around each measurement so co-tenant CPU steal on this
+    shared box is separable from a regression by machine evidence."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else 0.0
 
 
 def bench_wire_decode(n_events: int) -> dict:
@@ -153,6 +174,7 @@ def bench_wire_decode(n_events: int) -> dict:
     from rookray import binlog as B
     from rookray import pgoutput as PG
     from rookray import wire as W
+    from rookray import wireavro as WA
     from rookray import wirejson as WJ
     from rookray.schema import SEQ_SCHEMA_V2
 
@@ -169,6 +191,9 @@ def bench_wire_decode(n_events: int) -> dict:
                                          payload=SEQ_SCHEMA_V2),
         "pgoutput": lambda m: PG.read_pgwal(m["files"],
                                             payload=SEQ_SCHEMA_V2),
+        "avro": lambda m: WA.read_avro(
+            m["data_files"], m["registry"], tx_topic=[m["tx_file"]],
+            payload=SEQ_SCHEMA_V2),
     }
     out = {}
     for fmt, rd in readers.items():
@@ -176,12 +201,21 @@ def bench_wire_decode(n_events: int) -> dict:
             for p in (m.get("files") or m.get("data_files")):
                 warm_cache([p])
         best = float("inf")
+        steal = 0.0
         for _ in range(2):
+            s0 = cpu_sample()
             t0 = time.perf_counter()
             n = rd(meta[fmt]).materialize().count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, steal = dt, steal_pct(s0, cpu_sample())
         out[fmt] = {"events": n, "sec": round(best, 3),
-                    "events_per_sec": round(n / best, 1)}
+                    "events_per_sec": round(n / best, 1),
+                    # per allocated core: the single-box rate a cluster
+                    # multiplies by (cores × nodes); decode is file-
+                    # parallel so 16 dump files bound the task count
+                    "per_core": round(n / best / NUM_CPUS, 1),
+                    "steal_pct": steal}
     return out
 
 
@@ -232,6 +266,7 @@ def run_bench() -> dict:
     # best of two timed runs: first-run noise (page-cache misses,
     # executor cold paths) can inflate a single sample 20-30%
     apply_sec = float("inf")
+    apply_steal = 0.0
     for _ in range(2):
         root = tempfile.mkdtemp(prefix="rookray_bench_lake_")
         lake = LakeTable(
@@ -243,9 +278,12 @@ def run_bench() -> dict:
                 batch_size=32768,
             ),
         )
+        s0 = cpu_sample()
         t0 = time.perf_counter()
         lake.apply(meta["files"])
-        apply_sec = min(apply_sec, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if dt < apply_sec:
+            apply_sec, apply_steal = dt, steal_pct(s0, cpu_sample())
         shutil.rmtree(root, ignore_errors=True)
     n_events = meta["n_events"]
 
@@ -256,13 +294,17 @@ def run_bench() -> dict:
     # single-box page-cache/writeback variance inflates one-shot
     # readings by up to 50%; the min is the steady-state number
     qtimes: dict[str, float] = {}
+    qsteal: dict[str, float] = {}
     skip_queries = os.environ.get("ROOKRAY_BENCH_SKIP_QUERIES") == "1"
     for name in ([] if skip_queries else BENCH_QUERIES):
         best = float("inf")
         for _ in range(2):
+            s0 = cpu_sample()
             t0 = time.perf_counter()
             Q.QUERIES[name](SF_DIR)
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, qsteal[name] = dt, steal_pct(s0, cpu_sample())
         qtimes[name] = round(best, 3)
 
     # ------------- streaming ingest (in-executor unbounded tail) -------
@@ -299,12 +341,14 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "queries_steal_pct": None if skip_queries else qsteal,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "cdc": {
             "events": n_events,
             "apply_sec": round(apply_sec, 3),
             "events_per_sec": round(n_events / apply_sec, 1),
+            "steal_pct": apply_steal,
         },
         "streaming": None if skip_queries else {
             "events": n_events,

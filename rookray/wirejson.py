@@ -387,7 +387,14 @@ def read_maxwell(paths: list[str],
     # rank index is built in one numpy lexsort on the driver.
     if single_parse:
         raw = ray.data.read_json(paths).materialize()
-        count_src = raw
+        # the parsed blocks are already in the object store: extract
+        # the (xid, coord) pairs with plain Ray tasks over the block
+        # refs — a second streaming-executor launch (plus its schema
+        # probe) costs ~0.5-1 s of fixed overhead per run, which was
+        # the bulk of the Maxwell-vs-Canal decode-rate gap
+        pairs_task = ray.remote(num_cpus=1)(tx_pairs)
+        pair_tables = ray.get([pairs_task.remote(r)
+                               for r in raw.to_arrow_refs()])
     else:
         import pyarrow.json as pj
         slim = pj.ParseOptions(
@@ -396,10 +403,12 @@ def read_maxwell(paths: list[str],
                                        ("position", pa.string())]),
             unexpected_field_behavior="ignore")
         raw = ray.data.read_json(paths)
-        count_src = ray.data.read_json(paths, parse_options=slim)
-    pair_tables = ray.get(
-        count_src.map_batches(tx_pairs, batch_format="pyarrow")
-        .to_arrow_refs())
+        # materialize the TINY pairs output (16 B/event) so
+        # to_arrow_refs doesn't re-execute the pass for schema probes
+        pair_tables = ray.get(
+            ray.data.read_json(paths, parse_options=slim)
+            .map_batches(tx_pairs, batch_format="pyarrow")
+            .materialize().to_arrow_refs())
     pairs = pa.concat_tables([t for t in pair_tables if t.num_rows]) \
         if any(t.num_rows for t in pair_tables) else \
         pa.table({"tx_id": pa.array([], pa.int64()),
@@ -408,6 +417,18 @@ def read_maxwell(paths: list[str],
         pairs.column("tx_id").to_numpy(zero_copy_only=False),
         pairs.column("coord").to_numpy(zero_copy_only=False))
     ref = ray.put(tx_index)
+
+    if single_parse:
+        # bounded-dump fast path, stage 2: the parse is materialized,
+        # so decode each block with a plain Ray task as well and wrap
+        # the decoded refs — the streaming executor's per-launch fixed
+        # cost (~0.3 s) would otherwise dominate a recorded-dump decode
+        def _dec(t: pa.Table, idx) -> pa.Table:
+            return decode_maxwell(t, payload=payload, tx_index=idx)
+
+        dec_task = ray.remote(num_cpus=1)(_dec)
+        return ray.data.from_arrow_refs(
+            [dec_task.remote(r, ref) for r in raw.to_arrow_refs()])
 
     def decode(t: pa.Table) -> pa.Table:
         import ray as _ray
