@@ -87,12 +87,12 @@ import pyarrow as pa
 
 from ray.data.datasource import Datasource
 
-from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
-                            change_event_schema)
+from rookray.schema import (NonAdditiveDDLError, OP_DELETE, OP_INSERT,
+                            OP_UPDATE, SEQ_SCHEMA, change_event_schema)
 
 __all__ = ["binlog_dump", "decode_binlog_file", "read_binlog",
            "BinlogParser", "BinlogStreamServer", "BinlogSocketDatasource",
-           "stream_binlog_socket", "BinlogFormatError"]
+           "stream_binlog_socket", "BinlogFormatError", "BinlogDDLError"]
 
 MAGIC = b"\xfebin"
 
@@ -467,6 +467,20 @@ class BinlogFormatError(ValueError):
     pass
 
 
+class BinlogDDLError(NonAdditiveDDLError, BinlogFormatError):
+    """Non-additive DDL detected from TABLE_MAP changes (structured —
+    see :class:`rookray.schema.NonAdditiveDDLError` for the fields and
+    the rename escape hatch).  TABLE_MAP carries widths and types but
+    NO names, so a rename is invisible here; what IS detectable: a
+    width decrease against an earlier TABLE_MAP of the same table in
+    the stream (column drop), a per-position mysql-type change, and a
+    table wider than the payload schema."""
+
+    def __init__(self, db: str, table: str, kind: str, detail: str):
+        NonAdditiveDDLError.__init__(self, "binlog", db, table, kind,
+                                     detail)
+
+
 def _file_seq(path: str) -> int:
     m = re.search(r"\.(\d+)$", os.path.basename(path))
     if not m:
@@ -525,6 +539,9 @@ class BinlogParser:
         self._pos = 0               # offset of buffer start in file
         self._checksum = CHECKSUM_ALG_OFF
         self._tables: dict[int, tuple[str, str, int]] = {}
+        # widest TABLE_MAP seen per (db, table): a later narrower one
+        # is a column drop (non-additive DDL) — see BinlogDDLError
+        self._widths: dict[tuple[str, str], int] = {}
         self._cur_gno: int | None = None
         self._txbuf: list[tuple] = []
         self._out: list[tuple] = []     # committed rows pending emission
@@ -639,17 +656,27 @@ class BinlogParser:
         p += 2 + tlen
         ncols, p = _read_lenenc(b, p)
         if ncols > len(payload):
-            raise BinlogFormatError(
-                f"{self._name}: table {db}.{table} declares {ncols} "
-                f"columns; payload schema has {len(payload)} — "
-                f"positional mapping needs payload ⊇ table")
+            raise BinlogDDLError(
+                db, table, "payload-narrower",
+                f"{self._name}: table declares {ncols} columns; "
+                f"payload schema has {len(payload)} — positional "
+                "mapping needs payload ⊇ table")
+        seen = self._widths.get((db, table))
+        if seen is not None and ncols < seen:
+            raise BinlogDDLError(
+                db, table, "column-drop",
+                f"{self._name}: TABLE_MAP declares {ncols} columns "
+                f"after an earlier one declared {seen} — a column was "
+                "dropped mid-stream")
+        self._widths[(db, table)] = ncols
         types = bytes(b[p:p + ncols])
         for i in range(ncols):
             if types[i] != codecs[i].mysql_type:
-                raise BinlogFormatError(
-                    f"{self._name}: column {i} of {db}.{table} is mysql "
-                    f"type {types[i]}, payload field "
-                    f"{payload.names[i]!r} expects {codecs[i].mysql_type}")
+                raise BinlogDDLError(
+                    db, table, "type-change",
+                    f"{self._name}: column {i} is mysql type "
+                    f"{types[i]}, payload field {payload.names[i]!r} "
+                    f"expects {codecs[i].mysql_type}")
         self._tables[tid] = (db, table, ncols)
 
     def _rows(self, b: memoryview, o: int, body_end: int, etype: int,

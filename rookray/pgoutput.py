@@ -97,11 +97,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA,
-                            change_event_schema)
+from rookray.schema import (NonAdditiveDDLError, OP_DELETE, OP_INSERT,
+                            OP_UPDATE, SEQ_SCHEMA, change_event_schema)
 
 __all__ = [
-    "pgwal_dump", "PgOutputParser", "PgOutputError", "decode_pgwal_file",
+    "pgwal_dump", "PgOutputParser", "PgOutputError", "PgOutputDDLError",
+    "decode_pgwal_file",
     "read_pgwal", "pgwal_files_above", "first_lsn", "PgStreamServer",
     "PgSocketDatasource", "stream_pgwal_socket",
 ]
@@ -110,6 +111,20 @@ __all__ = [
 class PgOutputError(ValueError):
     """Malformed pgoutput stream (truncated frame, unknown relation,
     torn trailing transaction in strict mode, ...)."""
+
+
+class PgOutputDDLError(NonAdditiveDDLError, PgOutputError):
+    """Non-additive DDL detected from Relation re-sends (structured —
+    see :class:`rookray.schema.NonAdditiveDDLError`).  Relations carry
+    column NAMES, so here renames surface as ``unknown-column`` (the
+    old name vanishes, the new one isn't in the payload schema), drops
+    as a re-sent Relation missing a previously declared name, and type
+    changes as a column whose declared type oid differs from the
+    stream's own earlier declaration."""
+
+    def __init__(self, db: str, table: str, kind: str, detail: str):
+        NonAdditiveDDLError.__init__(self, "pgoutput", db, table, kind,
+                                     detail)
 
 
 # -------------------------------------------------------------- encoder
@@ -374,6 +389,11 @@ class PgOutputParser:
         self.emit_rows = emit_rows
         self._buf = bytearray()
         self._rels: dict[int, tuple[str, str, list[str]]] = {}
+        # last (names, type oids) declared per (ns, rel): a re-sent
+        # Relation dropping a name or changing an oid is non-additive
+        # DDL — see PgOutputDDLError
+        self._rel_decls: dict[tuple[str, str],
+                              tuple[list[str], dict[str, int]]] = {}
         self._tx: list[tuple] | None = None
         self._xid = -1
         # protocol v2 streamed in-progress transactions: rows buffer
@@ -497,16 +517,43 @@ class PgOutputParser:
             (ncols,) = struct.unpack_from(">H", mv, o)
             o += 2
             names = []
+            oids: dict[str, int] = {}
             for _ in range(ncols):
                 o += 1  # flags
                 cname, o = _cstr(mv, o)
+                (toid,) = struct.unpack_from(">I", mv, o)
                 o += 8  # typoid + typmod
                 if cname not in self._name_idx:
-                    raise PgOutputError(
-                        f"relation {ns}.{rel} declares column "
-                        f"{cname!r} not in the payload schema — the "
-                        "engine accepts appended columns only")
+                    raise PgOutputDDLError(
+                        ns, rel, "unknown-column",
+                        f"relation declares column {cname!r} not in "
+                        "the payload schema — the engine accepts "
+                        "appended columns only")
                 names.append(cname)
+                oids[cname] = toid
+            # compare against the stream's OWN earlier declaration of
+            # this table: a vanished name is a drop, a changed type
+            # oid is a type change — both non-additive (the dump's
+            # per-file Relation re-send and a live session's post-DDL
+            # re-send both route through here)
+            prev = self._rel_decls.get((ns, rel))
+            if prev is not None:
+                prev_names, prev_oids = prev
+                gone = [n for n in prev_names if n not in oids]
+                if gone:
+                    raise PgOutputDDLError(
+                        ns, rel, "column-drop",
+                        f"re-sent Relation no longer declares "
+                        f"{gone} (was {prev_names}, now {names})")
+                changed = [n for n in prev_names
+                           if oids.get(n, prev_oids[n]) != prev_oids[n]]
+                if changed:
+                    raise PgOutputDDLError(
+                        ns, rel, "type-change",
+                        f"column(s) {changed} re-declared with a "
+                        "different type oid than the stream's earlier "
+                        "Relation message")
+            self._rel_decls[(ns, rel)] = (names, oids)
             self._rels[relid] = (ns, rel, names)
             return o
         if tag in (b"I", b"U", b"D"):

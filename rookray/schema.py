@@ -103,6 +103,38 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+#: ddl kinds whose most common real-world cause is a column RENAME,
+#: which IS replayable through the read-boundary mapping
+_RENAMEABLE = frozenset({"unknown-column", "payload-narrower"})
+
+
+class NonAdditiveDDLError(SchemaEvolutionError):
+    """A wire feed surfaced a schema change the engine's additive
+    contract cannot replay (column drop, type change, or a column the
+    payload schema doesn't know).  Structured so callers can route on
+    it: ``source`` (wire format), ``db``/``table``, ``kind`` (one of
+    ``column-drop``, ``type-change``, ``unknown-column``,
+    ``payload-narrower``), ``detail``.
+
+    The message carries the one escape hatch that IS replayable: if
+    the change is really a column RENAME, map it at the read boundary
+    with ``CDCConfig(column_renames=((\"old\", \"new\"), ...))`` and
+    re-run; drops and type changes need a fresh snapshot bootstrap."""
+
+    def __init__(self, source: str, db: str, table: str, kind: str,
+                 detail: str):
+        self.source, self.db, self.table = source, db, table
+        self.kind, self.detail = kind, detail
+        hint = (" — if this is a column rename, replay it with "
+                "CDCConfig(column_renames=((old, new), ...)); "
+                if kind in _RENAMEABLE else " — ")
+        super().__init__(
+            f"non-additive DDL on {db}.{table} ({source}, {kind}): "
+            f"{detail}{hint}column drops and type changes are not "
+            "replayable against committed state (bootstrap a fresh "
+            "snapshot instead)")
+
+
 def is_additive(old: pa.Schema, new: pa.Schema) -> bool:
     """True iff ``new`` extends ``old`` by appended nullable columns only."""
     old_by_name = {f.name: f for f in old}

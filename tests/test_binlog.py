@@ -327,3 +327,50 @@ def test_cli_multi_table_routed_ingest(tmp_path, ray_session, capsys):
                      "--partitions", "2"]) == 1
     err = _json.loads(capsys.readouterr().out)
     assert "TABLE=LAKE_PATH" in err["error"]
+
+
+def test_column_drop_is_structured_ddl_error(tmp_path):
+    """A TABLE_MAP declaring FEWER columns than an earlier one of the
+    same table (a column drop mid-stream) raises the STRUCTURED
+    non-additive-DDL error, not a generic format error: kind/table
+    fields for routing, plus the documented bootstrap guidance."""
+    ev = generate_events(CFG)
+    rows = ev.to_pylist()
+    txs: list[list[dict]] = []
+    for r in rows:
+        if txs and txs[-1][0]["tx_id"] == r["tx_id"]:
+            txs[-1].append(r)
+        else:
+            txs.append([r])
+    # two pre-evolution txs (lang all-null there): declare 5 columns
+    # first, then 4 — a drop
+    payload = pa.schema(list(ev.schema.field("after").type))
+    codecs = [B._codec_for(f.type) for f in payload]
+    path = str(tmp_path / "drop.000001")
+    w = B._FileWriter(path)
+    B._write_tx(w, txs[0], payload, codecs, 5, {}, 8)
+    B._write_tx(w, txs[1], payload, codecs, 4, {}, 8)
+    w.close(None)
+    with pytest.raises(B.BinlogDDLError) as ei:
+        B.decode_binlog_file(open(path, "rb").read(), path,
+                             payload=payload)
+    e = ei.value
+    assert e.kind == "column-drop" and e.source == "binlog"
+    assert e.table == txs[1][0]["table"]
+    assert "bootstrap" in str(e)
+    # still catchable as the format's own error family
+    assert isinstance(e, B.BinlogFormatError)
+    from rookray.schema import NonAdditiveDDLError
+    assert isinstance(e, NonAdditiveDDLError)
+
+
+def test_payload_narrower_carries_rename_hint(tmp_path):
+    """payload ⊂ table can be a RENAME seen from the narrow side; the
+    structured error surfaces the CDCConfig.column_renames escape
+    hatch."""
+    ev = generate_events(CFG)
+    d = B.binlog_dump(ev, str(tmp_path / "blg"), n_files=1)
+    with pytest.raises(B.BinlogDDLError) as ei:
+        _decode_all(d, SEQ_SCHEMA)  # 5-col TABLE_MAP vs 4-col payload
+    assert ei.value.kind == "payload-narrower"
+    assert "column_renames" in str(ei.value)

@@ -391,3 +391,56 @@ def test_interleaved_streams_and_abort():
                                                          700, 701))])
     with pytest.raises(PG.PgOutputError, match="subtransaction"):
         PG.decode_pgwal_file(sub, payload, allow_partial_tail=True)
+
+
+def _xlog(lsn: int, msg: bytes) -> bytes:
+    return b"w" + struct.pack(">QQQ", lsn, lsn, 0) + msg
+
+
+def test_relation_column_drop_is_structured_ddl_error(tmp_path):
+    """A re-sent Relation missing a previously declared column name is
+    a column drop: the STRUCTURED non-additive-DDL error fires, with
+    kind/table routing fields."""
+    cols4 = [("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+             ("n_tok", pa.int32()), ("source", pa.string())]
+    payload = pa.schema(cols4)
+    r_full = PG._relation_msg(16400, "rook", "sequences", b"f", cols4)
+    r_drop = PG._relation_msg(16400, "rook", "sequences", b"f",
+                              cols4[:2] + cols4[3:])  # n_tok dropped
+    frame = _xlog(1, r_full) + _xlog(2, r_drop)
+    with pytest.raises(PG.PgOutputDDLError) as ei:
+        PG.decode_pgwal_file(frame, payload, allow_partial_tail=True)
+    e = ei.value
+    assert e.kind == "column-drop" and e.source == "pgoutput"
+    assert e.table == "sequences" and "n_tok" in str(e)
+    assert isinstance(e, PG.PgOutputError)
+
+
+def test_relation_type_change_is_structured_ddl_error():
+    """The same column re-declared with a different type oid than the
+    stream's own earlier Relation message is a type change."""
+    cols = [("doc_id", pa.string()), ("n_tok", pa.int32())]
+    payload = pa.schema(cols)
+    r1 = PG._relation_msg(16400, "rook", "sequences", b"f", cols)
+    r2 = PG._relation_msg(16400, "rook", "sequences", b"f",
+                          [("doc_id", pa.string()),
+                           ("n_tok", pa.int64())])  # int4 -> int8
+    with pytest.raises(PG.PgOutputDDLError) as ei:
+        PG.decode_pgwal_file(_xlog(1, r1) + _xlog(2, r2), payload,
+                             allow_partial_tail=True)
+    assert ei.value.kind == "type-change"
+    assert "n_tok" in str(ei.value)
+
+
+def test_unknown_column_carries_rename_hint():
+    """A Relation column name the payload doesn't know is how a RENAME
+    surfaces in pgoutput — the error points at the
+    CDCConfig.column_renames escape hatch."""
+    payload = pa.schema([("doc_id", pa.string())])
+    rel = PG._relation_msg(16400, "rook", "sequences", b"f",
+                           [("doc_identifier", pa.string())])
+    with pytest.raises(PG.PgOutputDDLError) as ei:
+        PG.decode_pgwal_file(_xlog(1, rel), payload,
+                             allow_partial_tail=True)
+    assert ei.value.kind == "unknown-column"
+    assert "column_renames" in str(ei.value)
