@@ -119,6 +119,11 @@ def ensure_wire_dumps(n_events: int) -> dict:
 
     out = os.path.join("/tmp/rookray_bench", f"wire-{n_events}")
     meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        # a cache written before a format existed must regenerate
+        with open(meta_path) as f:
+            if "avro" not in json.load(f):
+                shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(meta_path):
         from rookray import binlog as B
         from rookray import pgoutput as PG

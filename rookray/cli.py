@@ -463,7 +463,8 @@ def cmd_egress(args) -> int:
                                    "relay"}))
         return 1
     try:
-        res = export_changefeed(lake, from_epoch, to_epoch, args.out)
+        res = export_changefeed(lake, from_epoch, to_epoch, args.out,
+                                fmt=args.format)
     except ValueError as e:
         # e.g. a cursor epoch behind the lake's GC horizon
         print(json.dumps({"error": f"cannot diff epochs {from_epoch}"
@@ -772,11 +773,16 @@ def main(argv=None) -> int:
     pg.set_defaults(fn=cmd_pgwal)
 
     eg = sub.add_parser("egress", help="publish the changefeed between "
-                        "two committed snapshots as a Debezium-JSON dump "
+                        "two committed snapshots as a Debezium dump "
                         "(CDC relay out of the lake)")
     eg.add_argument("--table", required=True)
     eg.add_argument("--out", required=True,
                     help="output directory for the dump files")
+    eg.add_argument("--format", default="debezium",
+                    choices=["debezium", "avro"],
+                    help="envelope serialization (default: debezium "
+                         "JSON-lines; avro = Confluent schema-registry "
+                         "framing + registry.json)")
     eg.add_argument("--from-epoch", type=int, default=None,
                     help="base snapshot (default: head - 1)")
     eg.add_argument("--to-epoch", type=int, default=None,

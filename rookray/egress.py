@@ -51,7 +51,7 @@ import os
 
 import pyarrow as pa
 
-__all__ = ["write_debezium", "export_changefeed"]
+__all__ = ["write_debezium", "write_avro", "export_changefeed"]
 
 _OP = {"insert": "c", "update": "u", "delete": "d"}
 
@@ -77,19 +77,14 @@ def _image(row: dict, key: str, names: list[str], suf: str) -> dict:
     return out
 
 
-def write_debezium(feed: "ray.data.Dataset", out_dir: str,
-                   key_column: str, value_columns: list[str],
-                   delete_pos: int,
-                   db: str = "rook", table: str = "sequences",
-                   server_id: int = 0,
-                   server_name: str = "rookray") -> dict:
-    """Serialize a ``changes_between`` feed (requested with every
-    payload value column) into a Debezium-JSON dump under ``out_dir``.
-    ``delete_pos`` is the coordinate every delete envelope carries —
-    snapshot B's watermark, i.e. ≥ the feed's max ``gtid_b`` and > any
-    ``gtid_a`` — see the module header for why collisions are safe and
-    how transaction identity stays unique.  Returns
-    ``{"data_files", "events"}``."""
+def _write_dump(feed: "ray.data.Dataset", out_dir: str,
+                key_column: str, value_columns: list[str],
+                delete_pos: int, serialize, ext: str,
+                db: str, table: str, server_id: int,
+                server_name: str) -> dict:
+    """Shared egress writer: env-dict construction, coordinate/tx
+    identity rules, and idempotent file naming live ONCE; ``serialize``
+    (env dicts → bytes) picks the wire dialect."""
     from rookray.wire import make_envelope
 
     os.makedirs(out_dir, exist_ok=True)
@@ -101,7 +96,7 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
         if batch.num_rows == 0:
             return summary.empty_table()
         rows = batch.to_pylist()
-        lines, positions = [], []
+        envs, positions = [], []
         for r in rows:
             change = r["change"]
             if change == "delete":
@@ -119,7 +114,7 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
                 g = tx = int(r["gtid_b"])
             positions.append(g)
             binlog_file, pos = _coords(g)
-            env = make_envelope(
+            envs.append(make_envelope(
                 _OP[change],
                 (None if change == "insert"
                  else _image(r, key_column, names, "a")),
@@ -127,15 +122,14 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
                  else _image(r, key_column, names, "b")),
                 db, table, server_id, binlog_file, pos,
                 str(tx), 1, connector="rookray",
-                server_name=server_name)
-            lines.append(json.dumps(env, separators=(",", ":")))
+                server_name=server_name))
         lo, hi = min(positions), max(positions)
-        body = ("\n".join(lines) + "\n").encode()
+        body = serialize(envs)
         import hashlib
         digest = hashlib.md5(body).hexdigest()[:8]
         # range + content digest: unique across blocks even when two
         # partitions' diff ranges coincide, stable across task retries
-        name = f"data-{lo:016x}-{hi:016x}-{digest}.jsonl"
+        name = f"data-{lo:016x}-{hi:016x}-{digest}.{ext}"
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -153,15 +147,80 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
     }
 
 
+def write_debezium(feed: "ray.data.Dataset", out_dir: str,
+                   key_column: str, value_columns: list[str],
+                   delete_pos: int,
+                   db: str = "rook", table: str = "sequences",
+                   server_id: int = 0,
+                   server_name: str = "rookray") -> dict:
+    """Serialize a ``changes_between`` feed (requested with every
+    payload value column) into a Debezium-JSON dump under ``out_dir``.
+    ``delete_pos`` is the coordinate every delete envelope carries —
+    snapshot B's watermark, i.e. ≥ the feed's max ``gtid_b`` and > any
+    ``gtid_a`` — see the module header for why collisions are safe and
+    how transaction identity stays unique.  Returns
+    ``{"data_files", "events"}``."""
+
+    def to_jsonl(envs: list[dict]) -> bytes:
+        return ("\n".join(json.dumps(e, separators=(",", ":"))
+                          for e in envs) + "\n").encode()
+
+    return _write_dump(feed, out_dir, key_column, value_columns,
+                       delete_pos, to_jsonl, "jsonl",
+                       db, table, server_id, server_name)
+
+
+def write_avro(feed: "ray.data.Dataset", out_dir: str,
+               key_column: str, value_columns: list[str],
+               delete_pos: int, payload: pa.Schema,
+               db: str = "rook", table: str = "sequences",
+               server_id: int = 0,
+               server_name: str = "rookray") -> dict:
+    """Debezium egress over the Confluent schema-registry Avro wire
+    format (``rookray.wireavro``): same envelopes, coordinates and
+    transaction-identity rules as :func:`write_debezium`, serialized
+    as length-framed magic+id+Avro-binary messages, with the registry
+    snapshot (one envelope schema — the lake's committed payload IS
+    the catalog) written alongside as ``registry.json``."""
+    from rookray.wireavro import _Codec, _frame, envelope_avro_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = envelope_avro_schema(payload)
+    reg_path = os.path.join(out_dir, "registry.json")
+    if not os.path.exists(reg_path):
+        tmp = reg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"1": schema}, f)
+        os.replace(tmp, reg_path)
+
+    codec_cell: list = []  # compiled once per task process, lazily
+
+    def to_avro(envs: list[dict]) -> bytes:
+        if not codec_cell:
+            codec_cell.append(_Codec(schema))
+        codec = codec_cell[0]
+        return b"".join(_frame(1, codec.encode(e["payload"]))
+                        for e in envs)
+
+    d = _write_dump(feed, out_dir, key_column, value_columns,
+                    delete_pos, to_avro, "avrowire",
+                    db, table, server_id, server_name)
+    d["registry"] = reg_path
+    return d
+
+
 def export_changefeed(lake, epoch_a: int, epoch_b: int,
-                      out_dir: str, server_name: str = "rookray") -> dict:
+                      out_dir: str, server_name: str = "rookray",
+                      fmt: str = "debezium") -> dict:
     """Egress the row-level changefeed between two committed snapshots
-    as a Debezium-JSON dump: every payload column rides as full
+    as a wire-format dump: every payload column rides as full
     before/after images (what a downstream consumer needs to retract
-    and re-add), coordinates as documented in the module header.  The
-    dump replays into anything that speaks the envelope — including a
-    second lake bootstrapped from snapshot A
-    (``tests/test_egress.py`` proves dump ∘ apply == snapshot B)."""
+    and re-add), coordinates as documented in the module header.
+    ``fmt``: ``"debezium"`` (JSON-lines) or ``"avro"`` (Confluent
+    schema-registry framing).  The dump replays into anything that
+    speaks the envelope — including a second lake bootstrapped from
+    snapshot A (``tests/test_egress.py`` proves dump ∘ apply ==
+    snapshot B for both dialects)."""
     payload = lake.payload_schema()
     key = payload.names[0]
     value_cols = [n for n in payload.names if n != key]
@@ -172,10 +231,18 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     wm_b = mb["closed_watermark"]
     if wm_b is None:
         wm_b = mb["max_gtid_seen"]
-    d = write_debezium(feed, out_dir, key, value_cols,
-                       delete_pos=int(wm_b),
+    if fmt == "avro":
+        d = write_avro(feed, out_dir, key, value_cols,
+                       delete_pos=int(wm_b), payload=payload,
                        db="rook", table=lake.config.table,
                        server_id=0, server_name=server_name)
+    elif fmt == "debezium":
+        d = write_debezium(feed, out_dir, key, value_cols,
+                           delete_pos=int(wm_b),
+                           db="rook", table=lake.config.table,
+                           server_id=0, server_name=server_name)
+    else:
+        raise ValueError(f"unknown egress format {fmt!r}")
     d["payload"] = payload.names
     d["delete_pos"] = int(wm_b)
     return d
