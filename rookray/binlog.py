@@ -479,6 +479,7 @@ class BinlogDDLError(NonAdditiveDDLError, BinlogFormatError):
     def __init__(self, db: str, table: str, kind: str, detail: str):
         NonAdditiveDDLError.__init__(self, "binlog", db, table, kind,
                                      detail)
+        self._ctor_args = (db, table, kind, detail)
 
 
 def _file_seq(path: str) -> int:

@@ -125,6 +125,7 @@ class PgOutputDDLError(NonAdditiveDDLError, PgOutputError):
     def __init__(self, db: str, table: str, kind: str, detail: str):
         NonAdditiveDDLError.__init__(self, "pgoutput", db, table, kind,
                                      detail)
+        self._ctor_args = (db, table, kind, detail)
 
 
 # -------------------------------------------------------------- encoder

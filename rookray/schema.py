@@ -125,6 +125,12 @@ class NonAdditiveDDLError(SchemaEvolutionError):
                  detail: str):
         self.source, self.db, self.table = source, db, table
         self.kind, self.detail = kind, detail
+        # a DDL error raised inside a Ray read task must survive the
+        # worker→driver pickle hop; the default BaseException reduce
+        # re-calls __init__ with .args (the formatted message) and
+        # breaks on custom signatures — subclasses with narrower
+        # signatures overwrite this after calling up
+        self._ctor_args: tuple = (source, db, table, kind, detail)
         hint = (" — if this is a column rename, replay it with "
                 "CDCConfig(column_renames=((old, new), ...)); "
                 if kind in _RENAMEABLE else " — ")
@@ -133,6 +139,9 @@ class NonAdditiveDDLError(SchemaEvolutionError):
             f"{detail}{hint}column drops and type changes are not "
             "replayable against committed state (bootstrap a fresh "
             "snapshot instead)")
+
+    def __reduce__(self):
+        return (self.__class__, self._ctor_args)
 
 
 def is_additive(old: pa.Schema, new: pa.Schema) -> bool:

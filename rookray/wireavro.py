@@ -253,6 +253,34 @@ class _Codec:
                         _ie(buf, item)
                 buf.append(0)
 
+            if s["items"] in ("int", "long"):
+                # the hot path: token arrays are ~100 varints per
+                # envelope — a per-item closure call doubles decode
+                # time, so the zig-zag loop is inlined here
+                def dec(d, p):
+                    out = []
+                    push = out.append
+                    while True:
+                        cnt, p = _zz_read(d, p)
+                        if cnt == 0:
+                            return out, p
+                        if cnt < 0:  # block with byte-size prefix
+                            _, p = _zz_read(d, p)
+                            cnt = -cnt
+                        for _ in range(cnt):
+                            b = d[p]
+                            p += 1
+                            acc = b & 0x7F
+                            shift = 7
+                            while b & 0x80:
+                                b = d[p]
+                                p += 1
+                                acc |= (b & 0x7F) << shift
+                                shift += 7
+                            push((acc >> 1) ^ -(acc & 1))
+
+                return enc, dec
+
             def dec(d, p, _id=idd):
                 out = []
                 while True:
@@ -500,15 +528,26 @@ def parse_tx_topic_avro(paths: list[str],
     return ids_a[order], counts_a[order]
 
 
+def _decode_avro_file(path: str, registry_path: str,
+                      payload: pa.Schema) -> pa.Table:
+    """One dump file → one typed envelope batch (runs as a plain Ray
+    task; the registry snapshot compiles in ~1 ms)."""
+    reg = _Registry.load(registry_path)
+    with open(path, "rb") as f:
+        return envelopes_to_table(reg.decode_file(f.read()), payload)
+
+
 def read_avro(paths: list[str], registry: str,
               tx_topic: list[str] | None = None,
               payload: pa.Schema = SEQ_SCHEMA) -> "ray.data.Dataset":
     """A ``ray.data.Dataset`` of engine change events decoded from
-    Confluent-framed Avro dump files.  File-parallel: each read task
-    compiles the registry snapshot once, walks its file's framed
-    messages with the schema each message names, assembles a typed
-    envelope batch, and hands it to the SAME vectorized mapping as the
-    JSON dialect.
+    Confluent-framed Avro dump files.  Avro binary is per-record by
+    nature (the same budget as the binlog codec), so parallelism is
+    everything: each FILE decodes in its own plain Ray task — Ray's
+    binary read would coalesce these small files into few blocks and
+    serialize the Python-heavy decode behind them — and the decoded
+    envelope batches feed the SAME vectorized mapping as the JSON
+    dialect.
 
     Without ``tx_topic``, per-transaction event counts come from the
     shared counting pass over the decoded envelopes
@@ -516,23 +555,9 @@ def read_avro(paths: list[str], registry: str,
     import ray
     import ray.data
 
-    class _DecodeFile:
-        """Registry compiled once per actor, reused across files."""
-
-        def __init__(self, registry_path: str, payload_schema: pa.Schema):
-            self._reg = _Registry.load(registry_path)
-            self._payload = payload_schema
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            recs: list[dict] = []
-            for buf in batch.column("bytes"):
-                recs.extend(self._reg.decode_file(buf.as_py()))
-            return envelopes_to_table(recs, self._payload)
-
-    raw = ray.data.read_binary_files(paths)
-    parsed = raw.map_batches(
-        _DecodeFile, fn_constructor_args=(registry, payload),
-        batch_format="pyarrow", concurrency=(1, 8))
+    dec_file = ray.remote(num_cpus=1)(_decode_avro_file)
+    parsed = ray.data.from_arrow_refs(
+        [dec_file.remote(p, registry, payload) for p in paths])
     if tx_topic is not None:
         tx_index = parse_tx_topic_avro(tx_topic, registry)
     else:

@@ -374,3 +374,22 @@ def test_payload_narrower_carries_rename_hint(tmp_path):
         _decode_all(d, SEQ_SCHEMA)  # 5-col TABLE_MAP vs 4-col payload
     assert ei.value.kind == "payload-narrower"
     assert "column_renames" in str(ei.value)
+
+
+def test_ddl_errors_survive_the_worker_pickle_hop():
+    """A DDL error raised inside a Ray read task is serialized back to
+    the driver — custom-signature exceptions need an explicit reduce
+    or the unpickle itself raises TypeError and masks the real
+    error."""
+    import pickle
+    from rookray.pgoutput import PgOutputDDLError
+    from rookray.schema import NonAdditiveDDLError
+    for e in (B.BinlogDDLError("rook", "t", "column-drop", "d"),
+              PgOutputDDLError("rook", "t", "type-change", "d"),
+              NonAdditiveDDLError("binlog", "rook", "t",
+                                  "unknown-column", "x")):
+        e2 = pickle.loads(pickle.dumps(e))
+        assert type(e2) is type(e)
+        assert (e2.source, e2.db, e2.table, e2.kind) == \
+            (e.source, e.db, e.table, e.kind)
+        assert str(e2) == str(e)
