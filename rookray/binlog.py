@@ -543,6 +543,10 @@ class BinlogParser:
         # widest TABLE_MAP seen per (db, table): a later narrower one
         # is a column drop (non-additive DDL) — see BinlogDDLError
         self._widths: dict[tuple[str, str], int] = {}
+        # identity-space guard: GTID'd (gno-1) and GTID-less (xid-1)
+        # transactions must not mix in one stream — see _flush_tx
+        self._saw_gtid_tx = False
+        self._saw_xid_tx = False
         self._cur_gno: int | None = None
         self._txbuf: list[tuple] = []
         self._out: list[tuple] = []     # committed rows pending emission
@@ -720,9 +724,23 @@ class BinlogParser:
 
     def _flush_tx(self, xid_gno: int | None):
         # both paths share the GNO-is-1-based convention: a transaction
-        # without a GTID_LOG_EVENT (gtid_mode=OFF) falls back to the XID
-        # value MINUS ONE so its identity can never collide with the
-        # next GTID'd transaction's gno-1
+        # without a GTID_LOG_EVENT (gtid_mode=OFF) falls back to the
+        # XID value MINUS ONE, matching the encoder's XID=GNO layout.
+        # XID and GNO are INDEPENDENT server counters though, so a
+        # stream mixing both kinds (gtid_mode toggled online) could
+        # assign two different transactions the same identity and
+        # silently wedge the completeness watermark — refuse it.
+        if self._cur_gno is not None:
+            self._saw_gtid_tx = True
+        else:
+            self._saw_xid_tx = True
+        if self._saw_gtid_tx and self._saw_xid_tx:
+            raise BinlogFormatError(
+                f"{self._name}: stream mixes GTID'd and GTID-less "
+                "transactions (gtid_mode toggled mid-stream?) — the "
+                "gno-1 and xid-1 identity spaces are independent "
+                "counters and can collide; re-dump from a coordinate "
+                "past the toggle")
         tx_id = (self._cur_gno - 1) if self._cur_gno is not None else (
             (xid_gno - 1) if xid_gno is not None else 0)
         n = len(self._txbuf)

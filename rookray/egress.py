@@ -187,10 +187,25 @@ def write_avro(feed: "ray.data.Dataset", out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     schema = envelope_avro_schema(payload)
     reg_path = os.path.join(out_dir, "registry.json")
-    if not os.path.exists(reg_path):
+    # a relay directory ACCUMULATES dumps across exports, and the lake
+    # schema can have widened between them — messages framed under an
+    # id whose registered schema no longer matches would decode into
+    # garbage (or walk off the record), so this export's schema gets
+    # its own id: reuse the id that registered the IDENTICAL schema,
+    # else register a fresh one — exactly what a connector's registry
+    # client does after DDL
+    registry: dict[str, dict] = {}
+    if os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registry = json.load(f)
+    schema_id = next((int(i) for i, s in registry.items() if s == schema),
+                     None)
+    if schema_id is None:
+        schema_id = max((int(i) for i in registry), default=0) + 1
+        registry[str(schema_id)] = schema
         tmp = reg_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"1": schema}, f)
+            json.dump(registry, f)
         os.replace(tmp, reg_path)
 
     codec_cell: list = []  # compiled once per task process, lazily
@@ -199,7 +214,7 @@ def write_avro(feed: "ray.data.Dataset", out_dir: str,
         if not codec_cell:
             codec_cell.append(_Codec(schema))
         codec = codec_cell[0]
-        return b"".join(_frame(1, codec.encode(e["payload"]))
+        return b"".join(_frame(schema_id, codec.encode(e["payload"]))
                         for e in envs)
 
     d = _write_dump(feed, out_dir, key_column, value_columns,

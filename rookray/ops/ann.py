@@ -184,6 +184,9 @@ class _LshBucket:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket",
+                                       pa.array([], pa.int64()))
         m = _list_matrix(batch.column(self.vec_col))
         return batch.append_column(
             "bucket", pa.array(self.bucket_of(m), pa.int64()))

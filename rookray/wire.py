@@ -341,16 +341,27 @@ def _decode_identity(p: pa.StructArray, n: int) -> tuple[
     """(tx_id, seq, gtid, had_tx_block, pos_valid) per envelope — the
     one place transaction identity is decided.  With transaction
     metadata DISABLED (Debezium's default: ``payload.transaction`` is
-    null) each envelope is its own singleton transaction keyed by its
-    per-row coordinate; grouping such rows by the GTID string's txno
-    would report multi-row transactions whose seqs are all 0, wedging
-    the completeness watermark forever."""
+    null) each envelope is a transaction keyed by its per-row
+    coordinate; grouping such rows by the GTID string's txno would
+    report multi-row transactions whose seqs are all 0, wedging the
+    completeness watermark forever.  Rows of one multi-row STATEMENT
+    share a binlog position (their coordinate and identity collide),
+    differing only in ``source.row`` — so ``row`` becomes their
+    seq_in_tx and the statement closes as one coordinate-keyed
+    transaction once a counting pass supplies its row count
+    (``decode_envelopes`` refuses loudly when it can't)."""
     tx_id_i, seq_np, tx_valid = _tx_identity(p, n)
     gtid, pos_valid = _gtid_of(p, n, seq_np)
     no_blk = ~tx_valid
     if no_blk.any():
+        names = [f.name for f in p.type]
+        src = p.field("source") if "source" in names else None
+        row = (_field_or_null(src, "row", pa.int64(), n)
+               if src is not None else pa.nulls(n, pa.int64()))
+        row_np = row.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         tx_id_i = np.where(no_blk, gtid, tx_id_i)
-        seq_np = np.where(no_blk, 0, seq_np)
+        seq_np = np.where(no_blk, row_np, seq_np)
     return tx_id_i, seq_np, gtid, tx_valid, pos_valid
 
 
@@ -401,18 +412,30 @@ def decode_envelopes(tbl: pa.Table, payload: pa.Schema = SEQ_SCHEMA,
     tx_id_i, seq_np, gtid, tx_valid, _ = _decode_identity(p, n)
 
     # tx_events from the transaction-topic index (searchsorted on the
-    # broadcast sorted arrays — no Python per row); envelopes WITHOUT
-    # a transaction block are singleton transactions (tx_events=1) —
-    # their identity is the per-row coordinate, never index-resolved
+    # broadcast sorted arrays — no Python per row).  Envelopes WITHOUT
+    # a transaction block are coordinate-keyed transactions: usually
+    # singletons (tx_events=1), but rows of one multi-row STATEMENT
+    # share a position — the counting pass's index (keyed by the same
+    # identity rule) resolves their row count; a row>0 envelope whose
+    # count can't be resolved must NOT claim to be a singleton (its
+    # seq alone would wedge the watermark), so it raises instead.
     if tx_index is not None and len(tx_index[0]):
         ids_a, counts_a = tx_index
         loc = np.searchsorted(ids_a, tx_id_i)
         loc_c = np.clip(loc, 0, len(ids_a) - 1)
-        hit = (ids_a[loc_c] == tx_id_i) & tx_valid
+        hit = ids_a[loc_c] == tx_id_i
         tx_events = np.where(hit, counts_a[loc_c],
                              np.where(tx_valid, -1, 1)).astype(np.int32)
     else:
         tx_events = np.where(tx_valid, -1, 1).astype(np.int32)
+    unresolved = ~tx_valid & (tx_events == 1) & (seq_np > 0)
+    if unresolved.any():
+        raise ValueError(
+            f"{int(unresolved.sum())} envelope(s) with no transaction "
+            "block carry source.row > 0 but no index resolves their "
+            "statement's row count — decode the dump with the "
+            "counting pass (tx_topic=None) or enable transaction "
+            "metadata on the producer")
 
     names = [f.name for f in p.type]
     before = _payload_struct(p.field("before") if "before" in names

@@ -354,7 +354,11 @@ def _iter_messages(data: bytes):
         p += 4
         if p + ln > n:
             raise ValueError("torn message body")
-        if ln < 5 or data[p] != _MAGIC:
+        if ln < 5:
+            raise ValueError(
+                f"message of {ln} bytes at offset {p} is shorter than "
+                "the Confluent magic+schema-id prefix")
+        if data[p] != _MAGIC:
             raise ValueError(
                 f"bad Confluent magic byte {data[p]:#x} at offset {p}")
         (sid,) = _struct.unpack_from(">I", data, p + 1)
@@ -394,10 +398,15 @@ class _Registry:
 # -------------------------------------------------------------- encoder
 
 def _payload_dict(struct_val, names: list[str]) -> dict | None:
-    if struct_val is None:
+    """``wire._row_payload`` restricted to the columns the active
+    schema id declares (shared helper so value normalization can't
+    drift between the JSON and Avro encoders)."""
+    from rookray.wire import _row_payload
+
+    full = _row_payload(struct_val)
+    if full is None:
         return None
-    return {k: (v.tolist() if hasattr(v, "tolist") else v)
-            for k, v in struct_val.items() if k in names}
+    return {k: v for k, v in full.items() if k in names}
 
 
 _OP_CHAR = {0: "c", 1: "u", 2: "d"}
@@ -634,13 +643,18 @@ def avro_first_coordinate(path: str, registry: "_Registry | str",
             return None
         (ln,) = _struct.unpack(">I", head)
         msg = f.read(ln)
-    if len(msg) < 5 or msg[0] != _MAGIC:
+    # a torn head (producer died mid-write) must keep the file, not
+    # crash the resume path: len(msg) < ln means the body is cut off
+    if len(msg) < max(ln, 5) or msg[0] != _MAGIC:
         return None
     (sid,) = _struct.unpack_from(">I", msg, 1)
     codec = reg._codecs.get(sid)
     if codec is None:
         return None
-    rec, _ = codec.decode(msg, 5)
+    try:
+        rec, _ = codec.decode(msg, 5)
+    except (IndexError, ValueError, UnicodeDecodeError):
+        return None  # corrupt head: conservative keep
     src = rec.get("source") or {}
     pos = src.get("pos")
     if pos is None:

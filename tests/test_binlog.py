@@ -393,3 +393,36 @@ def test_ddl_errors_survive_the_worker_pickle_hop():
         assert (e2.source, e2.db, e2.table, e2.kind) == \
             (e.source, e.db, e.table, e.kind)
         assert str(e2) == str(e)
+
+
+def test_mixed_gtid_modes_refused(tmp_path):
+    """GNO and XID are independent server counters: a stream carrying
+    BOTH GTID'd and GTID-less transactions (gtid_mode toggled online)
+    could assign two transactions one identity — refused loudly
+    instead of silently wedging the watermark."""
+    ev = generate_events(GenConfig(n_docs=5, n_events=12))
+    rows = ev.to_pylist()
+    txs: list[list[dict]] = []
+    for r in rows:
+        if txs and txs[-1][0]["tx_id"] == r["tx_id"]:
+            txs[-1].append(r)
+        else:
+            txs.append([r])
+    payload = pa.schema(list(ev.schema.field("after").type))
+    codecs = [B._codec_for(f.type) for f in payload]
+    # simpler: reuse the xid-fallback writer shape from the other test
+    path2 = str(tmp_path / "mix2.000001")
+    w2 = B._FileWriter(path2)
+    B._write_tx(w2, txs[0], payload, codecs, len(payload), {}, 8)
+    codecs4 = [B._codec_for(f.type) for f in SEQ_SCHEMA]
+    B._write_table_map(w2, 100, "rook", "sequences", codecs4, 1)
+    b2 = bytearray((100).to_bytes(6, "little"))
+    b2 += struct.pack("<HH", 0, 2)
+    b2 += B._lenenc(4) + b"\x0f"
+    b2 += B._image(["d1", [1, 2], 2, "s"], codecs4)
+    w2.event(B.WRITE_ROWS_EVENT_V2, bytes(b2), 1)
+    w2.event(B.XID_EVENT, struct.pack("<Q", 77), 1)
+    w2.close(None)
+    with pytest.raises(B.BinlogFormatError, match="mixes"):
+        B.decode_binlog_file(open(path2, "rb").read(), path2,
+                             payload=SEQ_SCHEMA)

@@ -372,3 +372,55 @@ def test_avro_roundtrip_into_bootstrapped_lake(tmp_path, ray_session):
                                   fmt="avro")
     assert d2["data_files"] == d["data_files"]
     assert sizes1 == {p: os.path.getsize(p) for p in d2["data_files"]}
+
+
+def test_avro_relay_registers_new_schema_id_after_evolution(tmp_path,
+                                                            ray_session):
+    """An Avro relay directory accumulates dumps across exports while
+    the lake schema widens between them: the second export must
+    REGISTER a new schema id (framing wider records under the stale id
+    would decode into garbage), and one read_avro pass over the whole
+    directory must replay both generations onto snapshot A to
+    reproduce the final state."""
+    import glob
+    import json
+
+    from rookray.wireavro import read_avro
+
+    cfg = GenConfig(n_docs=40, n_events=400, evolve_at=301, noise_pct=5)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=9)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    e0 = lake.apply(meta["files"][:4])["epoch"]
+    e1 = lake.apply(meta["files"][3:6])["epoch"]   # still 4 columns
+    snap_a = _payload_state(lake, e0)
+    out = str(tmp_path / "relay")
+    d01 = egress.export_changefeed(lake, e0, e1, out, fmt="avro")
+    pre_payload = lake.payload_schema()
+
+    e2 = lake.apply(meta["files"][5:])["epoch"]    # widens to 5
+    d12 = egress.export_changefeed(lake, e1, e2, out, fmt="avro")
+    payload = lake.payload_schema()
+    assert len(payload) == len(pre_payload) + 1, "stream must evolve"
+
+    reg = json.load(open(d12["registry"]))
+    assert len(reg) == 2, reg  # a second id was registered
+    # re-export of the SAME span re-uses its id, no duplicate entry
+    egress.export_changefeed(lake, e1, e2, out, fmt="avro")
+    assert len(json.load(open(d12["registry"]))) == 2
+
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(snap_a, gtid_watermark=0)
+    files = sorted(glob.glob(out + "/data-*.avrowire"))
+    assert set(files) == set(d01["data_files"]) | set(d12["data_files"])
+    ds = read_avro(files, d12["registry"], tx_topic=None,
+                   payload=payload)
+    res = down.apply(ds.materialize())
+    assert res["closed_watermark"] is not None
+    got = _payload_state(down, res["epoch"])
+    want = _payload_state(lake, e2)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 import ray.data
 
@@ -255,3 +256,56 @@ def test_metadata_disabled_without_positions_refuses(tmp_path,
     with _pytest.raises(Exception, match="neither[\\s\\S]*transaction"):
         wire.read_debezium([str(p)], tx_topic=None,
                            payload=SEQ_SCHEMA).materialize()
+
+
+def _stmt_env(i: int, row: int, pos: int) -> str:
+    """Metadata-disabled envelope: one row of a multi-row statement
+    (shared binlog position, distinct source.row)."""
+    return json.dumps({"payload": {
+        "before": None,
+        "after": {"doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                  "source": "s"},
+        "source": {"name": "s", "db": "rook", "table": "sequences",
+                   "server_id": 1, "file": "bin.000001", "pos": pos,
+                   "row": row, "gtid": None},
+        "op": "c", "transaction": None}})
+
+
+def test_multirow_statement_without_metadata_closes(tmp_path):
+    """Real Debezium output for `UPDATE ... WHERE k IN (1,2)` with
+    transaction metadata disabled: both envelopes share source.pos and
+    differ only in source.row.  The counting pass must resolve the
+    statement's row count (identity = the shared coordinate, seq =
+    row) so the watermark closes past it — the collision used to
+    decode as two seq-0 'singletons' under one tx_id and pin the
+    watermark below the statement forever."""
+    from rookray.txn import closed_watermark_table
+
+    lines = [_stmt_env(0, 0, 100), _stmt_env(1, 1, 100),
+             _stmt_env(2, 0, 200)]
+    p = tmp_path / "stmt.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    ds = wire.read_debezium([str(p)], tx_topic=None, payload=SEQ_SCHEMA)
+    t = pa.Table.from_pylist(
+        ds.take_all(), schema=change_event_schema(SEQ_SCHEMA)
+    ).sort_by("gtid")
+    assert t.column("tx_events").to_pylist() == [2, 2, 1]
+    assert sorted(t.column("seq_in_tx").to_pylist()[:2]) == [0, 1]
+    wm, max_gtid = closed_watermark_table(t)
+    assert wm == max_gtid == (1 << 40) | 200
+
+
+def test_multirow_statement_without_count_refuses(tmp_path):
+    """The same shape decoded WITHOUT a resolving index (a live feed,
+    or a tx-topic index that doesn't know coordinate-keyed statements)
+    must refuse loudly: a row>0 envelope claiming to be a singleton
+    would silently wedge the watermark."""
+    lines = [_stmt_env(0, 0, 100), _stmt_env(1, 1, 100)]
+    tbl = wire._json_table(("\n".join(lines) + "\n").encode())
+    with pytest.raises(ValueError, match="source.row > 0"):
+        wire.decode_envelopes(tbl, payload=SEQ_SCHEMA)
+    with pytest.raises(ValueError, match="source.row > 0"):
+        wire.decode_envelopes(
+            tbl, payload=SEQ_SCHEMA,
+            tx_index=(np.asarray([7], np.int64),
+                      np.asarray([3], np.int64)))

@@ -243,3 +243,24 @@ def test_cli_wire_avro_ingest_and_resume(tmp_path, capsys):
     res2 = json.loads(capsys.readouterr().out)
     assert res2["events_applied"] == 0
     assert res2["files_skipped"] >= 2
+
+
+def test_torn_head_keeps_file_in_pruning(tmp_path):
+    """A producer dying mid-write leaves a torn first message; the
+    resume path must conservatively KEEP the file (first coordinate
+    unknown), not crash."""
+    ev = generate_events(GenConfig(n_docs=5, n_events=20))
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=2)
+    whole = open(d["data_files"][0], "rb").read()
+    torn = str(tmp_path / "dump" / "data-99999.avrowire")
+    open(torn, "wb").write(whole[:9])  # length prefix + partial body
+    paths = d["data_files"] + [torn]
+    assert WA.avro_first_coordinate(torn, d["registry"]) is None
+    kept = WA.avro_files_above(paths, 10**9, d["registry"])
+    assert torn in kept  # unknown first coordinate → keep
+
+
+def test_zero_length_message_is_a_value_error():
+    reg = WA._Registry({1: WA.tx_meta_avro_schema()})
+    with pytest.raises(ValueError, match="shorter than"):
+        reg.decode_file(b"\x00\x00\x00\x00")
