@@ -174,6 +174,74 @@ def _zz_read(d: bytes, p: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), p
 
 
+# Active file-scoped int-array batcher (single-slot cell: decode never
+# nests — Ray decode tasks are separate processes, and within one
+# process decode_file sets/clears it around its message loop).
+_BATCH_CTX: list = [None]
+
+
+class _IntArrayBatch:
+    """File-scoped vectorized decode of Avro ``array<int|long>`` values.
+
+    Per-array numpy decode loses to fixed kernel overhead at ~100-token
+    arrays, so the structural walk only records each block's span —
+    every varint ends at its first byte < 0x80, so one terminator index
+    over the whole file locates all item boundaries — and ``flush``
+    decodes every token in the file in one shift-or pass, patching the
+    placeholder lists the records already hold, in place."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.w = np.frombuffer(data, dtype=np.uint8)
+        self.term = np.flatnonzero(self.w < 0x80)
+        self.block_i0: list = []      # index into term of each block's 1st end
+        self.block_cnts: list = []    # items per block
+        self.block_starts: list = []  # absolute offset of each block's items
+        self.sinks: list = []         # (placeholder_list, n_items)
+        self.n_items = 0
+
+    def add_block(self, p: int, cnt: int) -> int:
+        """Record one block of ``cnt`` varints starting at ``p``;
+        return the offset just past the block."""
+        term = self.term
+        i0 = term.searchsorted(p)
+        if i0 + cnt > len(term):
+            raise ValueError(
+                f"torn Avro int array: {cnt}-item block at offset {p} "
+                "runs past the end of the file")
+        self.block_i0.append(i0)
+        self.block_cnts.append(cnt)
+        self.block_starts.append(p)
+        self.n_items += cnt
+        return int(term[i0 + cnt - 1]) + 1
+
+    def flush(self) -> None:
+        if not self.n_items:
+            return
+        i0s = np.asarray(self.block_i0)
+        cnts = np.asarray(self.block_cnts)
+        head = np.zeros(len(cnts), dtype=np.int64)
+        head[1:] = np.cumsum(cnts[:-1])
+        idx = np.arange(self.n_items) + np.repeat(i0s - head, cnts)
+        ends = self.term[idx]
+        starts = np.empty_like(ends)
+        starts[1:] = ends[:-1] + 1
+        starts[head] = self.block_starts
+        lengths = ends - starts
+        w = self.w
+        acc = (w[starts] & 0x7F).astype(np.uint64)
+        for j in range(1, int(lengths.max(initial=0)) + 1):
+            m = np.flatnonzero(lengths >= j)
+            acc[m] |= (w[starts[m] + j] & 0x7F).astype(np.uint64) \
+                << np.uint64(7 * j)
+        vals = ((acc >> np.uint64(1)).astype(np.int64)
+                ^ -((acc & np.uint64(1)).astype(np.int64))).tolist()
+        i = 0
+        for sink, n in self.sinks:
+            sink[:] = vals[i:i + n]
+            i += n
+
+
 class _Codec:
     """Compiles a parsed Avro schema into encode/decode closure trees.
     Supports the subset the Debezium family uses: null, boolean,
@@ -256,8 +324,27 @@ class _Codec:
             if s["items"] in ("int", "long"):
                 # the hot path: token arrays are ~100 varints per
                 # envelope — a per-item closure call doubles decode
-                # time, so the zig-zag loop is inlined here
+                # time, so the zig-zag loop is inlined here; when a
+                # file-scoped _IntArrayBatch is active (decode_file)
+                # the walk only LOCATES each block via the shared
+                # terminator index and defers value math to one
+                # vectorized pass per file
                 def dec(d, p):
+                    ctx = _BATCH_CTX[0]
+                    if ctx is not None and ctx.data is d:
+                        out: list = []
+                        total = 0
+                        while True:
+                            cnt, p = _zz_read(d, p)
+                            if cnt == 0:
+                                if total:
+                                    ctx.sinks.append((out, total))
+                                return out, p
+                            if cnt < 0:  # block with byte-size prefix
+                                _, p = _zz_read(d, p)
+                                cnt = -cnt
+                            p = ctx.add_block(p, cnt)
+                            total += cnt
                     out = []
                     push = out.append
                     while True:
@@ -382,16 +469,23 @@ class _Registry:
     def decode_file(self, data: bytes) -> list[dict]:
         out = []
         codecs = self._codecs
-        for sid, a, b in _iter_messages(data):
-            codec = codecs.get(sid)
-            if codec is None:
-                raise ValueError(f"schema id {sid} not in the registry "
-                                 f"snapshot ({sorted(codecs)})")
-            rec, end = codec.decode(data, a)
-            if end != b:
-                raise ValueError(
-                    f"Avro body under-read: {end} != {b} (schema id {sid})")
-            out.append(rec)
+        batch = _IntArrayBatch(data)
+        _BATCH_CTX[0] = batch
+        try:
+            for sid, a, b in _iter_messages(data):
+                codec = codecs.get(sid)
+                if codec is None:
+                    raise ValueError(f"schema id {sid} not in the registry "
+                                     f"snapshot ({sorted(codecs)})")
+                rec, end = codec.decode(data, a)
+                if end != b:
+                    raise ValueError(
+                        f"Avro body under-read: {end} != {b} "
+                        f"(schema id {sid})")
+                out.append(rec)
+            batch.flush()
+        finally:
+            _BATCH_CTX[0] = None
         return out
 
 
