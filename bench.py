@@ -423,6 +423,11 @@ def run_scaling() -> dict:
             "events_per_sec_lo": r_lo["cdc"]["events_per_sec"],
             "events_per_sec_hi": r_hi["cdc"]["events_per_sec"],
             "scaling_efficiency": round(eff, 3),
+            # machine evidence: co-tenant CPU steal sampled around each
+            # child's timed apply, so a depressed reading is separable
+            # from an engine regression
+            "steal_pct_lo": r_lo["cdc"].get("steal_pct"),
+            "steal_pct_hi": r_hi["cdc"].get("steal_pct"),
         })
     primary = results[0]
     return {
