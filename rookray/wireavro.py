@@ -241,6 +241,320 @@ class _IntArrayBatch:
             i += n
 
 
+class _VecUnsupported(Exception):
+    """Raised at compile time when a schema uses a construct the
+    column-synchronous decoder doesn't cover (multi-branch non-null
+    unions, non-integer arrays, recursive types); the caller falls
+    back to the per-record closure walk."""
+
+
+def _vec_varint(w: np.ndarray, pos: np.ndarray) -> tuple:
+    """Vectorized zig-zag varint read at each cursor.
+
+    One shift-or pass per varint BYTE position across all records —
+    the same kernel shape as ``_IntArrayBatch.flush``; real envelope
+    streams finish in 1-3 passes because most varints are short.
+    Returns ``(int64 values, advanced cursors)``."""
+    b = w[pos]
+    acc = (b & 0x7F).astype(np.uint64)
+    more = b >= 0x80
+    ln = np.ones(len(pos), dtype=np.int64)
+    shift = 7
+    while True:
+        idx = np.flatnonzero(more)
+        if idx.size == 0:
+            break
+        if shift > 63:
+            raise ValueError("Avro varint longer than 10 bytes")
+        b = w[pos[idx] + ln[idx]]
+        acc[idx] |= (b & 0x7F).astype(np.uint64) << np.uint64(shift)
+        ln[idx] += 1
+        more[idx] = b >= 0x80
+        shift += 7
+    vals = ((acc >> np.uint64(1)).astype(np.int64)
+            ^ -((acc & np.uint64(1)).astype(np.int64)))
+    return vals, pos + ln
+
+
+def _ragged_gather(w: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> tuple:
+    """Gather ``lens[i]`` bytes from ``starts[i]`` for every record
+    into one contiguous buffer; returns ``(uint8 data, int32 offsets)``
+    ready for an Arrow binary/string array."""
+    total = int(lens.sum())
+    if total >= 2**31:
+        raise ValueError("string/bytes payload exceeds 2**31 bytes per file")
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), offsets.astype(np.int32)
+    gidx = (np.arange(total, dtype=np.int64)
+            - np.repeat(offsets[:-1], lens)
+            + np.repeat(starts, lens))
+    return w[gidx], offsets.astype(np.int32)
+
+
+def _natural_arrow(s) -> pa.DataType:
+    """Arrow type a bare Avro schema decodes to (used only for fields
+    the target struct no longer carries — decoded to advance the
+    cursor, then dropped)."""
+    prim = {"null": pa.null(), "boolean": pa.bool_(), "int": pa.int32(),
+            "long": pa.int64(), "float": pa.float32(),
+            "double": pa.float64(), "string": pa.string(),
+            "bytes": pa.binary()}
+    if isinstance(s, str) and s in prim:
+        return prim[s]
+    if isinstance(s, dict) and s.get("type") == "array":
+        return pa.list_(_natural_arrow(s["items"]))
+    raise _VecUnsupported(f"no natural Arrow type for {s!r}")
+
+
+class _VecDecoder:
+    """Column-synchronous vectorized decoder for one envelope schema id.
+
+    Every Confluent-framed message with the same schema id shares one
+    field sequence, so each field decodes for ALL records in a file at
+    once: a numpy cursor array walks the byte buffer field-by-field
+    (varints via ``_vec_varint``, strings via one ragged gather,
+    null-unions via subset-decode + null-index ``take`` scatter), and
+    the output is built directly as Arrow arrays — both the per-record
+    closure walk and the dict→Arrow conversion of the reference path
+    disappear.  Covers exactly the schema subset the Debezium family
+    emits (records, null-unions, primitives, int/long arrays);
+    anything else raises ``_VecUnsupported`` at compile time and the
+    registry falls back to ``_Codec``."""
+
+    def __init__(self, schema: dict, target: pa.DataType):
+        self._compiling: set[str] = set()
+        self._names: dict[str, tuple] = {}
+        self._dec = self._compile(schema, target)
+
+    def decode(self, w: np.ndarray, pos: np.ndarray) -> tuple:
+        """(Arrow array of ``len(pos)`` records, final cursors)."""
+        return self._dec(w, pos.astype(np.int64, copy=True))
+
+    # each compiled node: dec(w, pos) -> (pa.Array, new_pos)
+    def _compile(self, s, target: pa.DataType | None):
+        if isinstance(s, str):
+            if s in self._names:
+                schema_dict, fn, tgt = self._names[s]
+                if fn is None or tgt != target:
+                    if s in self._compiling:
+                        raise _VecUnsupported(f"recursive type {s!r}")
+                    fn = self._compile(schema_dict, target)
+                    self._names[s] = (schema_dict, fn, target)
+                return fn
+            return self._primitive(s, target)
+        if isinstance(s, list):  # union
+            null_idx = next((i for i, b in enumerate(s) if b == "null"), -1)
+            data = [(i, b) for i, b in enumerate(s) if b != "null"]
+            if null_idx < 0 or len(data) != 1:
+                raise _VecUnsupported(f"non-null-union {s!r}")
+            data_idx, data_schema = data[0]
+            child = self._compile(data_schema, target)
+            tgt = target if target is not None \
+                else _natural_arrow(data_schema)
+
+            def dec(w, pos, _child=child, _n=null_idx, _d=data_idx,
+                    _t=tgt):
+                bidx, pos = _vec_varint(w, pos)
+                present = bidx == _d
+                bad = ~present & (bidx != _n)
+                if bad.any():
+                    raise ValueError(
+                        f"union branch {int(bidx[bad][0])} out of range")
+                m = int(present.sum())
+                if m == 0:
+                    return pa.nulls(len(pos), type=_t), pos
+                sub_arr, sub_pos = _child(w, pos[present])
+                new_pos = pos.copy()
+                new_pos[present] = sub_pos
+                if m == len(pos):
+                    return sub_arr, new_pos
+                take_idx = np.zeros(len(pos), dtype=np.int64)
+                take_idx[present] = np.arange(m)
+                idx_arr = pa.array(take_idx, mask=~present)
+                return sub_arr.take(idx_arr), new_pos
+
+            return dec
+        t = s["type"]
+        if t == "record":
+            if target is not None and not pa.types.is_struct(target):
+                raise _VecUnsupported(
+                    f"record {s.get('name')!r} targeting {target}")
+            name = s.get("name")
+            if name:
+                if name in self._compiling:
+                    raise _VecUnsupported(f"recursive type {name!r}")
+                self._compiling.add(name)
+                self._names.setdefault(name, (s, None, None))
+            tgt_fields = {f.name: f for f in target} if target is not None \
+                else None
+            parts = []  # (avro field name, dec fn, keep)
+            for f in s["fields"]:
+                tf = tgt_fields.get(f["name"]) if tgt_fields is not None \
+                    else None
+                keep = tgt_fields is None or tf is not None
+                parts.append((f["name"],
+                              self._compile(f["type"],
+                                            tf.type if tf else None),
+                              keep))
+            if name:
+                self._compiling.discard(name)
+            missing = [] if tgt_fields is None else \
+                [f for f in target
+                 if f.name not in {n for n, _, _ in parts}]
+
+            def dec(w, pos, _parts=parts, _t=target, _miss=missing):
+                got = {}
+                for fname, fd, keep in _parts:
+                    arr, pos = fd(w, pos)
+                    if keep:
+                        got[fname] = arr
+                if _t is None:
+                    # discard-only record (field dropped from the
+                    # target): decoded purely to advance the cursors
+                    return pa.StructArray.from_arrays(
+                        list(got.values()), names=list(got)), pos
+                n = len(pos)
+                for f in _miss:
+                    got[f.name] = pa.nulls(n, type=f.type)
+                children = [got[f.name] for f in _t]
+                return pa.StructArray.from_arrays(
+                    children, fields=list(_t)), pos
+
+            if name:
+                self._names[name] = (s, dec, target)
+            return dec
+        if t == "array":
+            items = s["items"]
+            if items not in ("int", "long"):
+                raise _VecUnsupported(f"array of {items!r}")
+            val_t = pa.int32() if items == "int" else pa.int64()
+            if target is not None:
+                if not (pa.types.is_list(target)
+                        or pa.types.is_large_list(target)):
+                    raise _VecUnsupported(f"array targeting {target}")
+                val_t = target.value_type
+
+            def dec(w, pos, _vt=val_t):
+                n = len(pos)
+                pos = pos.copy()
+                counts = np.zeros(n, dtype=np.int64)
+                parts: list[list] = [[] for _ in range(n)]  # (start, ends)
+                active = np.arange(n)
+                while active.size:
+                    cnt, adv = _vec_varint(w, pos[active])
+                    pos[active] = adv
+                    neg = cnt < 0
+                    if neg.any():
+                        sized = active[neg]
+                        _, adv2 = _vec_varint(w, pos[sized])
+                        pos[sized] = adv2
+                        cnt[neg] = -cnt[neg]
+                    live = cnt > 0
+                    for ai, c in zip(active[live], cnt[live]):
+                        p = int(pos[ai])
+                        window = w[p:p + 10 * int(c)]
+                        ends = np.flatnonzero(window < 0x80)
+                        if len(ends) < c:
+                            raise ValueError(
+                                f"torn Avro int array: {int(c)}-item "
+                                f"block at offset {p} runs past the "
+                                "end of the file")
+                        ends = ends[:c] + p
+                        parts[ai].append((p, ends))
+                        counts[ai] += c
+                        pos[ai] = int(ends[-1]) + 1
+                    active = active[live]
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
+                total = int(offsets[-1])
+                if total == 0:
+                    values = pa.array([], type=_vt)
+                else:
+                    block_starts = [p for rec in parts for p, _ in rec]
+                    blocks = [e for rec in parts for _, e in rec]
+                    lens = np.asarray([len(e) for e in blocks])
+                    head = np.zeros(len(lens), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=head[1:])
+                    ends = np.concatenate(blocks)
+                    starts = np.empty_like(ends)
+                    starts[1:] = ends[:-1] + 1
+                    starts[head] = block_starts
+                    vlens = ends - starts
+                    acc = (w[starts] & 0x7F).astype(np.uint64)
+                    for j in range(1, int(vlens.max(initial=0)) + 1):
+                        m = np.flatnonzero(vlens >= j)
+                        acc[m] |= (w[starts[m] + j] & 0x7F
+                                   ).astype(np.uint64) << np.uint64(7 * j)
+                    vals = ((acc >> np.uint64(1)).astype(np.int64)
+                            ^ -((acc & np.uint64(1)).astype(np.int64)))
+                    values = pa.array(vals).cast(_vt)
+                if total >= 2**31:
+                    raise ValueError(
+                        "int-array payload exceeds 2**31 items per file")
+                return pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), values), pos
+
+            return dec
+        return self._primitive(t, target)
+
+    @staticmethod
+    def _primitive(t: str, target: pa.DataType | None):
+        if t == "null":
+            tgt = target if target is not None else pa.null()
+            return lambda w, pos, _t=tgt: (pa.nulls(len(pos), type=_t), pos)
+        if t == "boolean":
+            tgt = target if target is not None else pa.bool_()
+
+            def dec_bool(w, pos, _t=tgt):
+                return pa.array(w[pos] == 1).cast(_t), pos + 1
+
+            return dec_bool
+        if t in ("int", "long"):
+            tgt = target if target is not None else (
+                pa.int32() if t == "int" else pa.int64())
+
+            def dec_i(w, pos, _t=tgt):
+                vals, pos = _vec_varint(w, pos)
+                return pa.array(vals).cast(_t), pos
+
+            return dec_i
+        if t in ("float", "double"):
+            k = 4 if t == "float" else 8
+            dt = "<f4" if t == "float" else "<f8"
+            tgt = target if target is not None else (
+                pa.float32() if t == "float" else pa.float64())
+
+            def dec_f(w, pos, _k=k, _dt=dt, _t=tgt):
+                gidx = (pos[:, None]
+                        + np.arange(_k, dtype=np.int64)).ravel()
+                vals = np.frombuffer(w[gidx].tobytes(), dtype=_dt)
+                return pa.array(vals).cast(_t), pos + _k
+
+            return dec_f
+        if t in ("string", "bytes"):
+            base = pa.utf8() if t == "string" else pa.binary()
+            tgt = target if target is not None else base
+
+            def dec_s(w, pos, _b=base, _t=tgt):
+                lens, pos = _vec_varint(w, pos)
+                if (lens < 0).any():
+                    raise ValueError("negative Avro string/bytes length")
+                data, offsets = _ragged_gather(w, pos, lens)
+                arr = pa.Array.from_buffers(
+                    _b, len(pos),
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(data.tobytes())])
+                if _t != _b:
+                    arr = arr.cast(_t)
+                return arr, pos + lens
+
+            return dec_s
+        raise _VecUnsupported(f"unsupported Avro type {t!r}")
+
+
 class _Codec:
     """Compiles a parsed Avro schema into encode/decode closure trees.
     Supports the subset the Debezium family uses: null, boolean,
@@ -458,7 +772,9 @@ class _Registry:
     ``/schemas/ids/<id>`` fetch, compiled once per read task."""
 
     def __init__(self, schemas: dict[int, dict]):
+        self._schemas = {int(i): s for i, s in schemas.items()}
         self._codecs = {int(i): _Codec(s) for i, s in schemas.items()}
+        self._vec: dict[int, "_VecDecoder | None"] = {}
 
     @classmethod
     def load(cls, path: str) -> "_Registry":
@@ -486,6 +802,60 @@ class _Registry:
         finally:
             _BATCH_CTX[0] = None
         return out
+
+    def decode_file_table(self, data: bytes,
+                          payload: pa.Schema) -> pa.Table:
+        """One recorded dump file → the typed envelope batch, decoded
+        column-synchronously (``_VecDecoder``): messages group by
+        schema id, each group decodes every field for all its records
+        in a few numpy passes, and the original message order is
+        restored with one ``take``.  Falls back to the per-record
+        closure walk for schema constructs the vectorized subset
+        doesn't cover."""
+        typ = _envelope_struct_type(payload)
+        msgs = list(_iter_messages(data))
+        if not msgs:
+            return pa.table({"payload": pa.nulls(0, type=typ)})
+        sids = np.asarray([m[0] for m in msgs], dtype=np.int64)
+        starts = np.asarray([m[1] for m in msgs], dtype=np.int64)
+        ends = np.asarray([m[2] for m in msgs], dtype=np.int64)
+        w = np.frombuffer(data, dtype=np.uint8)
+        chunks, perm_parts = [], []
+        for sid in np.unique(sids):
+            sid = int(sid)
+            if sid not in self._codecs:
+                raise ValueError(f"schema id {sid} not in the registry "
+                                 f"snapshot ({sorted(self._codecs)})")
+            if sid not in self._vec:
+                try:
+                    self._vec[sid] = _VecDecoder(self._schemas[sid], typ)
+                except _VecUnsupported:
+                    self._vec[sid] = None
+            vec = self._vec[sid]
+            if vec is None:
+                return envelopes_to_table(self.decode_file(data), payload)
+            m = sids == sid
+            try:
+                arr, fin = vec.decode(w, starts[m])
+            except IndexError:
+                raise ValueError(
+                    f"torn Avro body (schema id {sid})") from None
+            bad = np.flatnonzero(fin != ends[m])
+            if bad.size:
+                i = int(bad[0])
+                raise ValueError(
+                    f"Avro body under-read: {int(fin[i])} != "
+                    f"{int(ends[m][i])} (schema id {sid})")
+            chunks.append(arr)
+            perm_parts.append(np.flatnonzero(m))
+        if len(chunks) == 1:
+            combined = chunks[0]
+        else:
+            perm = np.concatenate(perm_parts)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            combined = pa.concat_arrays(chunks).take(pa.array(inv))
+        return pa.table({"payload": combined})
 
 
 # -------------------------------------------------------------- encoder
@@ -636,7 +1006,7 @@ def _decode_avro_file(path: str, registry_path: str,
     task; the registry snapshot compiles in ~1 ms)."""
     reg = _Registry.load(registry_path)
     with open(path, "rb") as f:
-        return envelopes_to_table(reg.decode_file(f.read()), payload)
+        return reg.decode_file_table(f.read(), payload)
 
 
 def read_avro(paths: list[str], registry: str,

@@ -264,3 +264,85 @@ def test_zero_length_message_is_a_value_error():
     reg = WA._Registry({1: WA.tx_meta_avro_schema()})
     with pytest.raises(ValueError, match="shorter than"):
         reg.decode_file(b"\x00\x00\x00\x00")
+
+
+def test_vectorized_decode_matches_record_walk(tmp_path):
+    """The column-synchronous decoder (decode_file_table) must be
+    byte-identical to the per-record closure walk on an EVOLVED dump —
+    two schema ids interleave mid-file, exercising the per-id group
+    decode and the order-restoring take."""
+    ev = generate_events(CFG)
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=1,
+                     evolve_gtid=CFG.evolve_at)
+    reg = WA._Registry.load(d["registry"])
+    data = open(d["data_files"][0], "rb").read()
+    payload = _payload_of(ev)
+    vec = reg.decode_file_table(data, payload)
+    ref = WA.envelopes_to_table(reg.decode_file(data), payload)
+    assert vec.equals(ref)
+    # both envelope ids compiled vectorized (no silent fallback)
+    assert reg._vec and all(v is not None for v in reg._vec.values())
+
+
+def test_vectorized_fallback_on_unsupported_schema(tmp_path):
+    """A schema outside the vectorized subset (array of strings) must
+    fall back to the per-record walk with identical output, not fail."""
+    sch = {"type": "record", "name": "Env", "fields": [
+        {"name": "before", "type": ["null", {
+            "type": "record", "name": "Value", "fields": [
+                {"name": "id", "type": ["null", "long"],
+                 "default": None}]}], "default": None},
+        {"name": "after", "type": ["null", "Value"], "default": None},
+        {"name": "op", "type": "string"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ]}
+    payload = pa.schema([("id", pa.int64())])
+    with pytest.raises(WA._VecUnsupported):
+        WA._VecDecoder(sch, WA._envelope_struct_type(payload))
+    c = WA._Codec(sch)
+    buf = b"".join(
+        WA._frame(1, c.encode({"before": None, "after": {"id": i},
+                               "op": "c", "tags": ["a", "bb"]}))
+        for i in range(4))
+    reg = WA._Registry({1: sch})
+    # decode_file still works; decode_file_table falls back through it
+    recs = reg.decode_file(buf)
+    assert [r["after"]["id"] for r in recs] == [0, 1, 2, 3]
+    assert reg._vec.get(1, "unset") is None or 1 not in reg._vec
+
+
+def test_vectorized_under_read_and_torn_detected(tmp_path):
+    """Corruption signals survive vectorization: trailing junk inside a
+    frame is an under-read; a body cut mid-varint is a torn body."""
+    ev = generate_events(GenConfig(n_docs=5, n_events=20))
+    d = WA.avro_dump(ev, str(tmp_path / "dump"), n_files=1)
+    reg = WA._Registry.load(d["registry"])
+    payload = _payload_of(ev)
+    data = open(d["data_files"][0], "rb").read()
+    # splice junk into the first frame's body, patching its length
+    (ln,) = struct.unpack_from(">I", data, 0)
+    patched = (struct.pack(">I", ln + 4) + data[4:4 + ln] + b"JUNK"
+               + data[4 + ln:])
+    with pytest.raises(ValueError, match="under-read"):
+        reg.decode_file_table(patched, payload)
+    # cut the last frame's body short but keep its declared length
+    torn = data[:-6] + data[-2:]  # drop 4 bytes inside the last body
+    with pytest.raises(ValueError, match="torn|under-read"):
+        WA._Registry.load(d["registry"]).decode_file_table(torn, payload)
+
+
+def test_ragged_gather_and_varint_edges():
+    """Unit edges of the vectorized primitives: empty strings, empty
+    cursor arrays, multi-byte and negative zig-zag varints."""
+    w = np.frombuffer(b"\x00\x01\x02\xac\x02\x80\x80\x01", dtype=np.uint8)
+    vals, pos = WA._vec_varint(w, np.array([0, 1, 2, 3, 5], dtype=np.int64))
+    assert vals.tolist() == [0, -1, 1, 150, 8192]
+    assert pos.tolist() == [1, 2, 3, 5, 8]
+    vals, pos = WA._vec_varint(w, np.array([], dtype=np.int64))
+    assert len(vals) == 0 and len(pos) == 0
+    data, offs = WA._ragged_gather(
+        np.frombuffer(b"abcdef", dtype=np.uint8),
+        np.array([0, 3, 3], dtype=np.int64),
+        np.array([2, 0, 3], dtype=np.int64))
+    assert bytes(data) == b"abdef"
+    assert offs.tolist() == [0, 2, 2, 5]
