@@ -1196,9 +1196,8 @@ class AvroSocketDatasource(Datasource):
                     if ln == 0:
                         return
                     frame = _read_exact(sock, ln)
-                    recs = reg.decode_file(frame)
                     yield decode_envelopes(
-                        envelopes_to_table(recs, payload),
+                        reg.decode_file_table(frame, payload),
                         payload=payload, tx_index=tx_index)
             finally:
                 sock.close()
