@@ -171,3 +171,159 @@ def test_binlog_any_chunking_equals_whole(seed, n_docs, n_events,
     if t is not None:
         outs.append(t)
     assert pa.concat_tables(outs).equals(whole)
+
+
+# ------------------------------------------------------ Confluent Avro
+
+from rookray import wireavro as WA  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(**_CFG)
+def test_avro_vec_equals_record_walk_any_stream(seed, n_docs, n_events,
+                                                noise_pct, zipf, evolve,
+                                                n_files):
+    """For ANY stream shape the column-synchronous decoder
+    (decode_file_table) is byte-identical to the per-record closure
+    walk on every dump file — including mid-dump schema-id switches."""
+    cfg, ev, payload = _gen(seed, n_docs, n_events, noise_pct, zipf,
+                            evolve)
+    with tempfile.TemporaryDirectory() as tmp:
+        d = WA.avro_dump(ev, tmp, n_files=n_files,
+                         evolve_gtid=cfg.evolve_at)
+        reg = WA._Registry.load(d["registry"])
+        for p in d["data_files"]:
+            data = open(p, "rb").read()
+            vec = reg.decode_file_table(data, payload)
+            ref = WA.envelopes_to_table(reg.decode_file(data), payload)
+            assert vec.equals(ref), p
+        assert all(v is not None for v in reg._vec.values())
+
+
+def _nat_arrow(s):
+    """Natural Arrow type of an Avro schema within the vectorized
+    subset (test-local: the library's `_natural_arrow` stops at the
+    constructs only discard paths need)."""
+    if isinstance(s, list):
+        inner = next(b for b in s if b != "null")
+        return _nat_arrow(inner)
+    if isinstance(s, dict):
+        if s["type"] == "record":
+            return pa.struct([(f["name"], _nat_arrow(f["type"]))
+                              for f in s["fields"]])
+        if s["type"] == "array":
+            return pa.list_(_nat_arrow(s["items"]))
+        s = s["type"]
+    return {"long": pa.int64(), "int": pa.int32(), "string": pa.string(),
+            "bytes": pa.binary(), "boolean": pa.bool_(),
+            "double": pa.float64(), "float": pa.float32()}[s]
+
+
+_PRIM_VALS = {
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "int": st.integers(-(2**31), 2**31 - 1),
+    "string": st.text(max_size=24),
+    "bytes": st.binary(max_size=24),
+    "boolean": st.booleans(),
+    "double": st.floats(allow_nan=False, width=64),
+    "float": st.floats(allow_nan=False, width=32),
+}
+
+
+def _type_and_value(depth: int):
+    """Strategy yielding (avro schema node, value strategy) pairs
+    within the vectorized subset."""
+    prim = st.sampled_from(sorted(_PRIM_VALS))
+    base = prim.map(lambda t: (t, _PRIM_VALS[t]))
+    arr = st.sampled_from(["int", "long"]).map(
+        lambda it: ({"type": "array", "items": it},
+                    st.lists(_PRIM_VALS[it], max_size=8)))
+    opts = [base, arr]
+    if depth > 0:
+        opts.append(_record_schema(depth - 1, prefix="N"))
+    node = st.one_of(*opts)
+    # wrap in a null-union half the time
+    return st.tuples(node, st.booleans()).map(
+        lambda tv: ((["null", tv[0][0]], st.none() | tv[0][1])
+                    if tv[1] else tv[0]))
+
+
+_REC_IDS = [0]
+
+
+def _record_schema(depth: int, prefix: str = "R"):
+    def build(fields):
+        _REC_IDS[0] += 1
+        sch = {"type": "record", "name": f"{prefix}{_REC_IDS[0]}",
+               "fields": [{"name": f"f{i}", "type": t}
+                          for i, (t, _) in enumerate(fields)]}
+        vals = st.fixed_dictionaries(
+            {f"f{i}": v for i, (_, v) in enumerate(fields)})
+        return (sch, vals)
+
+    return st.lists(_type_and_value(depth), min_size=1,
+                    max_size=5).map(build)
+
+
+@settings(max_examples=30, deadline=None)
+@given(sv=_record_schema(1), data=st.data())
+def test_avro_vec_random_schema_values(sv, data):
+    """Random schemas within the vectorized subset (primitives,
+    null-unions, int/long arrays, nested records) with random values:
+    `_VecDecoder` must reproduce exactly what `_Codec` encoded."""
+    sch, val_st = sv
+    records = data.draw(st.lists(val_st, min_size=1, max_size=12))
+    codec = WA._Codec(sch)
+    bodies = [codec.encode(r) for r in records]
+    blob = b"".join(bodies)
+    w = np.frombuffer(blob, dtype=np.uint8)
+    starts, p = [], 0
+    for b in bodies:
+        starts.append(p)
+        p += len(b)
+    target = _nat_arrow(sch)
+    vec = WA._VecDecoder(sch, target)
+    arr, fin = vec.decode(w, np.asarray(starts, dtype=np.int64))
+    ends = np.asarray(starts[1:] + [len(blob)], dtype=np.int64)
+    assert np.array_equal(fin, ends)
+    want = pa.array(records, type=target)
+    assert arr.equals(want), (sch, records)
+
+
+def test_avro_vec_multiblock_and_bytesize_arrays():
+    """The vectorized array walk must honor multi-block encodings and
+    the negative-count byte-size form a spec-compliant writer may emit
+    (the library encoder always writes one positive block)."""
+    sch = {"type": "record", "name": "T", "fields": [
+        {"name": "arr", "type": {"type": "array", "items": "long"}}]}
+    vals = [[1, -2, 300], [], [7, 8, 9, 10], [2**40]]
+
+    def enc_multiblock(items):
+        buf = bytearray()
+        half = len(items) // 2
+        for blk, neg in ((items[:half], False), (items[half:], True)):
+            if not blk:
+                continue
+            inner = bytearray()
+            for x in blk:
+                WA._zz_write(inner, x)
+            if neg:
+                WA._zz_write(buf, -len(blk))
+                WA._zz_write(buf, len(inner))
+            else:
+                WA._zz_write(buf, len(blk))
+            buf.extend(inner)
+        buf.append(0)
+        return bytes(buf)
+
+    bodies = [enc_multiblock(v) for v in vals]
+    blob = b"".join(bodies)
+    starts, p = [], 0
+    for b in bodies:
+        starts.append(p)
+        p += len(b)
+    vec = WA._VecDecoder(sch, _nat_arrow(sch))
+    arr, fin = vec.decode(np.frombuffer(blob, dtype=np.uint8),
+                          np.asarray(starts, dtype=np.int64))
+    assert fin.tolist() == (starts[1:] + [len(blob)])
+    assert arr.to_pylist() == [{"arr": v} for v in vals]
