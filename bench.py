@@ -200,6 +200,11 @@ def bench_wire_decode(n_events: int) -> dict:
             m["data_files"], m["registry"], tx_topic=[m["tx_file"]],
             payload=SEQ_SCHEMA_V2),
     }
+    # one untimed execution so the FIRST measured format doesn't
+    # absorb the session's worker-spawn/import cost (observed: the
+    # first format in the loop reads ~2x slower cold than warm)
+    next(iter(readers.values()))(meta[next(iter(readers))]) \
+        .materialize().count()
     out = {}
     for fmt, rd in readers.items():
         for m in (meta[fmt],):
