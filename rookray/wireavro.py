@@ -438,11 +438,17 @@ class _VecDecoder:
                 val_t = target.value_type
 
             def dec(w, pos, _vt=val_t):
+                # item-synchronous: decode item j of the current block
+                # for ALL records at once with the shared varint kernel
+                # (a per-record window scan costs ~10 µs of numpy call
+                # overhead × records × fields — measured 0.57 s of a
+                # 1.45 s serial file decode before this)
                 n = len(pos)
                 pos = pos.copy()
                 counts = np.zeros(n, dtype=np.int64)
-                parts: list[list] = [[] for _ in range(n)]  # (start, ends)
+                pieces = []  # (record idx, within-record item idx, vals)
                 active = np.arange(n)
+                nbytes = len(w)
                 while active.size:
                     cnt, adv = _vec_varint(w, pos[active])
                     pos[active] = adv
@@ -452,48 +458,41 @@ class _VecDecoder:
                         _, adv2 = _vec_varint(w, pos[sized])
                         pos[sized] = adv2
                         cnt[neg] = -cnt[neg]
-                    live = cnt > 0
-                    for ai, c in zip(active[live], cnt[live]):
-                        p = int(pos[ai])
-                        window = w[p:p + 10 * int(c)]
-                        ends = np.flatnonzero(window < 0x80)
-                        if len(ends) < c:
+                    live_m = cnt > 0
+                    live = active[live_m]
+                    c = cnt[live_m]
+                    if live.size:
+                        if int(c.max()) > nbytes:
                             raise ValueError(
-                                f"torn Avro int array: {int(c)}-item "
-                                f"block at offset {p} runs past the "
-                                "end of the file")
-                        ends = ends[:c] + p
-                        parts[ai].append((p, ends))
-                        counts[ai] += c
-                        pos[ai] = int(ends[-1]) + 1
-                    active = active[live]
+                                "torn Avro int array: block count "
+                                f"{int(c.max())} exceeds the file size")
+                        cur, cbase, crem = live, counts[live].copy(), c
+                        j = 0
+                        while cur.size:
+                            vals, adv = _vec_varint(w, pos[cur])
+                            pos[cur] = adv
+                            pieces.append((cur, cbase + j, vals))
+                            j += 1
+                            keep = crem > j
+                            if not keep.all():
+                                cur = cur[keep]
+                                cbase = cbase[keep]
+                                crem = crem[keep]
+                        counts[live] += c
+                    active = live
                 offsets = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(counts, out=offsets[1:])
                 total = int(offsets[-1])
-                if total == 0:
-                    values = pa.array([], type=_vt)
-                else:
-                    block_starts = [p for rec in parts for p, _ in rec]
-                    blocks = [e for rec in parts for _, e in rec]
-                    lens = np.asarray([len(e) for e in blocks])
-                    head = np.zeros(len(lens), dtype=np.int64)
-                    np.cumsum(lens[:-1], out=head[1:])
-                    ends = np.concatenate(blocks)
-                    starts = np.empty_like(ends)
-                    starts[1:] = ends[:-1] + 1
-                    starts[head] = block_starts
-                    vlens = ends - starts
-                    acc = (w[starts] & 0x7F).astype(np.uint64)
-                    for j in range(1, int(vlens.max(initial=0)) + 1):
-                        m = np.flatnonzero(vlens >= j)
-                        acc[m] |= (w[starts[m] + j] & 0x7F
-                                   ).astype(np.uint64) << np.uint64(7 * j)
-                    vals = ((acc >> np.uint64(1)).astype(np.int64)
-                            ^ -((acc & np.uint64(1)).astype(np.int64)))
-                    values = pa.array(vals).cast(_vt)
                 if total >= 2**31:
                     raise ValueError(
                         "int-array payload exceeds 2**31 items per file")
+                if total == 0:
+                    values = pa.array([], type=_vt)
+                else:
+                    out = np.empty(total, dtype=np.int64)
+                    for recs, within, vals in pieces:
+                        out[offsets[recs] + within] = vals
+                    values = pa.array(out).cast(_vt)
                 return pa.ListArray.from_arrays(
                     pa.array(offsets, type=pa.int32()), values), pos
 
