@@ -468,7 +468,7 @@ class _VecDecoder:
                                 f"{int(c.max())} exceeds the file size")
                         cur, cbase, crem = live, counts[live].copy(), c
                         j = 0
-                        while cur.size:
+                        while cur.size > 32:
                             vals, adv = _vec_varint(w, pos[cur])
                             pos[cur] = adv
                             pieces.append((cur, cbase + j, vals))
@@ -478,6 +478,31 @@ class _VecDecoder:
                                 cur = cur[keep]
                                 cbase = cbase[keep]
                                 crem = crem[keep]
+                        if cur.size:
+                            # skew tail: a few long arrays remain — the
+                            # per-call numpy overhead now exceeds the
+                            # work, so finish each record scalar
+                            for k in range(cur.size):
+                                ai, p = int(cur[k]), int(pos[cur[k]])
+                                m = int(crem[k] - j)
+                                out = np.empty(m, dtype=np.int64)
+                                for t in range(m):
+                                    b = int(w[p])
+                                    p += 1
+                                    acc = b & 0x7F
+                                    shift = 7
+                                    while b & 0x80:
+                                        b = int(w[p])
+                                        p += 1
+                                        acc |= (b & 0x7F) << shift
+                                        shift += 7
+                                    acc &= 0xFFFFFFFFFFFFFFFF  # u64 wrap
+                                    out[t] = (acc >> 1) ^ -(acc & 1)
+                                pos[ai] = p
+                                pieces.append(
+                                    (cur[k:k + 1].repeat(m),
+                                     np.arange(m) + int(cbase[k]) + j,
+                                     out))
                         counts[live] += c
                     active = live
                 offsets = np.zeros(n + 1, dtype=np.int64)
