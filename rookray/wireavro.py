@@ -297,16 +297,14 @@ def _ragged_gather(w: np.ndarray, starts: np.ndarray,
 def _natural_arrow(s) -> pa.DataType:
     """Arrow type a bare Avro schema decodes to (used only for fields
     the target struct no longer carries — decoded to advance the
-    cursor, then dropped)."""
-    prim = {"null": pa.null(), "boolean": pa.bool_(), "int": pa.int32(),
-            "long": pa.int64(), "float": pa.float32(),
-            "double": pa.float64(), "string": pa.string(),
-            "bytes": pa.binary()}
-    if isinstance(s, str) and s in prim:
-        return prim[s]
-    if isinstance(s, dict) and s.get("type") == "array":
-        return pa.list_(_natural_arrow(s["items"]))
-    raise _VecUnsupported(f"no natural Arrow type for {s!r}")
+    cursor, then dropped).  Delegates to the module's one
+    Avro→Arrow primitive mapping (``_arrow_of``)."""
+    if s == "null":
+        return pa.null()
+    try:
+        return _arrow_of(s)
+    except (KeyError, TypeError):
+        raise _VecUnsupported(f"no natural Arrow type for {s!r}") from None
 
 
 class _VecDecoder:
@@ -437,7 +435,9 @@ class _VecDecoder:
                     raise _VecUnsupported(f"array targeting {target}")
                 val_t = target.value_type
 
-            def dec(w, pos, _vt=val_t):
+            is_large = target is not None and pa.types.is_large_list(target)
+
+            def dec(w, pos, _vt=val_t, _lrg=is_large):
                 # item-synchronous: decode item j of the current block
                 # for ALL records at once with the shared varint kernel
                 # (a per-record window scan costs ~10 µs of numpy call
@@ -508,9 +508,6 @@ class _VecDecoder:
                 offsets = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(counts, out=offsets[1:])
                 total = int(offsets[-1])
-                if total >= 2**31:
-                    raise ValueError(
-                        "int-array payload exceeds 2**31 items per file")
                 if total == 0:
                     values = pa.array([], type=_vt)
                 else:
@@ -518,6 +515,12 @@ class _VecDecoder:
                     for recs, within, vals in pieces:
                         out[offsets[recs] + within] = vals
                     values = pa.array(out).cast(_vt)
+                if _lrg:
+                    return pa.LargeListArray.from_arrays(
+                        pa.array(offsets, type=pa.int64()), values), pos
+                if total >= 2**31:
+                    raise ValueError(
+                        "int-array payload exceeds 2**31 items per file")
                 return pa.ListArray.from_arrays(
                     pa.array(offsets, type=pa.int32()), values), pos
 
@@ -559,19 +562,25 @@ class _VecDecoder:
 
             return dec_f
         if t in ("string", "bytes"):
-            base = pa.utf8() if t == "string" else pa.binary()
-            tgt = target if target is not None else base
+            tgt = target if target is not None else (
+                pa.utf8() if t == "string" else pa.binary())
 
-            def dec_s(w, pos, _b=base, _t=tgt):
+            def dec_s(w, pos, _is_str=(t == "string"), _t=tgt):
                 lens, pos = _vec_varint(w, pos)
                 if (lens < 0).any():
                     raise ValueError("negative Avro string/bytes length")
                 data, offsets = _ragged_gather(w, pos, lens)
                 arr = pa.Array.from_buffers(
-                    _b, len(pos),
+                    pa.binary(), len(pos),
                     [None, pa.py_buffer(offsets.tobytes()),
                      pa.py_buffer(data.tobytes())])
-                if _t != _b:
+                if _is_str:
+                    # validating cast — the per-record walk raises
+                    # UnicodeDecodeError on corrupt strings, so the
+                    # vectorized path must refuse them too
+                    # (pa.ArrowInvalid is a ValueError subclass)
+                    arr = arr.cast(pa.utf8())
+                if _t != arr.type:
                     arr = arr.cast(_t)
                 return arr, pos + lens
 
@@ -798,7 +807,9 @@ class _Registry:
     def __init__(self, schemas: dict[int, dict]):
         self._schemas = {int(i): s for i, s in schemas.items()}
         self._codecs = {int(i): _Codec(s) for i, s in schemas.items()}
-        self._vec: dict[int, "_VecDecoder | None"] = {}
+        # keyed by (schema id, target envelope type): the same id can
+        # be decoded against different payload schemas on one instance
+        self._vec: dict[tuple, "_VecDecoder | None"] = {}
 
     @classmethod
     def load(cls, path: str) -> "_Registry":
@@ -844,20 +855,28 @@ class _Registry:
         starts = np.asarray([m[1] for m in msgs], dtype=np.int64)
         ends = np.asarray([m[2] for m in msgs], dtype=np.int64)
         w = np.frombuffer(data, dtype=np.uint8)
-        chunks, perm_parts = [], []
-        for sid in np.unique(sids):
-            sid = int(sid)
+        # compile (or fetch) decoders for every schema id in the file
+        # FIRST — cached per (id, target type), and if ANY id is
+        # outside the vectorized subset the whole file takes the
+        # per-record walk before any group is (wastefully) vec-decoded
+        uniq = [int(s) for s in np.unique(sids)]
+        decs = {}
+        for sid in uniq:
             if sid not in self._codecs:
                 raise ValueError(f"schema id {sid} not in the registry "
                                  f"snapshot ({sorted(self._codecs)})")
-            if sid not in self._vec:
+            key = (sid, typ)
+            if key not in self._vec:
                 try:
-                    self._vec[sid] = _VecDecoder(self._schemas[sid], typ)
+                    self._vec[key] = _VecDecoder(self._schemas[sid], typ)
                 except _VecUnsupported:
-                    self._vec[sid] = None
-            vec = self._vec[sid]
-            if vec is None:
-                return envelopes_to_table(self.decode_file(data), payload)
+                    self._vec[key] = None
+            decs[sid] = self._vec[key]
+        if any(v is None for v in decs.values()):
+            return envelopes_to_table(self.decode_file(data), payload)
+        chunks, perm_parts = [], []
+        for sid in uniq:
+            vec = decs[sid]
             m = sids == sid
             try:
                 arr, fin = vec.decode(w, starts[m])

@@ -202,21 +202,15 @@ def test_avro_vec_equals_record_walk_any_stream(seed, n_docs, n_events,
 
 def _nat_arrow(s):
     """Natural Arrow type of an Avro schema within the vectorized
-    subset (test-local: the library's `_natural_arrow` stops at the
-    constructs only discard paths need)."""
+    subset — the library's `_arrow_of` plus the record case (which
+    only payload-level schemas need, so the library never maps it)."""
     if isinstance(s, list):
         inner = next(b for b in s if b != "null")
         return _nat_arrow(inner)
-    if isinstance(s, dict):
-        if s["type"] == "record":
-            return pa.struct([(f["name"], _nat_arrow(f["type"]))
-                              for f in s["fields"]])
-        if s["type"] == "array":
-            return pa.list_(_nat_arrow(s["items"]))
-        s = s["type"]
-    return {"long": pa.int64(), "int": pa.int32(), "string": pa.string(),
-            "bytes": pa.binary(), "boolean": pa.bool_(),
-            "double": pa.float64(), "float": pa.float32()}[s]
+    if isinstance(s, dict) and s["type"] == "record":
+        return pa.struct([(f["name"], _nat_arrow(f["type"]))
+                          for f in s["fields"]])
+    return WA._arrow_of(s)
 
 
 _PRIM_VALS = {

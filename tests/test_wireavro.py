@@ -305,10 +305,93 @@ def test_vectorized_fallback_on_unsupported_schema(tmp_path):
                                "op": "c", "tags": ["a", "bb"]}))
         for i in range(4))
     reg = WA._Registry({1: sch})
-    # decode_file still works; decode_file_table falls back through it
     recs = reg.decode_file(buf)
     assert [r["after"]["id"] for r in recs] == [0, 1, 2, 3]
-    assert reg._vec.get(1, "unset") is None or 1 not in reg._vec
+    # decode_file_table must take the per-record fallback branch and
+    # still produce the typed envelope table
+    tbl = reg.decode_file_table(buf, payload)
+    ref = WA.envelopes_to_table(recs, payload)
+    assert tbl.equals(ref)
+    typ = WA._envelope_struct_type(payload)
+    assert reg._vec[(1, typ)] is None  # cached as not-vectorizable
+
+
+def _env_schema(value_fields: list[dict]) -> dict:
+    return {"type": "record", "name": "Env", "fields": [
+        {"name": "before", "type": ["null", {
+            "type": "record", "name": "Value",
+            "fields": value_fields}], "default": None},
+        {"name": "after", "type": ["null", "Value"], "default": None},
+        {"name": "op", "type": "string"},
+    ]}
+
+
+def test_vectorized_large_list_target():
+    """A large_list payload column must decode vectorized (int64
+    offsets, no 2**31 item cap), identical to the per-record walk."""
+    sch = _env_schema([
+        {"name": "id", "type": ["null", "long"], "default": None},
+        {"name": "toks", "type": ["null", {
+            "type": "array", "items": "int"}], "default": None}])
+    payload = pa.schema([("id", pa.int64()),
+                         ("toks", pa.large_list(pa.int32()))])
+    c = WA._Codec(sch)
+    buf = b"".join(
+        WA._frame(1, c.encode({"before": None,
+                               "after": {"id": i, "toks": list(range(i))},
+                               "op": "c"}))
+        for i in range(5))
+    reg = WA._Registry({1: sch})
+    tbl = reg.decode_file_table(buf, payload)
+    typ = WA._envelope_struct_type(payload)
+    assert reg._vec[(1, typ)] is not None  # vectorized, not fallback
+    assert tbl.equals(WA.envelopes_to_table(reg.decode_file(buf), payload))
+    toks = tbl.column("payload").combine_chunks().field("after").field("toks")
+    assert pa.types.is_large_list(toks.type)
+    assert toks.to_pylist() == [list(range(i)) for i in range(5)]
+
+
+def test_vectorized_invalid_utf8_raises():
+    """Corrupt UTF-8 in a string field must raise on BOTH decode
+    paths — the vectorized gather may not hand an invalid utf8 array
+    downstream (the per-record walk raises UnicodeDecodeError)."""
+    sch = _env_schema([
+        {"name": "id", "type": ["null", "long"], "default": None}])
+    payload = pa.schema([("id", pa.int64())])
+    c = WA._Codec(sch)
+    buf = WA._frame(1, c.encode(
+        {"before": None, "after": {"id": 7}, "op": "ZZ"}))
+    assert buf.count(b"ZZ") == 1
+    bad = buf.replace(b"ZZ", b"\xff\xfe")
+    with pytest.raises(UnicodeDecodeError):
+        WA._Registry({1: sch}).decode_file(bad)
+    with pytest.raises(ValueError):  # pa.ArrowInvalid from the cast
+        WA._Registry({1: sch}).decode_file_table(bad, payload)
+
+
+def test_registry_cache_keyed_by_payload():
+    """One registry instance serving two different payload schemas for
+    the same schema id must not reuse the first payload's compiled
+    decoder for the second (the cache is keyed by (id, target type))."""
+    sch = _env_schema([
+        {"name": "id", "type": ["null", "long"], "default": None},
+        {"name": "x", "type": ["null", "long"], "default": None}])
+    c = WA._Codec(sch)
+    buf = b"".join(
+        WA._frame(1, c.encode({"before": None,
+                               "after": {"id": i, "x": 10 * i},
+                               "op": "c"}))
+        for i in range(3))
+    reg = WA._Registry({1: sch})
+    pay_a = pa.schema([("id", pa.int64())])
+    pay_b = pa.schema([("id", pa.int64()), ("x", pa.int64())])
+    ta = reg.decode_file_table(buf, pay_a)
+    tb = reg.decode_file_table(buf, pay_b)
+    after_a = ta.column("payload").combine_chunks().field("after")
+    after_b = tb.column("payload").combine_chunks().field("after")
+    assert after_a.type == pa.struct([("id", pa.int64())])
+    assert after_b.field("x").to_pylist() == [0, 10, 20]
+    assert len(reg._vec) == 2  # one compiled decoder per payload
 
 
 def test_vectorized_under_read_and_torn_detected(tmp_path):
