@@ -118,8 +118,8 @@ class RenameEvents:
         return batch
 
 
-def filter_events(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
-    """Ignore-list + target-table predicate (vectorized S8/S9)."""
+def event_mask(batch: pa.Table, cfg: NormalizeConfig) -> "pa.BooleanArray":
+    """Ignore-list + target-table predicate mask (vectorized S8/S9)."""
     mask = pc.equal(batch.column("table"), pa.scalar(cfg.table))
     if cfg.ignored_tables:
         mask = pc.and_(
@@ -131,16 +131,28 @@ def filter_events(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
             mask,
             pc.invert(pc.is_in(batch.column("server_id"), value_set=pa.array(sorted(cfg.ignored_server_ids), type=pa.int64()))),
         )
-    return batch.filter(mask)
+    return mask
 
 
-def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
+def filter_events(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
+    """Ignore-list + target-table predicate (vectorized S8/S9)."""
+    return batch.filter(event_mask(batch, cfg))
+
+
+def flatten(batch: pa.Table, cfg: NormalizeConfig,
+            sel: np.ndarray | None = None) -> pa.Table:
     """Change events → flat keyed events.
 
     Output columns: ``gtid, split, tx_id, op, doc_id, <payload cols>``.
     The key (``doc_id``) comes from the before image for U/D and the
     after image for I; PK-changing updates are split into two rows.
     Payload columns come from the after image (null for deletes).
+
+    ``sel``: optional int64 row indices to emit (the fused form of
+    filter-then-flatten — one payload gather instead of a filter copy
+    followed by a take).  When every row of ``batch`` is a normal
+    event, no payload gather happens at all (zero-copy passthrough of
+    the after-struct children).
     """
     after = _conform_struct(batch.column("after"), cfg.payload)
     op = batch.column("op").combine_chunks()
@@ -162,28 +174,42 @@ def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
         before = _conform_struct(batch.column("before"), cfg.payload)
         b_key = before.field("doc_id")
 
-    op_np = op.to_numpy(zero_copy_only=False)
+    n_all = len(batch)
+    op_full = op.to_numpy(zero_copy_only=False)
+    if sel is None:
+        base_idx = np.arange(n_all, dtype=np.int64)
+        op_np = op_full
+    else:
+        base_idx = np.asarray(sel, dtype=np.int64)
+        op_np = op_full[base_idx]
     is_u = op_np == OP_UPDATE
     # PK-changing update: before.doc_id != after.doc_id (both non-null)
-    pk_change = np.zeros(len(batch), dtype=bool)
+    pk_change = np.zeros(len(base_idx), dtype=bool)
     if is_u.any():
-        neq = pc.fill_null(pc.not_equal(b_key, a_key), False)
-        pk_change = is_u & neq.to_numpy(zero_copy_only=False).astype(bool)
-
-    n = len(batch)
-    base_idx = np.arange(n, dtype=np.int64)
+        neq = (pc.fill_null(pc.not_equal(b_key, a_key), False)
+               .to_numpy(zero_copy_only=False).astype(bool))
+        pk_change = is_u & (neq if sel is None else neq[base_idx])
 
     def _emit(idx: np.ndarray, key_arr, ops: np.ndarray, split: np.ndarray) -> dict:
-        take = pa.array(idx)
+        # identity gather (every batch row, in order) — skip the copy;
+        # idx is strictly increasing by construction, so length alone
+        # decides identity
+        identity = len(idx) == n_all
+        if identity:
+            g, keyed, taken_after = gtid, key_arr, after
+        else:
+            take = pa.array(idx)
+            g = gtid.take(take)
+            keyed = key_arr.take(take)
+            taken_after = after.take(take)
         out = {
-            "gtid": gtid.take(take),
+            "gtid": g,
             "split": pa.array(split, type=pa.int8()),
             "op": pa.array(ops, type=pa.int8()),
-            "doc_id": key_arr.take(take),
+            "doc_id": keyed,
         }
         if tx_id is not None:
-            out["tx_id"] = tx_id.take(take)
-        taken_after = after.take(take)
+            out["tx_id"] = tx_id if identity else tx_id.take(pa.array(idx))
         del_mask = ops == OP_DELETE
         for f in cfg.payload:
             if f.name == "doc_id":
@@ -201,7 +227,7 @@ def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
     if merged_key is not None:
         key0 = merged_key
     else:
-        use_before = np.isin(op_np, (OP_UPDATE, OP_DELETE))
+        use_before = np.isin(op_full, (OP_UPDATE, OP_DELETE))
         key0 = pc.if_else(pa.array(use_before), b_key, a_key)
     parts.append(
         _emit(idx0, key0, op_np[normal], np.ones(len(idx0), dtype=np.int8))
@@ -224,7 +250,14 @@ def flatten(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
 
 
 def normalize_batch(batch: pa.Table, cfg: NormalizeConfig) -> pa.Table:
-    return flatten(filter_events(batch, cfg), cfg)
+    # fused filter+flatten: the predicate becomes a row-index selection
+    # inside flatten's single gather instead of a standalone filter copy
+    # of the whole batch (token payloads are the bulk of the bytes)
+    mask = pc.fill_null(event_mask(batch, cfg), False)
+    mask_np = mask.to_numpy(zero_copy_only=False).astype(bool)
+    if mask_np.all():
+        return flatten(batch, cfg)
+    return flatten(batch, cfg, sel=np.flatnonzero(mask_np))
 
 
 class Normalizer:

@@ -32,24 +32,30 @@ STATE_META = [("_gtid", pa.int64()), ("_split", pa.int8())]
 def _last_per_key(tbl: pa.Table, key: str = "doc_id") -> pa.Table:
     """Keep the row with max (gtid, split) per key — vectorized argmax.
 
-    Sorts by (key, gtid, split) ascending then keeps each group's last
-    row via an adjacent-not-equal mask (no per-group Python).  This is
-    simultaneously the intra-batch combiner (rook's IndexingLog dedup
-    analog) and the final merge kernel.
+    Sort-indices over ONLY the narrow sort columns (key, gtid, split),
+    find each group's last row via an adjacent-not-equal mask, then
+    gather just the winners.  The losers' payload (the wide token
+    arrays — the bulk of every batch's bytes) is never materialized in
+    sorted order, which is what made the former whole-table ``sort_by``
+    2x slower.  Output rows remain sorted by (key, gtid, split), same
+    as before.  This is simultaneously the intra-batch combiner (rook's
+    IndexingLog dedup analog) and the final merge kernel.
     """
-    if len(tbl) == 0:
+    if len(tbl) <= 1:
         return tbl
-    sort_cols = [(key, "ascending"), ("gtid", "ascending")]
+    narrow = {"k": tbl.column(key), "g": tbl.column("gtid")}
+    sort_keys = [("k", "ascending"), ("g", "ascending")]
     if "split" in tbl.column_names:
-        sort_cols.append(("split", "ascending"))
-    tbl = tbl.sort_by(sort_cols)
-    k = tbl.column(key).combine_chunks()
-    if len(tbl) == 1:
-        return tbl
+        narrow["s"] = tbl.column("split")
+        sort_keys.append(("s", "ascending"))
+    idx = pc.sort_indices(pa.table(narrow), sort_keys=sort_keys)
+    k = pc.take(narrow["k"], idx)
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
     eq_next = pc.equal(k.slice(1), k.slice(0, len(k) - 1))
     eq_np = pc.fill_null(eq_next, False).to_numpy(zero_copy_only=False).astype(bool)
     last = np.concatenate([~eq_np, [True]])
-    return tbl.filter(pa.array(last))
+    return tbl.take(idx.filter(pa.array(last)))
 
 
 def keep_last(tbl: pa.Table, key: str = "doc_id") -> pa.Table:

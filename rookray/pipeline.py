@@ -327,17 +327,19 @@ class ShuffleWriter:
             starts = np.concatenate([[0], bounds])
             ends = np.concatenate([bounds, [n]])
             gtids = flat.column("gtid").to_numpy(zero_copy_only=False)
+            slices = []
             for s, e in zip(starts, ends):
-                p = int(part_s[s])
-                sub = flat.slice(s, e - s)
-                g = gtids[s:e]
-                digest = hashlib.md5(g.tobytes()).hexdigest()[:10]
-                name = f"b-{g.min()}-{g.max()}-{digest}.arrow"
-                sink.atomic_write_ipc(
-                    sub, os.path.join(self.shuffle_dir, f"part-{p:05d}", name)
-                )
-                parts_out.append(p)
-                rows_out.append(e - s)
+                parts_out.append(int(part_s[s]))
+                rows_out.append(int(e - s))
+                slices.append(flat.slice(s, e - s))
+            # ONE file per task, one record batch per partition (footer
+            # metadata maps partition → batch index); name is a
+            # deterministic function of the content so a re-executed
+            # task overwrites its own partial (idempotent under retry)
+            digest = hashlib.md5(gtids.tobytes()).hexdigest()[:10]
+            name = f"all-{gtids.min()}-{gtids.max()}-{digest}.arrow"
+            sink.atomic_write_ipc_parts(
+                slices, parts_out, os.path.join(self.shuffle_dir, name))
         return pa.table(
             {"part": pa.array(parts_out, pa.int32()),
              "rows": pa.array(rows_out, pa.int64())}
@@ -361,17 +363,26 @@ class FinalizeMerge:
         self.prior_wms = prior_wms
         self.write_mode = write_mode
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _partial_index(self) -> "dict[int, list[tuple[str, int]]]":
+        """partition → [(file, record-batch index)] over the epoch's
+        shuffle files; footers only, built once per actor."""
         import glob as _glob
 
+        idx: dict[int, list[tuple[str, int]]] = {}
+        for f in sorted(_glob.glob(os.path.join(self.shuffle_dir, "all-*.arrow"))):
+            for p, bi in sink.ipc_parts_index(f).items():
+                idx.setdefault(p, []).append((f, bi))
+        return idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not hasattr(self, "_pindex"):
+            self._pindex = self._partial_index()
         out = []
         for part in batch.column("part").to_pylist():
-            files = sorted(
-                _glob.glob(os.path.join(self.shuffle_dir, f"part-{part:05d}", "*.arrow"))
-            )
-            if not files:
+            entries = self._pindex.get(int(part), ())
+            if not entries:
                 continue
-            chunks = [sink.read_ipc(f) for f in files]
+            chunks = [sink.read_ipc_part(f, bi) for f, bi in entries]
             events = merge.keep_last(
                 pa.concat_tables(chunks, promote_options="default")
                 if len(chunks) > 1 else chunks[0]
@@ -1623,6 +1634,17 @@ class LakeTable:
         transactions that are incomplete within this epoch are held
         back and must be re-presented in a later epoch.
         """
+        import time as _time
+
+        _phase_t = _time.perf_counter()
+        _timings: dict[str, float] = {}
+
+        def _lap(name: str) -> None:
+            nonlocal _phase_t
+            now = _time.perf_counter()
+            _timings[name] = round(now - _phase_t, 3)
+            _phase_t = now
+
         cfg = self.config
         m = self.manifest()
         if epoch is None:
@@ -1704,6 +1726,7 @@ class LakeTable:
             else:
                 closed_wm, max_gtid = 2**62, -1
 
+        _lap("watermark_sec")
         payload = self._unified_payload(raw, shard_schemas,
                                         include_prior=transform is None)
         ncfg = NormalizeConfig(
@@ -1792,7 +1815,9 @@ class LakeTable:
                 writer, batch_format="pyarrow",
                 batch_size=cfg.router_batch_size, zero_copy_batch=True,
             )
+            _lap("plan_sec")
             routed.take_all()  # tiny per-partial counts; drives the map side
+            _lap("shuffle_map_sec")
             parts_ds = ray.data.from_items(
                 [{"part": p} for p in range(P)]
             ).repartition(P)
@@ -1818,6 +1843,7 @@ class LakeTable:
                 concurrency=n_actors,
             )
             lineage_rows = lineage_tbls.take_all()
+            _lap("reduce_sec")
             _shutil.rmtree(epoch_root, ignore_errors=True)
         else:
             flat = raw.map_batches(
@@ -1830,7 +1856,9 @@ class LakeTable:
             mw = MergeWrite(self.root, epoch, prior_files, prior_wms)
             mw.__name__ = "MergeWrite"  # ray's map_groups wrapper wants one
             lineage_ds = flat.groupby("part").map_groups(mw, batch_format="pyarrow")
+            _lap("plan_sec")
             lineage_rows = lineage_ds.take_all()
+            _lap("merge_sec")
 
         partitions = dict(m["partitions"]) if m else {}
         applied = 0
@@ -1867,12 +1895,17 @@ class LakeTable:
             "payload_schema": [[f.name, str(f.type)] for f in manifest_payload],
         }
         sink.commit_manifest(self.root, manifest)
+        _lap("commit_sec")
         return {
             "epoch": epoch,
             "closed_watermark": manifest["closed_watermark"],
             "max_gtid_seen": max_gtid,
             "events_applied": applied,
             "partitions_touched": len(lineage_rows),
+            # per-epoch wall-time breakdown (driver-observed): where an
+            # epoch spends its time — the ops-metrics counterpart of the
+            # per-partition lineage rows
+            "timings": _timings,
         }
 
     def _unified_payload(self, raw: "ray.data.Dataset",

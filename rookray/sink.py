@@ -78,6 +78,53 @@ def read_ipc(path: str) -> pa.Table:
         return pa.ipc.open_file(f).read_all()
 
 
+def atomic_write_ipc_parts(tables: "list[pa.Table]", parts: "list[int]",
+                           path: str) -> None:
+    """One IPC file holding one record batch per partition slice, the
+    partition ids recorded in the schema metadata (key ``parts``, JSON,
+    aligned with record-batch index).  Collapses a map task's shuffle
+    output from one file PER PARTITION to one file per task — the
+    per-file open/rename overhead dominated the map side at high
+    partition counts."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        schema = tables[0].schema.with_metadata(
+            {b"parts": json.dumps([int(p) for p in parts]).encode()})
+        opts = pa.ipc.IpcWriteOptions(compression=IPC_COMPRESSION)
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, schema, options=opts) as w:
+                for t in tables:
+                    batches = t.to_batches()
+                    if len(batches) != 1:
+                        batches = t.combine_chunks().to_batches()
+                    w.write_batch(batches[0])
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def ipc_parts_index(path: str) -> "dict[int, int]":
+    """partition id → record-batch index for a file written by
+    ``atomic_write_ipc_parts`` (footer + schema metadata only — no
+    payload bytes touched)."""
+    with pa.memory_map(path, "r") as f:
+        reader = pa.ipc.open_file(f)
+        meta = reader.schema.metadata or {}
+        parts = json.loads(meta.get(b"parts", b"[]"))
+    return {int(p): i for i, p in enumerate(parts)}
+
+
+def read_ipc_part(path: str, batch_index: int) -> pa.Table:
+    """Read ONE record batch (one partition's slice) from a multi-part
+    shuffle file — memory-mapped, so only that batch's bytes land."""
+    with pa.memory_map(path, "r") as f:
+        reader = pa.ipc.open_file(f)
+        return pa.Table.from_batches([reader.get_batch(batch_index)])
+
+
 def atomic_write_json(obj: dict, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")

@@ -44,6 +44,14 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray, variant: int = 0) -> np.ndarra
     splitmix-style mix so low bits distribute well for ``% P``.
     ``variant=1`` hashes with an independent base/salt — pair the two
     for an effective 128-bit exact-equality key.
+
+    Strategy: rows sharing a byte-length hash as one (rows × L) matrix
+    multiply-sum per distinct length — real key columns have few
+    distinct lengths, and the matrix form is 2-10x faster than the
+    flat-buffer prefix-sum it replaces (which stays as the fallback
+    for pathological length diversity).  Both paths produce identical
+    values (the hash is persisted in dedup keys / partition routing and
+    re-derived in the DuckDB oracles, so the VALUE is frozen).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -61,26 +69,44 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray, variant: int = 0) -> np.ndarra
     pows, salt = _VARIANTS[variant]
     if lens.max(initial=0) >= _MAX_LEN:
         raise ValueError("string too long for vectorized hash")
-    total = int(lens.sum())
-    if total == 0:
-        sums = np.zeros(n, dtype=np.uint64)
+    uniq = np.unique(lens)
+    if len(uniq) > max(64, n // 64):
+        # pathological length diversity: per-length batching degrades
+        # to per-row gathers — the flat prefix-sum path wins there
+        sums = _poly_sums_flat(data, starts, lens, pows)
     else:
-        pos = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(lens[:-1])]), lens
-        )
-        weights = pows[(np.repeat(lens, lens) - 1 - pos)]
-        seg = data[
-            np.repeat(starts, lens)
-            + pos
-        ].astype(np.uint64) * weights
-        cum = np.concatenate([[np.uint64(0)], np.cumsum(seg, dtype=np.uint64)])
-        bounds = np.concatenate([[0], np.cumsum(lens)])
-        sums = cum[bounds[1:]] - cum[bounds[:-1]]
+        sums = np.zeros(n, dtype=np.uint64)
+        for L in uniq:
+            if L == 0:
+                continue
+            sel = np.flatnonzero(lens == L)
+            gather = starts[sel][:, None] + np.arange(L, dtype=np.int64)[None, :]
+            m = data[gather].astype(np.uint64)
+            w = pows[:L][::-1].copy()
+            sums[sel] = (m * w[None, :]).sum(axis=1, dtype=np.uint64)
     # finalize (splitmix64) + mix in length
     z = sums + lens.astype(np.uint64) * salt
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
+
+
+def _poly_sums_flat(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                    pows: np.ndarray) -> np.ndarray:
+    """Flat-buffer polynomial sums via one prefix-sum over all bytes —
+    O(total bytes) regardless of length distribution."""
+    n = len(starts)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.uint64)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens[:-1])]), lens
+    )
+    weights = pows[(np.repeat(lens, lens) - 1 - pos)]
+    seg = data[np.repeat(starts, lens) + pos].astype(np.uint64) * weights
+    cum = np.concatenate([[np.uint64(0)], np.cumsum(seg, dtype=np.uint64)])
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    return cum[bounds[1:]] - cum[bounds[:-1]]
 
 
 def partition_of(doc_id: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:

