@@ -281,6 +281,7 @@ def run_bench() -> dict:
     apply_reps = int(os.environ.get("ROOKRAY_BENCH_APPLY_REPS", "2"))
     apply_sec = float("inf")
     apply_steal = 0.0
+    apply_timings: dict = {}
     for _ in range(apply_reps):
         root = tempfile.mkdtemp(prefix="rookray_bench_lake_")
         lake = LakeTable(
@@ -294,10 +295,11 @@ def run_bench() -> dict:
         )
         s0 = cpu_sample()
         t0 = time.perf_counter()
-        lake.apply(meta["files"])
+        res = lake.apply(meta["files"])
         dt = time.perf_counter() - t0
         if dt < apply_sec:
             apply_sec, apply_steal = dt, steal_pct(s0, cpu_sample())
+            apply_timings = res.get("timings", {})
         shutil.rmtree(root, ignore_errors=True)
     n_events = meta["n_events"]
 
@@ -363,6 +365,10 @@ def run_bench() -> dict:
             "apply_sec": round(apply_sec, 3),
             "events_per_sec": round(n_events / apply_sec, 1),
             "steal_pct": apply_steal,
+            # per-phase wall time of the best rep (watermark / plan /
+            # shuffle map / reduce / commit) — shows where an epoch's
+            # time goes without re-instrumenting
+            "timings": apply_timings,
         },
         "streaming": None if skip_queries else {
             "events": n_events,

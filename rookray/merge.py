@@ -43,6 +43,14 @@ def _last_per_key(tbl: pa.Table, key: str = "doc_id") -> pa.Table:
     """
     if len(tbl) <= 1:
         return tbl
+    return tbl.take(last_per_key_indices(tbl, key))
+
+
+def last_per_key_indices(tbl: pa.Table, key: str = "doc_id") -> pa.Array:
+    """Winner row indices of ``tbl`` (max (gtid, split) per key), in
+    (key, gtid, split) ascending order — the gather-free form of
+    ``_last_per_key`` so a caller can compose the winner selection with
+    its own downstream reorder into ONE payload gather."""
     narrow = {"k": tbl.column(key), "g": tbl.column("gtid")}
     sort_keys = [("k", "ascending"), ("g", "ascending")]
     if "split" in tbl.column_names:
@@ -52,10 +60,12 @@ def _last_per_key(tbl: pa.Table, key: str = "doc_id") -> pa.Table:
     k = pc.take(narrow["k"], idx)
     if isinstance(k, pa.ChunkedArray):
         k = k.combine_chunks()
+    if len(k) <= 1:
+        return idx
     eq_next = pc.equal(k.slice(1), k.slice(0, len(k) - 1))
     eq_np = pc.fill_null(eq_next, False).to_numpy(zero_copy_only=False).astype(bool)
     last = np.concatenate([~eq_np, [True]])
-    return tbl.take(idx.filter(pa.array(last)))
+    return idx.filter(pa.array(last))
 
 
 def keep_last(tbl: pa.Table, key: str = "doc_id") -> pa.Table:

@@ -124,9 +124,21 @@ class PartitionStage:
         self.purged_keys = sorted(purged_keys or ())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, part = self.flat_part(batch)
+        if part is None:
+            return self._empty(flat)
+        flat = flat.append_column("part", pa.array(part, type=pa.int32()))
+        return merge.keep_last(flat)
+
+    def flat_part(self, batch: pa.Table) -> "tuple[pa.Table, np.ndarray | None]":
+        """normalize → watermark filter → expectation gate, WITHOUT the
+        final combiner/gather: returns the flat events plus their
+        partition ids (``None`` when no rows survive), so ShuffleWriter
+        can fuse the keep-last winner selection with its own
+        partition-order reorder into one payload gather."""
         flat = normalize_batch(batch, self.ncfg)
         if len(flat) == 0:
-            return self._empty(flat)
+            return flat, None
         if self.transform is not None:
             # derived path: the transform may REMAP doc_id (container
             # cascade), so the watermark filter below must run on the
@@ -136,7 +148,7 @@ class PartitionStage:
             # placement guarantees don't compose with key remapping.)
             flat = self.transform(flat)
             if len(flat) == 0:
-                return self._empty(flat)
+                return flat, None
         part = partition_of(flat.column("doc_id"), self.P)
         gtid = flat.column("gtid").to_numpy(zero_copy_only=False)
         keep = (gtid <= self.closed_wm) & (gtid > self.wms[part])
@@ -144,7 +156,7 @@ class PartitionStage:
             flat = flat.filter(pa.array(keep))
             part = part[keep]
         if len(flat) == 0:
-            return self._empty(flat)
+            return flat, None
         # expectation gate AFTER the watermark filter: only rows this
         # epoch actually applies can quarantine, so re-presenting old
         # shards (boundary re-present, restore remediation, duplicate
@@ -175,9 +187,8 @@ class PartitionStage:
                 flat = flat.filter(pa.array(mask))
                 part = part[mask]
                 if len(flat) == 0:
-                    return self._empty(flat)
-        flat = flat.append_column("part", pa.array(part, type=pa.int32()))
-        return merge.keep_last(flat)
+                    return flat, None
+        return flat, part
 
     @staticmethod
     def _empty(flat: pa.Table) -> pa.Table:
@@ -315,14 +326,20 @@ class ShuffleWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
-        flat = self.stage(batch)
-        n = len(flat)
+        flat, part = self.stage.flat_part(batch)
         parts_out, rows_out = [], []
-        if n:
-            part = flat.column("part").to_numpy(zero_copy_only=False)
-            order = np.argsort(part, kind="stable")
-            flat = flat.take(pa.array(order)).drop_columns(["part"])
-            part_s = part[order]
+        if part is not None:
+            # fused combiner + partition sort: winner selection
+            # (keep-last per key) and the partition-contiguous reorder
+            # compose into ONE payload gather — the un-fused form
+            # gathered the wide token payload twice per batch
+            winners = (merge.last_per_key_indices(flat)
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+            pw = part[winners]
+            order = np.argsort(pw, kind="stable")
+            flat = flat.take(pa.array(winners[order]))
+            part_s = pw[order]
+            n = len(flat)
             bounds = np.flatnonzero(np.diff(part_s)) + 1
             starts = np.concatenate([[0], bounds])
             ends = np.concatenate([bounds, [n]])
