@@ -165,22 +165,49 @@ def broadcast_join(left: "ray.data.Dataset", right_df: pd.DataFrame,
                    concurrency=(1, 8)) -> "ray.data.Dataset":
     """Join a Dataset against a SMALL pandas side broadcast once via
     ``ray.put`` (read per actor in ``__init__``, never re-shipped per
-    batch).  ``how``: "inner", "left", "semi"."""
+    batch).  ``how``: "inner", "left", "semi".
+
+    Arrow batches end-to-end: "semi" is one ``is_in`` kernel over the
+    key column (the big side's payload is never copied); inner/left
+    run the pandas merge on tiny (key, row-index) frames only and
+    gather both payloads with ``Table.take``, so list columns and
+    typed nulls survive untouched (the former whole-batch pandas
+    conversion materialized every payload column as objects)."""
     ref = ray.put(right_df)
 
     class Joiner:
         def __init__(self):
-            self.right = ray.get(ref)
-            self.keys = set(self.right[on]) if how == "semi" else None
+            right = ray.get(ref)
+            self.rk = right[on].to_numpy()
+            self.keyset = pa.array(pd.unique(right[on])) if how == "semi" else None
+            self.rt = (None if how == "semi"
+                       else pa.Table.from_pandas(right, preserve_index=False))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch: pa.Table) -> pa.Table:
             if how == "semi":
-                return batch[batch[on].isin(self.keys)]
-            return batch.merge(self.right, on=on, how=how)
+                return batch.filter(
+                    pa.compute.is_in(batch.column(on), value_set=self.keyset))
+            lk = batch.column(on).to_pandas()
+            m = pd.DataFrame({on: lk, "__li": np.arange(len(lk))}).merge(
+                pd.DataFrame({on: self.rk, "__ri": np.arange(len(self.rk))}),
+                on=on, how=how)
+            li = pa.array(m["__li"].to_numpy(dtype=np.int64))
+            if how == "inner":
+                ri = pa.array(m["__ri"].to_numpy(dtype=np.int64))
+            else:  # left join: null index -> null row from take
+                ri = pa.array([None if pd.isna(x) else int(x) for x in m["__ri"]],
+                              pa.int64())
+            lout = batch.take(li)
+            rout = self.rt.take(ri)
+            cols = {c: lout.column(c) for c in batch.column_names}
+            for c in self.rt.column_names:
+                if c != on:
+                    cols[c] = rout.column(c)
+            return pa.table(cols)
 
     Joiner.__name__ = f"BroadcastJoin_{on}"
-    return left.map_batches(Joiner, batch_format="pandas",
-                            concurrency=concurrency)
+    return left.map_batches(Joiner, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=concurrency)
 
 
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
