@@ -1682,8 +1682,17 @@ class LakeTable:
         shard_schemas: list[pa.Schema] | None = None
         if isinstance(events, (list, tuple)):
             # footer-only schema reads: additive evolution means shards
-            # disagree; the unified payload must see every variant
-            shard_schemas = [pq.read_schema(p) for p in events]
+            # disagree; the unified payload must see every variant.
+            # Threaded past a few hundred shards (page-cached local
+            # footers are cheaper serial; on ms-latency shared storage
+            # or 10^5-file epochs the thread pool is the difference
+            # between sub-second and minutes)
+            if len(events) > 512:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(32) as _ex:
+                    shard_schemas = list(_ex.map(pq.read_schema, events))
+            else:
+                shard_schemas = [pq.read_schema(p) for p in events]
             renames = dict(cfg.column_renames)
             if renames:
                 if "doc_id" in renames or "doc_id" in renames.values():

@@ -198,31 +198,15 @@ def closed_watermark_from_stats(paths: list[str], floor: int = -1):
     scanning ``closed_watermark``.  At 10^10 events this is the
     difference between milliseconds and a full pass over the epoch.
     """
-    import pyarrow.parquet as pq
-
     spans = []
     metas = {}
-    for p in paths:
-        try:
-            md = pq.ParquetFile(p).metadata
-        except Exception:
-            return None
-        idx = md.schema.to_arrow_schema().get_field_index("gtid")
-        if idx < 0:
-            return None
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
+    for p, span in zip(paths, _footer_spans(paths)):
+        if span == "bad":
+            return None  # unusable stats / non-dense → scanning fallback
+        if span is None:
             continue  # empty shard
-        if md.num_rows != hi - lo + 1:
-            return None  # not dense → fall back
-        spans.append((int(lo), int(hi)))
-        metas[(int(lo), int(hi))] = p
+        spans.append(span)
+        metas[span] = p
     if not spans:
         return floor, -1
     max_gtid = max(h for _, h in spans)
@@ -254,6 +238,61 @@ def closed_watermark_from_stats(paths: list[str], floor: int = -1):
     tx_last = tx_first + tx_events - 1
     wm = cur if tx_last <= cur else tx_first - 1
     return max(floor, wm), max_gtid
+
+
+def _shard_span(p: str):
+    """(lo, hi) gtid span of one shard from footer statistics; ``None``
+    for an empty shard; the string ``"bad"`` when the statistics are
+    unusable or the shard is not gtid-dense (caller falls back to the
+    scanning watermark)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(p).metadata
+    except Exception:
+        return "bad"
+    idx = md.schema.to_arrow_schema().get_field_index("gtid")
+    if idx < 0:
+        return "bad"
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return "bad"
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    if md.num_rows != hi - lo + 1:
+        return "bad"
+    return (int(lo), int(hi))
+
+
+def _footer_spans(paths: list[str]) -> list:
+    """Per-shard footer spans — a 10^5-file epoch must not pay a serial
+    driver-side footer walk.  Regimes: serial up to a few hundred paths
+    (page-cached local footers cost ~0.3 ms each and threads only add
+    GIL ping-pong — measured 367 ms threaded vs 158 ms serial at 480
+    local shards); Ray tasks in 512-path chunks past a few thousand
+    (distributes the metadata I/O with the data); threads in between
+    (wins whenever footers live on ms-latency shared storage)."""
+    paths = list(paths)
+    if len(paths) <= 512:
+        return [_shard_span(p) for p in paths]
+    if len(paths) > 4096:
+        import ray
+        if ray.is_initialized():
+            probe = ray.remote(num_cpus=0.25)(
+                lambda chunk: [_shard_span(p) for p in chunk])
+            chunks = [paths[i:i + 512] for i in range(0, len(paths), 512)]
+            out: list = []
+            for part in ray.get([probe.remote(c) for c in chunks]):
+                out.extend(part)
+            return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(32, len(paths))) as ex:
+        return list(ex.map(_shard_span, paths))
 
 
 def _read_row_at(metas: dict, spans: list, target: int):

@@ -136,3 +136,35 @@ def test_sparse_coordinates_split_across_blocks():
     low_floor = tx0_rows[0][0]  # head row gtid — gap above it unknowable
     wm2, _ = txn.closed_watermark_table(suffix, floor=low_floor)
     assert wm2 == tx0_rows[1][0] - 1  # held at the open tx
+
+
+def test_footer_spans_regimes_agree(tmp_path):
+    """The serial, threaded, and Ray-chunked footer-probe regimes must
+    return identical spans in input order (the watermark math consumes
+    them positionally)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rookray import txn
+
+    files = []
+    lo = 1
+    for i, n in enumerate([5, 3, 7]):
+        t = pa.table({
+            "gtid": pa.array(range(lo, lo + n), pa.int64()),
+            "seq_in_tx": pa.array([0] * n, pa.int64()),
+            "tx_events": pa.array([1] * n, pa.int64()),
+        })
+        p = str(tmp_path / f"s{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+        lo += n
+    serial = [txn._shard_span(p) for p in files]
+    assert serial == [(1, 5), (6, 8), (9, 15)]
+    # <=512 paths -> serial regime
+    assert txn._footer_spans(files) == serial
+    # 513..4096 -> thread regime (same values, same order)
+    many = files * 200  # 600 paths
+    assert txn._footer_spans(many) == serial * 200
+    # >4096 with Ray up -> chunked-task regime
+    huge = files * 1400  # 4200 paths
+    assert txn._footer_spans(huge) == serial * 1400
