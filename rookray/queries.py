@@ -3906,10 +3906,19 @@ def _tt_wm_sql(b: int) -> str:
             f"FROM txspan WHERE mn <= {b} AND mx > {b})")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _three_epoch_lake():
     """Flagship stream applied in three epochs (one-shard overlap at
     each boundary re-presents held-back open-tx events, as ShardTailer
-    would); returns the lake and the three committed epoch ids."""
+    would); returns the lake and the three committed epoch ids.
+
+    Cached per process: all three consumers (time travel, changefeed,
+    egress roundtrip) only READ the returned lake, and the driver runs
+    every query in one process — rebuilding the identical three-epoch
+    history per query would cost ~7 s each for no signal."""
     import tempfile
     from rookray.pipeline import CDCConfig, LakeTable
     meta = flagship_stream()
