@@ -19,6 +19,7 @@ CDC semantics are exercised two ways:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -2014,6 +2015,27 @@ def _flagship_shards(sf_dir: str, n_events: int = FLAGSHIP_EVENTS) -> dict:
     return flagship_stream()
 
 
+@functools.lru_cache(maxsize=1)
+def _flagship_lake():
+    """Flagship stream fully applied in one rewrite epoch under the
+    standard 16-partition config.  Cached per process: every consumer
+    only READS the returned lake, and rebuilding the identical epoch
+    per query costs ~6 s of pure fixed cost for no extra signal —
+    queries that test a DIFFERENT apply shape (delta+compact, salt,
+    SMT, purge, derived targets) build their own lakes as before."""
+    import tempfile
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    meta = flagship_stream()
+    root = tempfile.mkdtemp(prefix="rookray_flagship_lake_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    lake.apply(meta["files"])
+    return lake
+
+
 #: shared LWW-replay CTE over the flat change log — the SQL statement
 #: of the engine's core semantics (DefaultRowsMutationIndexer.java:64-88
 #: restated): last (max gtid) event per key wins, delete winners drop
@@ -3045,14 +3067,8 @@ def cdc_export_by_source(sf_dir: str) -> pd.DataFrame:
     SQL replay's group count — a mis-partitioned or dropped row breaks
     the match."""
     import tempfile
-    from rookray.pipeline import CDCConfig, LakeTable
-    meta = flagship_stream()
+    lake = _flagship_lake()
     root = tempfile.mkdtemp(prefix="rookray_exp_")
-    lake = LakeTable(os.path.join(root, "lake"), CDCConfig(
-        num_partitions=16,
-        ignored_tables=frozenset({"ignored_entity"}),
-        ignored_server_ids=frozenset({999})))
-    lake.apply(meta["files"])
     r = lake.export(os.path.join(root, "out"), partition_col="source")
     return (pd.DataFrame(
         [{"source": k, "docs": int(v)}
@@ -3853,16 +3869,7 @@ def cdc_schema_evolution(sf_dir: str) -> pd.DataFrame:
     ``(doc_id, lang)``; the oracle replays the same LWW rule over the
     flat change log (rook has no schema evolution story at all — the
     cache/fti targets see whatever columns the row image carries)."""
-    import tempfile
-    from rookray.pipeline import CDCConfig, LakeTable
-    meta = _flagship_shards(sf_dir)
-    root = tempfile.mkdtemp(prefix="rookray_lake_")
-    lake = LakeTable(root, CDCConfig(
-        num_partitions=16,
-        ignored_tables=frozenset({"ignored_entity"}),
-        ignored_server_ids=frozenset({999})))
-    lake.apply(meta["files"])
-    state = lake.state_table()
+    state = _flagship_lake().state_table()
     lang = (state.column("lang").to_pylist()
             if "lang" in state.column_names else [None] * len(state))
     return pd.DataFrame({
@@ -3904,9 +3911,6 @@ def _tt_wm_sql(b: int) -> str:
     restatement of txn._watermark_from_agg)."""
     return (f"(SELECT LEAST({b}, COALESCE(MIN(mn) - 1, {b})) "
             f"FROM txspan WHERE mn <= {b} AND mx > {b})")
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=1)
