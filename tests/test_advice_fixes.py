@@ -251,3 +251,39 @@ def test_hash_strings_matrix_and_flat_paths_agree():
     # frozen reference values (cross-process determinism pin)
     frozen = util.hash_strings(pa.array(["a", "bc", "", "doc-123"])).tolist()
     assert frozen == util.hash_strings(pa.array(["a", "bc", "", "doc-123"])).tolist()
+
+
+def test_fused_normalize_equals_unfused_composition():
+    """normalize_batch (fused filter+flatten) must equal
+    flatten(filter_events(...)) row-for-row across op mixes, PK-change
+    splits, noise rows, and all-pass / all-filtered / empty batches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    from rookray import gen
+    from rookray.events import (NormalizeConfig, filter_events, flatten,
+                                normalize_batch)
+
+    ncfg = NormalizeConfig(ignored_tables=frozenset({"ignored_entity"}),
+                           ignored_server_ids=frozenset({999}))
+
+    def check(batch):
+        unfused = flatten(filter_events(batch, ncfg), ncfg)
+        fused = normalize_batch(batch, ncfg)
+        key = [("gtid", "ascending"), ("split", "ascending")]
+        assert unfused.sort_by(key).equals(fused.sort_by(key))
+
+    for seed, noise in [(1, 0), (2, 20), (3, 60)]:
+        cfg = gen.GenConfig(n_docs=40, n_events=400, seed=seed,
+                            noise_pct=noise, zipf_a=1.2)
+        d = tempfile.mkdtemp()
+        meta = gen.write_shards(cfg, d)
+        batch = pa.concat_tables(
+            [pq.read_table(f) for f in meta["files"]]).combine_chunks()
+        check(batch)                      # mixed pass/filter
+        check(batch.slice(0, 0))          # empty
+        # all-filtered: point the config at a table no row matches
+        other = NormalizeConfig(table="nope")
+        assert len(normalize_batch(batch, other)) == 0
+        assert len(flatten(filter_events(batch, other), other)) == 0
