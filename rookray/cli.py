@@ -231,7 +231,8 @@ def _apply_single_or_routed(args, ds, lake, route_targets,
 def cmd_wire(args) -> int:
     """Public wire-format ingest: decode a recorded CDC JSON dump —
     Debezium envelopes (data topic + optional transaction topic),
-    Maxwell records, or Canal flat messages — into the lake as one
+    Maxwell records, Canal flat messages, or MongoDB change-stream
+    events — into the lake as one
     exactly-once epoch: the day-one path for a user whose change
     stream is a connector's/daemon's output, not rookray-shaped
     shards."""
@@ -273,6 +274,9 @@ def cmd_wire(args) -> int:
         if args.format == "avro":
             from rookray.wireavro import avro_files_above
             paths = avro_files_above(paths, floor, registry)
+        elif args.format == "mongo":
+            from rookray.wiremongo import mongo_files_above
+            paths = mongo_files_above(paths, floor)
         else:
             from rookray.wirejson import jsonl_files_above
             paths = jsonl_files_above(paths, floor, args.format)
@@ -304,6 +308,13 @@ def cmd_wire(args) -> int:
         # needed unless the lake already committed a (wider) schema
         ds = read_avro(paths, registry, tx_topic=tx_topic,
                        payload=committed or infer_payload_avro(registry))
+    elif args.format == "mongo":
+        from rookray.wiremongo import infer_payload_mongo, read_mongo
+        # the change stream emits committed ops only — every event is a
+        # singleton transaction, no tx topic / side index exists
+        ds = read_mongo(paths,
+                        payload=committed or infer_payload_mongo(paths))
+        tx_topic = None
     else:
         from rookray.wirejson import (infer_payload_canal,
                                       infer_payload_maxwell, read_canal,
@@ -691,17 +702,18 @@ def main(argv=None) -> int:
 
     wr = sub.add_parser("wire", help="decode a recorded CDC dump "
                         "(Debezium-JSON / Maxwell / Canal / Confluent-"
-                        "Avro wire formats) into the lake as one "
-                        "exactly-once epoch")
+                        "Avro / MongoDB-change-stream wire formats) "
+                        "into the lake as one exactly-once epoch")
     wr.add_argument("--dump", required=True,
                     help="directory holding the data-topic files")
     wr.add_argument("--format", default="debezium",
-                    choices=["debezium", "maxwell", "canal", "avro"],
+                    choices=["debezium", "maxwell", "canal", "avro",
+                             "mongo"],
                     help="envelope flavor (default: debezium); 'avro' = "
                          "Confluent schema-registry framing")
     wr.add_argument("--pattern", default="data-*.jsonl",
                     help="defaults to <format>-*.jsonl for maxwell/"
-                         "canal, data-*.avrowire for avro")
+                         "canal/mongo, data-*.avrowire for avro")
     wr.add_argument("--tx-topic", default=None,
                     help="transaction-topic file (default: tx-* under "
                          "--dump if present, else a counting pass)")

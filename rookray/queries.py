@@ -2391,6 +2391,48 @@ def cdc_wire_avro(sf_dir: str) -> pd.DataFrame:
 CDC_WIRE_AVRO_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
+def _flagship_mongo() -> dict:
+    """Recorded MongoDB change-stream dump of the flagship: public
+    ``db.watch()`` event documents (resume-token ordering, documentKey
+    identity, fullDocument post-images, opt-in pre-images with every
+    fifth one absent, every third update shipped as a ``replace``,
+    ``lsid``/``txnNumber`` on multi-event transactions, the stream
+    ended by ``drop`` + ``invalidate``)."""
+    from rookray import wiremongo as WM
+    return _cached_wire_dump(
+        "mongo", lambda out: WM.mongo_dump(_flagship_events(), out,
+                                           n_files=8))
+
+
+def cdc_wire_mongo(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #7 — the first NON-SQL-family source:
+    MongoDB's change stream (rookray.wiremongo; the document-database
+    analog of the binlog rook tails, MySQLReplicationStream.java:71-120).
+    Decode a recorded ``$changeStream`` dump — resume-token hex decoded
+    as one numpy table-lookup dot product, replace/update unification,
+    key-only before images where pre-images are disabled, committed-
+    only stream semantics so every event is a singleton transaction
+    with NO counting pass — and replay through the full lake apply.
+    Mongo carries no server_id, so like canal the lake filters the
+    ignored TABLE only and the oracle keeps the server-999 rows."""
+    import tempfile
+    from rookray import wiremongo as WM
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_mongo()
+    ds = WM.read_mongo(d["files"], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_mgo_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+#: mongo has no server_id → same keep-999 oracle as canal/pgoutput
+CDC_WIRE_MONGO_SQL = CDC_WIRE_CANAL_SQL
+
+
 def cdc_egress_roundtrip(sf_dir: str) -> pd.DataFrame:
     """CDC egress closes the relay loop (rook is CDC *in* only,
     MySQLReplicationStream.java:161-179): the flagship lake's
@@ -4354,6 +4396,7 @@ QUERIES = {
     "cdc_wire_canal": cdc_wire_canal,
     "cdc_wire_pgoutput": cdc_wire_pgoutput,
     "cdc_wire_avro": cdc_wire_avro,
+    "cdc_wire_mongo": cdc_wire_mongo,
     "cdc_egress_roundtrip": cdc_egress_roundtrip,
     "cdc_patch_replay": cdc_patch_replay,
     "cdc_smt_replay": cdc_smt_replay,
@@ -4522,6 +4565,7 @@ ORACLES = {
     "cdc_wire_canal": CDC_WIRE_CANAL_SQL,
     "cdc_wire_pgoutput": CDC_WIRE_PGOUTPUT_SQL,
     "cdc_wire_avro": CDC_WIRE_AVRO_SQL,
+    "cdc_wire_mongo": CDC_WIRE_MONGO_SQL,
     "cdc_egress_roundtrip": CDC_EGRESS_ROUNDTRIP_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,

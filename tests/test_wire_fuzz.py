@@ -94,6 +94,42 @@ def test_canal_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
 
 
 @settings(max_examples=12, deadline=None)
+@given(**_CFG)
+def test_mongo_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
+                                    zipf, evolve, n_files):
+    """Change-stream envelope: singleton transactions by contract,
+    null server_id, replace ≡ update, key-only before images where the
+    dump's deterministic pre-image knob (gtid % 5 == 0) withheld them."""
+    from rookray import wiremongo as WM
+    from rookray.schema import OP_INSERT
+
+    cfg, ev, payload = _gen(seed, n_docs, n_events, noise_pct, zipf,
+                            evolve)
+    with tempfile.TemporaryDirectory() as tmp:
+        d = WM.mongo_dump(ev, tmp, n_files=n_files)
+        blob = b"".join(open(p, "rb").read() for p in d["files"])
+    got = WM.decode_mongo(_json_table(blob),
+                          payload=payload).sort_by("gtid")
+    orig = ev.sort_by("gtid")
+    _cmp(got, orig, ["gtid", "db", "table", "op", "key", "after"])
+    assert got.column("tx_id").to_pylist() == got.column("gtid").to_pylist()
+    assert got.column("server_id").null_count == got.num_rows
+    kf = payload.names[0]
+    for g, op, b_got, b_orig, k in zip(got.column("gtid").to_pylist(),
+                                       got.column("op").to_pylist(),
+                                       got.column("before").to_pylist(),
+                                       orig.column("before").to_pylist(),
+                                       got.column("key").to_pylist()):
+        if op == OP_INSERT:
+            assert b_got is None
+        elif g % 5 == 0:
+            assert b_got == {n: (k if n == kf else None)
+                             for n in payload.names}
+        else:
+            assert b_got == b_orig
+
+
+@settings(max_examples=12, deadline=None)
 @given(**_CFG, streamed=st.booleans())
 def test_pgoutput_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
                                        zipf, evolve, n_files, streamed):
