@@ -72,8 +72,10 @@ BENCH_QUERIES = [
     "cdc_wire_debezium",
     "cdc_wire_binlog",
     "ann_lsh",
-    # round-5: Confluent schema-registry Avro envelope
+    # round-5: Confluent schema-registry Avro envelope, MongoDB
+    # change-stream envelope (the first non-SQL-family source)
     "cdc_wire_avro",
+    "cdc_wire_mongo",
 ]
 
 
@@ -114,7 +116,7 @@ WIRE_EVENTS = int(os.environ.get("ROOKRAY_BENCH_WIRE_EVENTS", "100000"))
 
 def ensure_wire_dumps(n_events: int) -> dict:
     """Deterministic cached wire-format dumps of ONE stream (encode is
-    untimed): the six public CDC envelopes the engine decodes."""
+    untimed): the seven public CDC envelopes the engine decodes."""
     from rookray.gen import GenConfig, generate_events
 
     out = os.path.join("/tmp/rookray_bench", f"wire-{n_events}")
@@ -122,7 +124,8 @@ def ensure_wire_dumps(n_events: int) -> dict:
     if os.path.exists(meta_path):
         # a cache written before a format existed must regenerate
         with open(meta_path) as f:
-            if "avro" not in json.load(f):
+            m = json.load(f)
+            if "avro" not in m or "mongo" not in m:
                 shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(meta_path):
         from rookray import binlog as B
@@ -130,6 +133,7 @@ def ensure_wire_dumps(n_events: int) -> dict:
         from rookray import wire as W
         from rookray import wireavro as WA
         from rookray import wirejson as WJ
+        from rookray import wiremongo as WM
 
         ev = generate_events(GenConfig(
             n_docs=max(1000, n_events // 20), n_events=n_events,
@@ -147,6 +151,8 @@ def ensure_wire_dumps(n_events: int) -> dict:
                                       n_files=16),
             "avro": WA.avro_dump(ev, os.path.join(out, "avr"),
                                  n_files=16),
+            "mongo": WM.mongo_dump(ev, os.path.join(out, "mgo"),
+                                   n_files=16),
         }
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
@@ -181,6 +187,7 @@ def bench_wire_decode(n_events: int) -> dict:
     from rookray import wire as W
     from rookray import wireavro as WA
     from rookray import wirejson as WJ
+    from rookray import wiremongo as WM
     from rookray.schema import SEQ_SCHEMA_V2
 
     meta = ensure_wire_dumps(n_events)
@@ -199,6 +206,8 @@ def bench_wire_decode(n_events: int) -> dict:
         "avro": lambda m: WA.read_avro(
             m["data_files"], m["registry"], tx_topic=[m["tx_file"]],
             payload=SEQ_SCHEMA_V2),
+        "mongo": lambda m: WM.read_mongo(m["files"],
+                                         payload=SEQ_SCHEMA_V2),
     }
     # one untimed execution so the FIRST measured format doesn't
     # absorb the session's worker-spawn/import cost (observed: the
