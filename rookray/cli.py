@@ -791,10 +791,11 @@ def main(argv=None) -> int:
     eg.add_argument("--out", required=True,
                     help="output directory for the dump files")
     eg.add_argument("--format", default="debezium",
-                    choices=["debezium", "avro"],
+                    choices=["debezium", "avro", "mongo"],
                     help="envelope serialization (default: debezium "
                          "JSON-lines; avro = Confluent schema-registry "
-                         "framing + registry.json)")
+                         "framing + registry.json; mongo = change-"
+                         "stream JSON-lines in the shifted token space)")
     eg.add_argument("--from-epoch", type=int, default=None,
                     help="base snapshot (default: head - 1)")
     eg.add_argument("--to-epoch", type=int, default=None,

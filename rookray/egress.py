@@ -51,7 +51,8 @@ import os
 
 import pyarrow as pa
 
-__all__ = ["write_debezium", "write_avro", "export_changefeed"]
+__all__ = ["write_debezium", "write_avro", "write_mongo",
+           "export_changefeed"]
 
 _OP = {"insert": "c", "update": "u", "delete": "d"}
 
@@ -81,10 +82,14 @@ def _write_dump(feed: "ray.data.Dataset", out_dir: str,
                 key_column: str, value_columns: list[str],
                 delete_pos: int, serialize, ext: str,
                 db: str, table: str, server_id: int,
-                server_name: str) -> dict:
+                server_name: str, make_record=None,
+                prefix: str = "data") -> dict:
     """Shared egress writer: env-dict construction, coordinate/tx
     identity rules, and idempotent file naming live ONCE; ``serialize``
-    (env dicts → bytes) picks the wire dialect."""
+    (env dicts → bytes) picks the wire dialect.  A dialect whose record
+    is NOT a Debezium envelope (the change-stream shape) passes
+    ``make_record(change, row) -> (position, record)`` and owns its
+    own coordinate rules."""
     from rookray.wire import make_envelope
 
     os.makedirs(out_dir, exist_ok=True)
@@ -99,6 +104,11 @@ def _write_dump(feed: "ray.data.Dataset", out_dir: str,
         envs, positions = [], []
         for r in rows:
             change = r["change"]
+            if make_record is not None:
+                g, rec = make_record(change, r)
+                positions.append(g)
+                envs.append(rec)
+                continue
             if change == "delete":
                 # transaction identity must be unique across EVERY dump
                 # a relay directory accumulates, not just within one:
@@ -129,7 +139,7 @@ def _write_dump(feed: "ray.data.Dataset", out_dir: str,
         digest = hashlib.md5(body).hexdigest()[:8]
         # range + content digest: unique across blocks even when two
         # partitions' diff ranges coincide, stable across task retries
-        name = f"data-{lo:016x}-{hi:016x}-{digest}.{ext}"
+        name = f"{prefix}-{lo:016x}-{hi:016x}-{digest}.{ext}"
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -224,6 +234,95 @@ def write_avro(feed: "ray.data.Dataset", out_dir: str,
     return d
 
 
+_MONGO_OP = {"insert": "insert", "update": "update", "delete": "delete"}
+
+
+def write_mongo(feed: "ray.data.Dataset", out_dir: str,
+                key_column: str, value_columns: list[str],
+                wm_a: int, wm_b: int,
+                db: str = "rook", table: str = "sequences") -> dict:
+    """Egress as a recorded MongoDB change stream (``rookray.wiremongo``
+    decodes it).  The change-stream envelope has NO transaction-identity
+    channel — ``decode_mongo`` derives both the coordinate and the
+    (singleton) transaction identity from the resume token — so unlike
+    the Debezium dialects, every emitted event needs a GLOBALLY UNIQUE
+    token (a real stream has this for free: the token encodes each
+    event's oplog position).  Tokens therefore live in a 1-bit-shifted
+    coordinate space, the same move as canal's record-atomic
+    ``id<<12|row``:
+
+    - insert/update: ``gtid_b << 1`` — even, unique (one winner per
+      event), monotone with the source order;
+    - delete: ``((wm_a + 1 + rank) << 1) | 1`` — odd (disjoint from
+      every real-event token by parity), ``rank`` the delete's position
+      in the dump's (gtid_a, key)-sorted delete set.  Each delete is
+      caused by a distinct source event in ``(wm_a, wm_b]``, so
+      ``n_deletes <= wm_b - wm_a`` always and delete tokens stay inside
+      ``(wm_a << 1, (wm_b << 1) | 1]`` — consecutive dumps compose
+      exactly as the Debezium dialects' do (dump N+1's every token
+      exceeds dump N's every token).
+
+    The downstream floor lives in this shifted space (a fresh relay
+    lake bootstraps at watermark 0, so nothing converts).  Computing
+    delete ranks takes one driver-side pass over the DELETE subset of
+    the diff (keys + gtid_a only — never the images); the feed is
+    materialized once so the rank pass and the dump write share one
+    diff computation."""
+    import ray
+    import pyarrow.compute as pc
+
+    if wm_b >= 1 << 61:
+        raise ValueError("source coordinates >= 2^61 cannot ride the "
+                         "shifted change-stream token space")
+    feed = feed.materialize()
+
+    def _delete_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("change"), "delete"))
+        return t.select([key_column, "gtid_a"])
+
+    dels = feed.map_batches(_delete_keys,
+                            batch_format="pyarrow").take_all()
+    dels.sort(key=lambda r: (int(r["gtid_a"]), str(r[key_column])))
+    ranks = {r[key_column]: i for i, r in enumerate(dels)}
+    if len(ranks) > max(0, wm_b - wm_a):
+        raise ValueError(
+            f"{len(ranks)} deletes do not fit the source span "
+            f"({wm_a}, {wm_b}] — the diff endpoints are inconsistent")
+    ranks_ref = ray.put(ranks)
+    names = list(value_columns)
+    cell: list = []  # broadcast dict resolved once per task process
+
+    def make_record(change: str, r: dict):
+        if change == "delete":
+            if not cell:
+                cell.append(ray.get(ranks_ref))
+            g = ((wm_a + 1 + cell[0][r[key_column]]) << 1) | 1
+        else:
+            g = int(r["gtid_b"]) << 1
+        rec = {
+            "_id": {"_data": f"{g:016x}"},
+            "operationType": _MONGO_OP[change],
+            "clusterTime": {"$timestamp": {"t": 1600000000 + (g >> 1) // 1000,
+                                           "i": (g >> 1) % 1000}},
+            "ns": {"db": db, "coll": table},
+            "documentKey": {"_id": r[key_column]},
+        }
+        if change != "delete":
+            rec["fullDocument"] = _image(r, key_column, names, "b")
+        if change != "insert":  # pre-images enabled: full before image
+            rec["fullDocumentBeforeChange"] = _image(r, key_column,
+                                                     names, "a")
+        return g, rec
+
+    def to_jsonl(recs: list[dict]) -> bytes:
+        return ("\n".join(json.dumps(e, separators=(",", ":"))
+                          for e in recs) + "\n").encode()
+
+    return _write_dump(feed, out_dir, key_column, value_columns,
+                       0, to_jsonl, "jsonl", db, table, 0, "rookray",
+                       make_record=make_record, prefix="mongo")
+
+
 def export_changefeed(lake, epoch_a: int, epoch_b: int,
                       out_dir: str, server_name: str = "rookray",
                       fmt: str = "debezium") -> dict:
@@ -231,11 +330,14 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     as a wire-format dump: every payload column rides as full
     before/after images (what a downstream consumer needs to retract
     and re-add), coordinates as documented in the module header.
-    ``fmt``: ``"debezium"`` (JSON-lines) or ``"avro"`` (Confluent
-    schema-registry framing).  The dump replays into anything that
-    speaks the envelope — including a second lake bootstrapped from
-    snapshot A (``tests/test_egress.py`` proves dump ∘ apply ==
-    snapshot B for both dialects)."""
+    ``fmt``: ``"debezium"`` (JSON-lines), ``"avro"`` (Confluent
+    schema-registry framing), or ``"mongo"`` (change-stream JSON-lines
+    — coordinates ride the 1-bit-shifted token space documented on
+    :func:`write_mongo`, so the downstream lake must be a fresh relay
+    target, not one sharing the source's gtid space).  The dump replays
+    into anything that speaks the envelope — including a second lake
+    bootstrapped from snapshot A (``tests/test_egress.py`` proves dump
+    ∘ apply == snapshot B for the dialects)."""
     payload = lake.payload_schema()
     key = payload.names[0]
     value_cols = [n for n in payload.names if n != key]
@@ -251,6 +353,14 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
                        delete_pos=int(wm_b), payload=payload,
                        db="rook", table=lake.config.table,
                        server_id=0, server_name=server_name)
+    elif fmt == "mongo":
+        ma = lake._snapshot_manifest(epoch_a)
+        wm_a = ma["closed_watermark"]
+        if wm_a is None:
+            wm_a = ma["max_gtid_seen"]
+        d = write_mongo(feed, out_dir, key, value_cols,
+                        wm_a=int(wm_a), wm_b=int(wm_b),
+                        db="rook", table=lake.config.table)
     elif fmt == "debezium":
         d = write_debezium(feed, out_dir, key, value_cols,
                            delete_pos=int(wm_b),

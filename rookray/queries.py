@@ -2468,6 +2468,40 @@ def cdc_egress_roundtrip(sf_dir: str) -> pd.DataFrame:
 CDC_EGRESS_ROUNDTRIP_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
+def cdc_egress_mongo(sf_dir: str) -> pd.DataFrame:
+    """The relay loop over the change-stream dialect: the flagship
+    lake's changefeed between its FIRST and LAST committed snapshots
+    published as a recorded MongoDB change stream (rookray.egress
+    fmt="mongo" — globally-unique resume tokens in the 1-bit-shifted
+    space, since the envelope has no transaction-identity channel),
+    replayed through rookray.wiremongo into a second lake bootstrapped
+    from the first snapshot.  Same flagship LWW oracle: a token
+    collision, a lost delete, or a pre/post-image defect is a
+    state-digest mismatch."""
+    import tempfile
+    from rookray import egress
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wiremongo import read_mongo
+    lake, eps = _three_epoch_lake()
+    out = tempfile.mkdtemp(prefix="rookray_egm_")
+    d = egress.export_changefeed(lake, eps[0], eps[-1], out,
+                                 fmt="mongo")
+    payload = lake.payload_schema()
+    snap = lake.read(as_of=eps[0]).take_all()
+    snap_t = pa.Table.from_pylist(
+        [{c: r.get(c) for c in payload.names} for r in snap],
+        schema=pa.schema(list(payload)))
+    down = LakeTable(tempfile.mkdtemp(prefix="rookray_egn_"),
+                     CDCConfig(num_partitions=16))
+    down.bootstrap(snap_t, gtid_watermark=0)
+    down.apply(read_mongo(d["data_files"],
+                          payload=payload).materialize())
+    return _state_digest(down.state_table())
+
+
+CDC_EGRESS_MONGO_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 def fti_postings(sf_dir: str) -> pd.DataFrame:
     """Incrementally-maintained inverted index (the Lucene analog,
     DefaultRowsMutationIndexer.java:64-88): replay the flagship stream
@@ -4398,6 +4432,7 @@ QUERIES = {
     "cdc_wire_avro": cdc_wire_avro,
     "cdc_wire_mongo": cdc_wire_mongo,
     "cdc_egress_roundtrip": cdc_egress_roundtrip,
+    "cdc_egress_mongo": cdc_egress_mongo,
     "cdc_patch_replay": cdc_patch_replay,
     "cdc_smt_replay": cdc_smt_replay,
     "cdc_purged_state": cdc_purged_state,
@@ -4567,6 +4602,7 @@ ORACLES = {
     "cdc_wire_avro": CDC_WIRE_AVRO_SQL,
     "cdc_wire_mongo": CDC_WIRE_MONGO_SQL,
     "cdc_egress_roundtrip": CDC_EGRESS_ROUNDTRIP_SQL,
+    "cdc_egress_mongo": CDC_EGRESS_MONGO_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,

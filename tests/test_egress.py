@@ -424,3 +424,106 @@ def test_avro_relay_registers_new_schema_id_after_evolution(tmp_path,
     assert got.num_rows == want.num_rows
     for c in payload.names:
         assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_mongo_roundtrip_into_bootstrapped_lake(tmp_path, ray_session):
+    """Egress as a recorded MongoDB change stream: dump(changes A→B,
+    fmt=mongo) decoded with read_mongo and applied onto a lake
+    bootstrapped from snapshot A reproduces snapshot B exactly.  The
+    change-stream envelope has no transaction-identity channel, so the
+    dump rides the 1-bit-shifted token space (upserts even, synthetic
+    delete tokens odd) — the downstream floor lives in that space
+    (fresh lake, watermark 0)."""
+    import json
+    import os
+
+    from rookray.wiremongo import read_mongo
+
+    lake, e0, e1 = _two_epoch_lake(tmp_path)
+    out = str(tmp_path / "dump")
+    d = egress.export_changefeed(lake, e0, e1, out, fmt="mongo")
+    assert d["events"] > 0
+    assert all(os.path.basename(p).startswith("mongo-")
+               for p in d["data_files"])
+
+    # token-space invariants: globally unique, parity-separated
+    toks, ops = [], []
+    for p in d["data_files"]:
+        for line in open(p):
+            rec = json.loads(line)
+            toks.append(int(rec["_id"]["_data"], 16))
+            ops.append(rec["operationType"])
+    assert len(toks) == len(set(toks)) == d["events"]
+    for t, op in zip(toks, ops):
+        assert (t % 2 == 1) == (op == "delete"), (t, op)
+
+    payload = lake.payload_schema()
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+    ds = read_mongo(d["data_files"], payload=payload)
+    res = down.apply(ds.materialize())
+    assert res["closed_watermark"] is not None  # singleton txs all close
+
+    got = _payload_state(down, res["epoch"])
+    want = _payload_state(lake, e1)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+    # re-export writes byte-identical files (task-retry / resume safety:
+    # delete ranks are a deterministic sort, not an arrival order)
+    sizes = {p: os.path.getsize(p) for p in d["data_files"]}
+    d2 = egress.export_changefeed(lake, e0, e1, out, fmt="mongo")
+    assert d2["data_files"] == d["data_files"]
+    assert sizes == {p: os.path.getsize(p) for p in d2["data_files"]}
+
+
+def test_mongo_multi_dump_relay_directory_single_pass(tmp_path,
+                                                      ray_session):
+    """The mongo analog of the relay-directory composition proof: two
+    consecutive dumps into ONE out dir, ingested in ONE read_mongo
+    pass.  Every dump-2 token must exceed every dump-1 token (the
+    composition contract), including the synthetic delete tokens —
+    the construction anchors them above dump 1's watermark, so a key
+    published in dump 1 and deleted in dump 2 can never produce a
+    token collision (the identity wedge the Debezium dialect dodges
+    with its negative tx space)."""
+    import glob
+    import json
+
+    from rookray.wiremongo import read_mongo
+
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=9)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    e0 = lake.apply(meta["files"][:4])["epoch"]
+    e1 = lake.apply(meta["files"][3:7])["epoch"]
+    e2 = lake.apply(meta["files"][6:])["epoch"]
+
+    out = str(tmp_path / "relay")
+    d01 = egress.export_changefeed(lake, e0, e1, out, fmt="mongo")
+    d12 = egress.export_changefeed(lake, e1, e2, out, fmt="mongo")
+    assert d01["events"] and d12["events"]
+
+    def toks(d):
+        return [int(json.loads(line)["_id"]["_data"], 16)
+                for f in d["data_files"] for line in open(f)]
+    t1, t2 = toks(d01), toks(d12)
+    assert min(t2) > max(t1)                      # dumps compose
+    assert len(t1 + t2) == len(set(t1 + t2))      # unique across dumps
+
+    payload = lake.payload_schema()
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+    files = sorted(glob.glob(out + "/mongo-*.jsonl"))
+    assert set(files) == set(d01["data_files"]) | set(d12["data_files"])
+    res = down.apply(read_mongo(files, payload=payload).materialize())
+    assert res["closed_watermark"] is not None
+
+    got = _payload_state(down, None)
+    want = _payload_state(lake, e2)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
