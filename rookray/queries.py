@@ -639,13 +639,14 @@ def join_orders_segment(sf_dir: str) -> pd.DataFrame:
                 ["o_custkey", "c_mktsegment"]), batch_format="pyarrow"))
     j = bucketed_join(orders, cust, on="o_custkey", buckets=64)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (batch.groupby("c_mktsegment", sort=False)
-             .agg(n_orders=("o_totalprice", "size"),
-                  total=("o_totalprice", "sum")).reset_index())
-        return g
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")])
+        return g.rename_columns(
+            ["c_mktsegment", "n_orders", "total"])
 
-    out = (j.map_batches(partial, batch_format="pandas")
+    out = (j.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
            .groupby("c_mktsegment")
            .aggregate(Sum("n_orders", alias_name="n_orders"),
                       Sum("total", alias_name="total"))
@@ -711,19 +712,30 @@ def topk_orders_per_status(sf_dir: str) -> pd.DataFrame:
     shuffle to ≤ 3×blocks rows per group before the tiny final."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (batch.sort_values(["o_totalprice", "o_orderkey"],
-                                  ascending=[False, True])
-                .groupby("o_orderstatus", sort=False).head(3))
+    sort_keys = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(3).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        codes = pc.dictionary_encode(t.column("o_orderstatus")) \
+            .combine_chunks().indices.to_numpy(zero_copy_only=False)
+        # rank of each row within its status, in price-sorted order
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sc[1:] != sc[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(sc)]]))
+        ranks = np.empty(len(codes), np.int64)
+        ranks[order] = np.arange(len(sc)) - np.repeat(starts, counts)
+        return t.filter(pa.array(ranks < 3))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("o_orderstatus").map_groups(final, batch_format="pandas")
+    def final(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys)[:3])
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_orderstatus").map_groups(final, batch_format="pyarrow")
            .to_pandas())
     out["price_q"] = _q(out.pop("o_totalprice"), 2)
     return out.reset_index(drop=True)
