@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     # change-stream envelope (the first non-SQL-family source)
     "cdc_wire_avro",
     "cdc_wire_mongo",
+    # round-5 late: DynamoDB Streams envelope (second non-SQL family)
+    "cdc_wire_dynamo",
 ]
 
 
@@ -116,7 +118,7 @@ WIRE_EVENTS = int(os.environ.get("ROOKRAY_BENCH_WIRE_EVENTS", "100000"))
 
 def ensure_wire_dumps(n_events: int) -> dict:
     """Deterministic cached wire-format dumps of ONE stream (encode is
-    untimed): the seven public CDC envelopes the engine decodes."""
+    untimed): the eight public CDC envelopes the engine decodes."""
     from rookray.gen import GenConfig, generate_events
 
     out = os.path.join("/tmp/rookray_bench", f"wire-{n_events}")
@@ -125,7 +127,7 @@ def ensure_wire_dumps(n_events: int) -> dict:
         # a cache written before a format existed must regenerate
         with open(meta_path) as f:
             m = json.load(f)
-            if "avro" not in m or "mongo" not in m:
+            if "avro" not in m or "mongo" not in m or "dynamo" not in m:
                 shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(meta_path):
         from rookray import binlog as B
@@ -133,6 +135,7 @@ def ensure_wire_dumps(n_events: int) -> dict:
         from rookray import wire as W
         from rookray import wireavro as WA
         from rookray import wirejson as WJ
+        from rookray import wiredynamo as WD
         from rookray import wiremongo as WM
 
         ev = generate_events(GenConfig(
@@ -153,6 +156,8 @@ def ensure_wire_dumps(n_events: int) -> dict:
                                  n_files=16),
             "mongo": WM.mongo_dump(ev, os.path.join(out, "mgo"),
                                    n_files=16),
+            "dynamo": WD.dynamo_dump(ev, os.path.join(out, "ddb"),
+                                     n_files=16),
         }
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
@@ -187,6 +192,7 @@ def bench_wire_decode(n_events: int) -> dict:
     from rookray import wire as W
     from rookray import wireavro as WA
     from rookray import wirejson as WJ
+    from rookray import wiredynamo as WD
     from rookray import wiremongo as WM
     from rookray.schema import SEQ_SCHEMA_V2
 
@@ -208,6 +214,8 @@ def bench_wire_decode(n_events: int) -> dict:
             payload=SEQ_SCHEMA_V2),
         "mongo": lambda m: WM.read_mongo(m["files"],
                                          payload=SEQ_SCHEMA_V2),
+        "dynamo": lambda m: WD.read_dynamo(m["files"],
+                                           payload=SEQ_SCHEMA_V2),
     }
     # one untimed execution so the FIRST measured format doesn't
     # absorb the session's worker-spawn/import cost (observed: the

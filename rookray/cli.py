@@ -277,6 +277,9 @@ def cmd_wire(args) -> int:
         elif args.format == "mongo":
             from rookray.wiremongo import mongo_files_above
             paths = mongo_files_above(paths, floor)
+        elif args.format == "dynamo":
+            from rookray.wiredynamo import dynamo_files_above
+            paths = dynamo_files_above(paths, floor)
         else:
             from rookray.wirejson import jsonl_files_above
             paths = jsonl_files_above(paths, floor, args.format)
@@ -314,6 +317,13 @@ def cmd_wire(args) -> int:
         # singleton transaction, no tx topic / side index exists
         ds = read_mongo(paths,
                         payload=committed or infer_payload_mongo(paths))
+        tx_topic = None
+    elif args.format == "dynamo":
+        from rookray.wiredynamo import infer_payload_dynamo, read_dynamo
+        # streams deliver committed item writes with no transaction
+        # grouping — every record is a singleton, no tx topic exists
+        ds = read_dynamo(paths,
+                         payload=committed or infer_payload_dynamo(paths))
         tx_topic = None
     else:
         from rookray.wirejson import (infer_payload_canal,
@@ -702,18 +712,20 @@ def main(argv=None) -> int:
 
     wr = sub.add_parser("wire", help="decode a recorded CDC dump "
                         "(Debezium-JSON / Maxwell / Canal / Confluent-"
-                        "Avro / MongoDB-change-stream wire formats) "
-                        "into the lake as one exactly-once epoch")
+                        "Avro / MongoDB-change-stream / DynamoDB-"
+                        "Streams wire formats) into the lake as one "
+                        "exactly-once epoch")
     wr.add_argument("--dump", required=True,
                     help="directory holding the data-topic files")
     wr.add_argument("--format", default="debezium",
                     choices=["debezium", "maxwell", "canal", "avro",
-                             "mongo"],
+                             "mongo", "dynamo"],
                     help="envelope flavor (default: debezium); 'avro' = "
-                         "Confluent schema-registry framing")
+                         "Confluent schema-registry framing; 'dynamo' "
+                         "= DynamoDB Streams records")
     wr.add_argument("--pattern", default="data-*.jsonl",
                     help="defaults to <format>-*.jsonl for maxwell/"
-                         "canal/mongo, data-*.avrowire for avro")
+                         "canal/mongo/dynamo, data-*.avrowire for avro")
     wr.add_argument("--tx-topic", default=None,
                     help="transaction-topic file (default: tx-* under "
                          "--dump if present, else a counting pass)")

@@ -2445,6 +2445,48 @@ def cdc_wire_mongo(sf_dir: str) -> pd.DataFrame:
 CDC_WIRE_MONGO_SQL = CDC_WIRE_CANAL_SQL
 
 
+def _flagship_dynamo() -> dict:
+    """Recorded DynamoDB Streams dump of the flagship: public
+    ``GetRecords``/Lambda stream records (typed AttributeValue
+    wrappers, 21-digit decimal SequenceNumbers forcing the two-limb
+    rebase parse, NEW_AND_OLD_IMAGES view, TTL ``userIdentity`` on
+    every seventh delete)."""
+    from rookray import wiredynamo as WD
+    return _cached_wire_dump(
+        "dynamo", lambda out: WD.dynamo_dump(_flagship_events(), out,
+                                             n_files=8))
+
+
+def cdc_wire_dynamo(sf_dir: str) -> pd.DataFrame:
+    """Public wire-format ingest #8 — the second NON-SQL-family source:
+    DynamoDB Streams (rookray.wiredynamo; the key-value-store analog of
+    the binlog rook tails, MySQLReplicationStream.java:71-120).  Decode
+    a recorded stream dump — typed AttributeValue unwrap (S/N/L
+    wrappers, numbers-as-strings recast per numpy/Arrow pass), decimal
+    SequenceNumbers wider than int64 rebased against a probed sequence
+    base, committed-only per-record atomicity so every record is a
+    singleton transaction with NO counting pass — and replay through
+    the full lake apply.  The format carries neither db nor server_id,
+    so like canal/mongo the lake filters the ignored TABLE only and
+    the oracle keeps the server-999 rows."""
+    import tempfile
+    from rookray import wiredynamo as WD
+    from rookray.schema import SEQ_SCHEMA_V2
+    from rookray.pipeline import CDCConfig, LakeTable
+    d = _flagship_dynamo()
+    ds = WD.read_dynamo(d["files"], payload=SEQ_SCHEMA_V2)
+    root = tempfile.mkdtemp(prefix="rookray_ddb_")
+    lake = LakeTable(root, CDCConfig(
+        num_partitions=16,
+        ignored_tables=frozenset({"ignored_entity"})))
+    lake.apply(ds.materialize())
+    return _state_digest(lake.state_table())
+
+
+#: dynamo has no server_id either → the same keep-999 oracle
+CDC_WIRE_DYNAMO_SQL = CDC_WIRE_CANAL_SQL
+
+
 def cdc_egress_roundtrip(sf_dir: str) -> pd.DataFrame:
     """CDC egress closes the relay loop (rook is CDC *in* only,
     MySQLReplicationStream.java:161-179): the flagship lake's
@@ -4443,6 +4485,7 @@ QUERIES = {
     "cdc_wire_pgoutput": cdc_wire_pgoutput,
     "cdc_wire_avro": cdc_wire_avro,
     "cdc_wire_mongo": cdc_wire_mongo,
+    "cdc_wire_dynamo": cdc_wire_dynamo,
     "cdc_egress_roundtrip": cdc_egress_roundtrip,
     "cdc_egress_mongo": cdc_egress_mongo,
     "cdc_patch_replay": cdc_patch_replay,
@@ -4613,6 +4656,7 @@ ORACLES = {
     "cdc_wire_pgoutput": CDC_WIRE_PGOUTPUT_SQL,
     "cdc_wire_avro": CDC_WIRE_AVRO_SQL,
     "cdc_wire_mongo": CDC_WIRE_MONGO_SQL,
+    "cdc_wire_dynamo": CDC_WIRE_DYNAMO_SQL,
     "cdc_egress_roundtrip": CDC_EGRESS_ROUNDTRIP_SQL,
     "cdc_egress_mongo": CDC_EGRESS_MONGO_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
