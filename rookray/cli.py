@@ -803,11 +803,12 @@ def main(argv=None) -> int:
     eg.add_argument("--out", required=True,
                     help="output directory for the dump files")
     eg.add_argument("--format", default="debezium",
-                    choices=["debezium", "avro", "mongo"],
+                    choices=["debezium", "avro", "mongo", "dynamo"],
                     help="envelope serialization (default: debezium "
                          "JSON-lines; avro = Confluent schema-registry "
-                         "framing + registry.json; mongo = change-"
-                         "stream JSON-lines in the shifted token space)")
+                         "framing + registry.json; mongo/dynamo = "
+                         "change-stream / DynamoDB-Streams records in "
+                         "the shifted token space)")
     eg.add_argument("--from-epoch", type=int, default=None,
                     help="base snapshot (default: head - 1)")
     eg.add_argument("--to-epoch", type=int, default=None,

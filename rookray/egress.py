@@ -52,7 +52,7 @@ import os
 import pyarrow as pa
 
 __all__ = ["write_debezium", "write_avro", "write_mongo",
-           "export_changefeed"]
+           "write_dynamo", "export_changefeed"]
 
 _OP = {"insert": "c", "update": "u", "delete": "d"}
 
@@ -237,6 +237,55 @@ def write_avro(feed: "ray.data.Dataset", out_dir: str,
 _MONGO_OP = {"insert": "insert", "update": "update", "delete": "delete"}
 
 
+def _shifted_coord_fn(feed: "ray.data.Dataset", key_column: str,
+                      wm_a: int, wm_b: int):
+    """Shared token machinery for the record-atomic dialects whose
+    envelope has NO transaction-identity channel (change stream,
+    DynamoDB stream): every emitted record needs a GLOBALLY UNIQUE,
+    order-preserving coordinate, so tokens live in a 1-bit-shifted
+    space — insert/update = ``gtid_b << 1`` (even, one winner per
+    event), delete = ``((wm_a + 1 + rank) << 1) | 1`` (odd, ``rank``
+    the delete's position in the dump's (gtid_a, key)-sorted delete
+    set; each delete is caused by a distinct source event in
+    ``(wm_a, wm_b]``, so delete tokens stay inside
+    ``(wm_a << 1, (wm_b << 1) | 1]`` and consecutive dumps compose).
+
+    Materializes the feed (the rank pass and the dump write share one
+    diff computation) and returns ``(feed, coord)`` where
+    ``coord(change, row) -> int``."""
+    import ray
+    import pyarrow.compute as pc
+
+    if wm_b >= 1 << 61:
+        raise ValueError("source coordinates >= 2^61 cannot ride the "
+                         "shifted record-atomic token space")
+    feed = feed.materialize()
+
+    def _delete_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("change"), "delete"))
+        return t.select([key_column, "gtid_a"])
+
+    dels = feed.map_batches(_delete_keys,
+                            batch_format="pyarrow").take_all()
+    dels.sort(key=lambda r: (int(r["gtid_a"]), str(r[key_column])))
+    ranks = {r[key_column]: i for i, r in enumerate(dels)}
+    if len(ranks) > max(0, wm_b - wm_a):
+        raise ValueError(
+            f"{len(ranks)} deletes do not fit the source span "
+            f"({wm_a}, {wm_b}] — the diff endpoints are inconsistent")
+    ranks_ref = ray.put(ranks)
+    cell: list = []  # broadcast dict resolved once per task process
+
+    def coord(change: str, r: dict) -> int:
+        if change == "delete":
+            if not cell:
+                cell.append(ray.get(ranks_ref))
+            return ((wm_a + 1 + cell[0][r[key_column]]) << 1) | 1
+        return int(r["gtid_b"]) << 1
+
+    return feed, coord
+
+
 def write_mongo(feed: "ray.data.Dataset", out_dir: str,
                 key_column: str, value_columns: list[str],
                 wm_a: int, wm_b: int,
@@ -267,38 +316,12 @@ def write_mongo(feed: "ray.data.Dataset", out_dir: str,
     delete ranks takes one driver-side pass over the DELETE subset of
     the diff (keys + gtid_a only — never the images); the feed is
     materialized once so the rank pass and the dump write share one
-    diff computation."""
-    import ray
-    import pyarrow.compute as pc
-
-    if wm_b >= 1 << 61:
-        raise ValueError("source coordinates >= 2^61 cannot ride the "
-                         "shifted change-stream token space")
-    feed = feed.materialize()
-
-    def _delete_keys(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b.column("change"), "delete"))
-        return t.select([key_column, "gtid_a"])
-
-    dels = feed.map_batches(_delete_keys,
-                            batch_format="pyarrow").take_all()
-    dels.sort(key=lambda r: (int(r["gtid_a"]), str(r[key_column])))
-    ranks = {r[key_column]: i for i, r in enumerate(dels)}
-    if len(ranks) > max(0, wm_b - wm_a):
-        raise ValueError(
-            f"{len(ranks)} deletes do not fit the source span "
-            f"({wm_a}, {wm_b}] — the diff endpoints are inconsistent")
-    ranks_ref = ray.put(ranks)
+    diff computation (:func:`_shifted_coord_fn`)."""
+    feed, coord = _shifted_coord_fn(feed, key_column, wm_a, wm_b)
     names = list(value_columns)
-    cell: list = []  # broadcast dict resolved once per task process
 
     def make_record(change: str, r: dict):
-        if change == "delete":
-            if not cell:
-                cell.append(ray.get(ranks_ref))
-            g = ((wm_a + 1 + cell[0][r[key_column]]) << 1) | 1
-        else:
-            g = int(r["gtid_b"]) << 1
+        g = coord(change, r)
         rec = {
             "_id": {"_data": f"{g:016x}"},
             "operationType": _MONGO_OP[change],
@@ -323,6 +346,61 @@ def write_mongo(feed: "ray.data.Dataset", out_dir: str,
                        make_record=make_record, prefix="mongo")
 
 
+_DDB_OP = {"insert": "INSERT", "update": "MODIFY", "delete": "REMOVE"}
+
+
+def write_dynamo(feed: "ray.data.Dataset", out_dir: str,
+                 key_column: str, value_columns: list[str],
+                 wm_a: int, wm_b: int,
+                 table: str = "sequences",
+                 sequence_base: int = 10 ** 20) -> dict:
+    """Egress as a recorded DynamoDB Streams dump
+    (``rookray.wiredynamo`` decodes it).  Stream records carry no
+    transaction-identity channel either — ``decode_dynamo`` derives
+    the coordinate and the (singleton) transaction identity from the
+    ``SequenceNumber`` — so tokens ride the same 1-bit-shifted space
+    as the change-stream dialect (:func:`_shifted_coord_fn`), offset
+    by ``sequence_base`` into realistic 21-digit decimal numbers (the
+    decoder's probe-and-rebase path recovers the shifted coordinate
+    exactly).  Images are typed AttributeValue wrappers,
+    NEW_AND_OLD_IMAGES view — full before/after, what a downstream
+    retract-and-re-add consumer needs."""
+    from rookray.wiredynamo import _image as ddb_image
+
+    feed, coord = _shifted_coord_fn(feed, key_column, wm_a, wm_b)
+    names = list(value_columns)
+    arn = (f"arn:aws:dynamodb:us-east-1:123456789012:table/{table}"
+           "/stream/rookray-egress")
+
+    def make_record(change: str, r: dict):
+        g = coord(change, r)
+        dyn = {
+            "ApproximateCreationDateTime": 1600000000 + (g >> 1) // 1000,
+            "Keys": {key_column: ddb_image({key_column: r[key_column]})
+                     [key_column]},
+            "SequenceNumber": str(sequence_base + g),
+            "SizeBytes": 48,
+            "StreamViewType": "NEW_AND_OLD_IMAGES",
+        }
+        if change != "delete":
+            dyn["NewImage"] = ddb_image(_image(r, key_column, names, "b"))
+        if change != "insert":
+            dyn["OldImage"] = ddb_image(_image(r, key_column, names, "a"))
+        rec = {"eventID": f"{g:032x}", "eventName": _DDB_OP[change],
+               "eventVersion": "1.1", "eventSource": "aws:dynamodb",
+               "awsRegion": "us-east-1", "dynamodb": dyn,
+               "eventSourceARN": arn}
+        return g, rec
+
+    def to_jsonl(recs: list[dict]) -> bytes:
+        return ("\n".join(json.dumps(e, separators=(",", ":"))
+                          for e in recs) + "\n").encode()
+
+    return _write_dump(feed, out_dir, key_column, value_columns,
+                       0, to_jsonl, "jsonl", "rook", table, 0, "rookray",
+                       make_record=make_record, prefix="dynamo")
+
+
 def export_changefeed(lake, epoch_a: int, epoch_b: int,
                       out_dir: str, server_name: str = "rookray",
                       fmt: str = "debezium") -> dict:
@@ -331,10 +409,11 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     before/after images (what a downstream consumer needs to retract
     and re-add), coordinates as documented in the module header.
     ``fmt``: ``"debezium"`` (JSON-lines), ``"avro"`` (Confluent
-    schema-registry framing), or ``"mongo"`` (change-stream JSON-lines
-    — coordinates ride the 1-bit-shifted token space documented on
-    :func:`write_mongo`, so the downstream lake must be a fresh relay
-    target, not one sharing the source's gtid space).  The dump replays
+    schema-registry framing), ``"mongo"`` (change-stream JSON-lines),
+    or ``"dynamo"`` (DynamoDB Streams records) — the last two ride the
+    1-bit-shifted token space documented on :func:`_shifted_coord_fn`,
+    so the downstream lake must be a fresh relay target, not one
+    sharing the source's gtid space.  The dump replays
     into anything that speaks the envelope — including a second lake
     bootstrapped from snapshot A (``tests/test_egress.py`` proves dump
     ∘ apply == snapshot B for the dialects)."""
@@ -353,14 +432,19 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
                        delete_pos=int(wm_b), payload=payload,
                        db="rook", table=lake.config.table,
                        server_id=0, server_name=server_name)
-    elif fmt == "mongo":
+    elif fmt in ("mongo", "dynamo"):
         ma = lake._snapshot_manifest(epoch_a)
         wm_a = ma["closed_watermark"]
         if wm_a is None:
             wm_a = ma["max_gtid_seen"]
-        d = write_mongo(feed, out_dir, key, value_cols,
-                        wm_a=int(wm_a), wm_b=int(wm_b),
-                        db="rook", table=lake.config.table)
+        if fmt == "mongo":
+            d = write_mongo(feed, out_dir, key, value_cols,
+                            wm_a=int(wm_a), wm_b=int(wm_b),
+                            db="rook", table=lake.config.table)
+        else:
+            d = write_dynamo(feed, out_dir, key, value_cols,
+                             wm_a=int(wm_a), wm_b=int(wm_b),
+                             table=lake.config.table)
     elif fmt == "debezium":
         d = write_debezium(feed, out_dir, key, value_cols,
                            delete_pos=int(wm_b),

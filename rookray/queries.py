@@ -2556,6 +2556,41 @@ def cdc_egress_mongo(sf_dir: str) -> pd.DataFrame:
 CDC_EGRESS_MONGO_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
+def cdc_egress_dynamo(sf_dir: str) -> pd.DataFrame:
+    """The relay loop over the DynamoDB dialect: the flagship lake's
+    changefeed between its FIRST and LAST committed snapshots
+    published as a recorded DynamoDB Streams dump (rookray.egress
+    fmt="dynamo" — the shared 1-bit-shifted token space offset into
+    21-digit SequenceNumbers, since stream records carry no
+    transaction-identity channel), replayed through rookray.wiredynamo
+    into a second lake bootstrapped from the first snapshot.  Same
+    flagship LWW oracle: a token collision, a lost delete, a typed-
+    wrapper defect, or a base-rebase error is a state-digest
+    mismatch."""
+    import tempfile
+    from rookray import egress
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wiredynamo import read_dynamo
+    lake, eps = _three_epoch_lake()
+    out = tempfile.mkdtemp(prefix="rookray_egd_")
+    d = egress.export_changefeed(lake, eps[0], eps[-1], out,
+                                 fmt="dynamo")
+    payload = lake.payload_schema()
+    snap = lake.read(as_of=eps[0]).take_all()
+    snap_t = pa.Table.from_pylist(
+        [{c: r.get(c) for c in payload.names} for r in snap],
+        schema=pa.schema(list(payload)))
+    down = LakeTable(tempfile.mkdtemp(prefix="rookray_ege_"),
+                     CDCConfig(num_partitions=16))
+    down.bootstrap(snap_t, gtid_watermark=0)
+    down.apply(read_dynamo(d["data_files"],
+                           payload=payload).materialize())
+    return _state_digest(down.state_table())
+
+
+CDC_EGRESS_DYNAMO_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 def fti_postings(sf_dir: str) -> pd.DataFrame:
     """Incrementally-maintained inverted index (the Lucene analog,
     DefaultRowsMutationIndexer.java:64-88): replay the flagship stream
@@ -4488,6 +4523,7 @@ QUERIES = {
     "cdc_wire_dynamo": cdc_wire_dynamo,
     "cdc_egress_roundtrip": cdc_egress_roundtrip,
     "cdc_egress_mongo": cdc_egress_mongo,
+    "cdc_egress_dynamo": cdc_egress_dynamo,
     "cdc_patch_replay": cdc_patch_replay,
     "cdc_smt_replay": cdc_smt_replay,
     "cdc_purged_state": cdc_purged_state,
@@ -4659,6 +4695,7 @@ ORACLES = {
     "cdc_wire_dynamo": CDC_WIRE_DYNAMO_SQL,
     "cdc_egress_roundtrip": CDC_EGRESS_ROUNDTRIP_SQL,
     "cdc_egress_mongo": CDC_EGRESS_MONGO_SQL,
+    "cdc_egress_dynamo": CDC_EGRESS_DYNAMO_SQL,
     "fti_postings": FTI_POSTINGS_SQL,
     "cdc_purged_state": CDC_PURGED_STATE_SQL,
     "cdc_export_by_source": CDC_EXPORT_BY_SOURCE_SQL,

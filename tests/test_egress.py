@@ -527,3 +527,104 @@ def test_mongo_multi_dump_relay_directory_single_pass(tmp_path,
     assert got.num_rows == want.num_rows
     for c in payload.names:
         assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_dynamo_roundtrip_into_bootstrapped_lake(tmp_path, ray_session):
+    """Egress as a recorded DynamoDB Streams dump: dump(changes A→B,
+    fmt=dynamo) decoded with read_dynamo and applied onto a lake
+    bootstrapped from snapshot A reproduces snapshot B exactly.
+    Stream records have no transaction-identity channel either, so the
+    dump rides the same 1-bit-shifted token space as the change-stream
+    dialect, offset into realistic 21-digit SequenceNumbers that the
+    decoder's probe-and-rebase recovers exactly."""
+    import json
+    import os
+
+    from rookray.wiredynamo import read_dynamo
+
+    lake, e0, e1 = _two_epoch_lake(tmp_path)
+    out = str(tmp_path / "dump")
+    d = egress.export_changefeed(lake, e0, e1, out, fmt="dynamo")
+    assert d["events"] > 0
+    assert all(os.path.basename(p).startswith("dynamo-")
+               for p in d["data_files"])
+
+    # token-space invariants: globally unique, parity-separated,
+    # riding the 10^20 base
+    toks, ops = [], []
+    for p in d["data_files"]:
+        for line in open(p):
+            rec = json.loads(line)
+            seq = int(rec["dynamodb"]["SequenceNumber"])
+            assert seq >= 10 ** 20
+            toks.append(seq - 10 ** 20)
+            ops.append(rec["eventName"])
+    assert len(toks) == len(set(toks)) == d["events"]
+    for t, op in zip(toks, ops):
+        assert (t % 2 == 1) == (op == "REMOVE"), (t, op)
+
+    payload = lake.payload_schema()
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+    ds = read_dynamo(d["data_files"], payload=payload)
+    res = down.apply(ds.materialize())
+    assert res["closed_watermark"] is not None  # singleton txs all close
+
+    got = _payload_state(down, res["epoch"])
+    want = _payload_state(lake, e1)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+    # re-export writes byte-identical files (deterministic delete ranks)
+    sizes = {p: os.path.getsize(p) for p in d["data_files"]}
+    d2 = egress.export_changefeed(lake, e0, e1, out, fmt="dynamo")
+    assert d2["data_files"] == d["data_files"]
+    assert sizes == {p: os.path.getsize(p) for p in d2["data_files"]}
+
+
+def test_dynamo_multi_dump_relay_directory_single_pass(tmp_path,
+                                                       ray_session):
+    """The DynamoDB analog of the relay-directory composition proof:
+    two consecutive dumps into ONE out dir, ingested in ONE
+    read_dynamo pass (the probed sequence base is shared because both
+    dumps ride the same 10^20 offset)."""
+    import glob
+    import json
+
+    from rookray.wiredynamo import read_dynamo
+
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=9)
+    lake = LakeTable(str(tmp_path / "lake"), CDCConfig(
+        num_partitions=4,
+        ignored_tables=frozenset({"ignored_entity"}),
+        ignored_server_ids=frozenset({999})))
+    e0 = lake.apply(meta["files"][:4])["epoch"]
+    e1 = lake.apply(meta["files"][3:7])["epoch"]
+    e2 = lake.apply(meta["files"][6:])["epoch"]
+
+    out = str(tmp_path / "relay")
+    d01 = egress.export_changefeed(lake, e0, e1, out, fmt="dynamo")
+    d12 = egress.export_changefeed(lake, e1, e2, out, fmt="dynamo")
+    assert d01["events"] and d12["events"]
+
+    def toks(d):
+        return [int(json.loads(line)["dynamodb"]["SequenceNumber"])
+                for f in d["data_files"] for line in open(f)]
+    t1, t2 = toks(d01), toks(d12)
+    assert min(t2) > max(t1)                      # dumps compose
+    assert len(t1 + t2) == len(set(t1 + t2))      # unique across dumps
+
+    payload = lake.payload_schema()
+    down = LakeTable(str(tmp_path / "down"), CDCConfig(num_partitions=4))
+    down.bootstrap(_payload_state(lake, e0), gtid_watermark=0)
+    files = sorted(glob.glob(out + "/dynamo-*.jsonl"))
+    assert set(files) == set(d01["data_files"]) | set(d12["data_files"])
+    res = down.apply(read_dynamo(files, payload=payload).materialize())
+    assert res["closed_watermark"] is not None
+
+    got = _payload_state(down, None)
+    want = _payload_state(lake, e2)
+    assert got.num_rows == want.num_rows
+    for c in payload.names:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
