@@ -130,6 +130,46 @@ def test_mongo_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
 
 
 @settings(max_examples=12, deadline=None)
+@given(**_CFG, view=st.sampled_from(["NEW_AND_OLD_IMAGES", "NEW_IMAGE"]))
+def test_dynamo_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
+                                     zipf, evolve, n_files, view):
+    """DynamoDB Streams envelope: singleton transactions by contract,
+    null db/server_id, table from the ARN, typed AttributeValue
+    unwrap, 21-digit SequenceNumbers rebased against the probed base;
+    NEW_IMAGE dumps degrade before images to key-only."""
+    from rookray import wiredynamo as WD
+    from rookray.schema import OP_INSERT
+
+    cfg, ev, payload = _gen(seed, n_docs, n_events, noise_pct, zipf,
+                            evolve)
+    with tempfile.TemporaryDirectory() as tmp:
+        d = WD.dynamo_dump(ev, tmp, n_files=n_files, view_type=view)
+        files = d["files"]
+        base = WD.dynamo_sequence_base(files)
+        blob = b"".join(open(p, "rb").read() for p in files)
+    assert base == 10 ** 20
+    got = WD.decode_dynamo(_json_table(blob), payload=payload,
+                           base_high=base // 10 ** 18).sort_by("gtid")
+    orig = ev.sort_by("gtid")
+    _cmp(got, orig, ["gtid", "table", "op", "key", "after"])
+    assert got.column("tx_id").to_pylist() == got.column("gtid").to_pylist()
+    assert got.column("server_id").null_count == got.num_rows
+    assert got.column("db").null_count == got.num_rows
+    kf = payload.names[0]
+    for op, b_got, b_orig, k in zip(got.column("op").to_pylist(),
+                                    got.column("before").to_pylist(),
+                                    orig.column("before").to_pylist(),
+                                    got.column("key").to_pylist()):
+        if op == OP_INSERT:
+            assert b_got is None
+        elif view == "NEW_IMAGE":
+            assert b_got == {n: (k if n == kf else None)
+                             for n in payload.names}
+        else:
+            assert b_got == b_orig
+
+
+@settings(max_examples=12, deadline=None)
 @given(**_CFG, streamed=st.booleans())
 def test_pgoutput_roundtrip_any_stream(seed, n_docs, n_events, noise_pct,
                                        zipf, evolve, n_files, streamed):
