@@ -114,9 +114,11 @@ _LOW_DIGITS = 18
 _LOW_MOD = 10 ** _LOW_DIGITS
 _SEQ_MAX_DIGITS = 37
 _HI_DIGITS = _SEQ_MAX_DIGITS - _LOW_DIGITS
-#: max (high - base_high): 3×10^18 + 10^18 < 2^62, the engine's
-#: coordinate ceiling
-_MAX_ERA_SPAN = 3
+#: max (high - base_high) — wide enough that ANY coordinate below the
+#: engine's 2^62 gtid ceiling decodes when the base is anchored at the
+#: dump's head (the egress dialect emits tokens up to 2^62 from gtids
+#: up to 2^61); the explicit 2^62 check below is the hard ceiling
+_MAX_ERA_SPAN = 4
 
 _POW10_HI = (np.uint64(10) ** np.arange(_HI_DIGITS - 1, -1, -1,
                                         dtype=np.uint64))
@@ -270,7 +272,13 @@ def _sequence_coords(seq, n: int, base_high: int) -> np.ndarray:
             "sequence units past its base — the int64 coordinate "
             "space would overflow; split the dump or pass a "
             "sequence_base anchored at its head")
-    return (dh * np.uint64(_LOW_MOD) + lo).astype(np.int64)
+    g = dh * np.uint64(_LOW_MOD) + lo
+    if (g > np.uint64(2 ** 62)).any():
+        raise ValueError(
+            "rebased SequenceNumber exceeds the engine's 2^62 "
+            "coordinate ceiling — split the dump or pass a "
+            "sequence_base anchored at its head")
+    return g.astype(np.int64)
 
 
 def _child(col, name: str):

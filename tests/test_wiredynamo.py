@@ -310,3 +310,19 @@ def test_infer_payload_dynamo(tmp_path):
             return pa.list_(widen(t.value_type))
         return t
     assert [f.type for f in inf] == [widen(f.type) for f in exp]
+
+
+def test_dynamo_full_egress_token_range_decodes():
+    """Contract alignment with the egress dialect: tokens up to 2^62
+    (gtids up to the 2^61 write guard, shifted) must decode when the
+    base is anchored at the dump head; above the engine's 2^62 gtid
+    ceiling refuses (regression: the era span was 3, refusing
+    valid egress tokens >= 4x10^18)."""
+    tok = (2 ** 61 - 1) << 1
+    t = _decode([_event(1, new=DOC, seq=str(BASE + tok)),
+                 _event(2, new=DOC, seq=str(BASE))],
+                base_high=BASE_HIGH)
+    assert sorted(t.column("gtid").to_pylist()) == [0, tok]
+    with pytest.raises(ValueError, match="2\\^62"):
+        _decode([_event(1, new=DOC, seq=str(BASE + 2 ** 62 + 1))],
+                base_high=BASE_HIGH)
