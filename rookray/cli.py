@@ -246,6 +246,14 @@ def cmd_wire(args) -> int:
     elif pattern == "data-*.jsonl" and args.format != "debezium":
         pattern = f"{args.format}-*.jsonl"
     paths = sorted(glob.glob(os.path.join(args.dump, pattern)))
+    if args.format in ("debezium", "avro") and os.path.exists(
+            os.path.join(args.dump, "_RELAY_MANIFEST.json")):
+        # a compacted relay directory: the manifest IS the file set
+        # (snapshot generation + dumps above the compaction floor);
+        # a raw glob would miss the snap-* files and could mix a
+        # mid-swap snapshot with the history it replaced
+        from rookray.egress import relay_files
+        paths = relay_files(args.dump, fmt=args.format)
     if not paths:
         print(json.dumps({"error": f"no files match {pattern!r} "
                                    f"under {args.dump}"}))
@@ -525,6 +533,31 @@ def cmd_compact(args) -> int:
     _ensure_ray(args.num_cpus)
     print(json.dumps(LakeTable(args.table)
                      .compact(min_deltas=args.min_deltas)))
+    return 0
+
+
+def cmd_relay_compact(args) -> int:
+    """Compact a relay out directory in place (the Kafka log-cleaner
+    analog): the accumulated dump history is replaced by one snapshot
+    generation — every live key as a single envelope at its original
+    coordinate, plus tombstones for dead keys — swapped in atomically
+    via ``_RELAY_MANIFEST.json``.  Fresh downstream bootstrap cost
+    drops from O(history) to O(state); dumps published afterwards
+    compose with the snapshot through the manifest floor."""
+    from rookray.egress import compact_relay
+
+    _ensure_ray(args.num_cpus)
+    try:
+        res = compact_relay(
+            args.relay, fmt=args.format,
+            num_partitions=args.partitions,
+            keep_tombstones=not args.no_tombstones,
+            drop_tombstones_below=args.drop_tombstones_below)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    res.pop("workdir", None)
+    print(json.dumps(res))
     return 0
 
 
@@ -815,6 +848,30 @@ def main(argv=None) -> int:
                     help="target snapshot (default: head)")
     eg.add_argument("--num-cpus", type=int, default=None)
     eg.set_defaults(fn=cmd_egress)
+
+    rc = sub.add_parser("relay-compact", help="compact an accumulated "
+                        "relay directory in place: replace the dump "
+                        "history with one live-state snapshot "
+                        "generation plus tombstones (the Kafka "
+                        "log-cleaner analog)")
+    rc.add_argument("--relay", required=True,
+                    help="the relay out directory to compact")
+    rc.add_argument("--format", default="debezium",
+                    choices=["debezium", "avro"],
+                    help="the directory's egress dialect (mongo/"
+                         "dynamo ride a shifted coordinate space "
+                         "that does not survive re-export)")
+    rc.add_argument("--partitions", type=int, default=16,
+                    help="scratch-lake partition count for the LWW fold")
+    rc.add_argument("--no-tombstones", action="store_true",
+                    help="emit live state only (fresh-bootstrap "
+                         "consumers never need tombstones)")
+    rc.add_argument("--drop-tombstones-below", type=int, default=None,
+                    help="retention horizon: drop carried tombstones "
+                         "whose delete coordinate is below this "
+                         "(Kafka's delete.retention analog)")
+    rc.add_argument("--num-cpus", type=int, default=None)
+    rc.set_defaults(fn=cmd_relay_compact)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")

@@ -52,7 +52,8 @@ import os
 import pyarrow as pa
 
 __all__ = ["write_debezium", "write_avro", "write_mongo",
-           "write_dynamo", "export_changefeed"]
+           "write_dynamo", "export_changefeed",
+           "relay_files", "compact_relay", "RELAY_MANIFEST"]
 
 _OP = {"insert": "c", "update": "u", "delete": "d"}
 
@@ -80,16 +81,20 @@ def _image(row: dict, key: str, names: list[str], suf: str) -> dict:
 
 def _write_dump(feed: "ray.data.Dataset", out_dir: str,
                 key_column: str, value_columns: list[str],
-                delete_pos: int, serialize, ext: str,
+                delete_pos: int | None, serialize, ext: str,
                 db: str, table: str, server_id: int,
                 server_name: str, make_record=None,
-                prefix: str = "data") -> dict:
+                prefix: str = "data",
+                delete_pos_col: str | None = None) -> dict:
     """Shared egress writer: env-dict construction, coordinate/tx
     identity rules, and idempotent file naming live ONCE; ``serialize``
     (env dicts → bytes) picks the wire dialect.  A dialect whose record
     is NOT a Debezium envelope (the change-stream shape) passes
     ``make_record(change, row) -> (position, record)`` and owns its
-    own coordinate rules."""
+    own coordinate rules.  ``delete_pos_col`` names a per-row delete
+    coordinate column instead of the single ``delete_pos`` constant —
+    compaction re-emits tombstones at their ORIGINAL coordinates (one
+    constant would lift old deletes above newer inserts)."""
     from rookray.wire import make_envelope
 
     os.makedirs(out_dir, exist_ok=True)
@@ -119,7 +124,9 @@ def _write_dump(feed: "ray.data.Dataset", out_dir: str,
                 # version coordinate is deleted at most once, so the
                 # mapping stays unique across dumps too, and the
                 # topic-less counting pass always sees singletons.
-                g, tx = delete_pos, -(int(r["gtid_a"]) + 2)
+                g = (int(r[delete_pos_col]) if delete_pos_col
+                     else delete_pos)
+                tx = -(int(r["gtid_a"]) + 2)
             else:
                 g = tx = int(r["gtid_b"])
             positions.append(g)
@@ -159,10 +166,12 @@ def _write_dump(feed: "ray.data.Dataset", out_dir: str,
 
 def write_debezium(feed: "ray.data.Dataset", out_dir: str,
                    key_column: str, value_columns: list[str],
-                   delete_pos: int,
+                   delete_pos: int | None,
                    db: str = "rook", table: str = "sequences",
                    server_id: int = 0,
-                   server_name: str = "rookray") -> dict:
+                   server_name: str = "rookray",
+                   prefix: str = "data",
+                   delete_pos_col: str | None = None) -> dict:
     """Serialize a ``changes_between`` feed (requested with every
     payload value column) into a Debezium-JSON dump under ``out_dir``.
     ``delete_pos`` is the coordinate every delete envelope carries —
@@ -177,15 +186,18 @@ def write_debezium(feed: "ray.data.Dataset", out_dir: str,
 
     return _write_dump(feed, out_dir, key_column, value_columns,
                        delete_pos, to_jsonl, "jsonl",
-                       db, table, server_id, server_name)
+                       db, table, server_id, server_name,
+                       prefix=prefix, delete_pos_col=delete_pos_col)
 
 
 def write_avro(feed: "ray.data.Dataset", out_dir: str,
                key_column: str, value_columns: list[str],
-               delete_pos: int, payload: pa.Schema,
+               delete_pos: int | None, payload: pa.Schema,
                db: str = "rook", table: str = "sequences",
                server_id: int = 0,
-               server_name: str = "rookray") -> dict:
+               server_name: str = "rookray",
+               prefix: str = "data",
+               delete_pos_col: str | None = None) -> dict:
     """Debezium egress over the Confluent schema-registry Avro wire
     format (``rookray.wireavro``): same envelopes, coordinates and
     transaction-identity rules as :func:`write_debezium`, serialized
@@ -229,7 +241,8 @@ def write_avro(feed: "ray.data.Dataset", out_dir: str,
 
     d = _write_dump(feed, out_dir, key_column, value_columns,
                     delete_pos, to_avro, "avrowire",
-                    db, table, server_id, server_name)
+                    db, table, server_id, server_name,
+                    prefix=prefix, delete_pos_col=delete_pos_col)
     d["registry"] = reg_path
     return d
 
@@ -455,3 +468,321 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     d["payload"] = payload.names
     d["delete_pos"] = int(wm_b)
     return d
+
+
+# ---------------------------------------------------------------------------
+# Relay compaction — the Kafka log-cleaner analog for a relay directory.
+# ---------------------------------------------------------------------------
+
+#: Atomic swap point for a compacted relay directory.  Present ⇒ the
+#: directory's live file set is ``manifest.files`` (the snapshot
+#: generation) plus every ``data-*`` dump whose coordinate range lies
+#: ABOVE ``manifest.floor`` (published after the compaction).  Snapshot
+#: files are reachable ONLY through the manifest, so a crash anywhere
+#: in a compaction leaves readers on a consistent generation: before
+#: the manifest lands they still see the old files; after it lands the
+#: old files are excluded by the floor even if their deletion hasn't
+#: happened yet.
+RELAY_MANIFEST = "_RELAY_MANIFEST.json"
+
+#: Formats whose egress coordinates are the lake's own gtids (re-export
+#: preserves them exactly).  mongo/dynamo ride the 1-bit-shifted token
+#: space (:func:`_shifted_coord_fn`) — re-compacting would shift
+#: already-shifted coordinates and break composition with future dumps,
+#: so they are refused.
+_RELAY_EXT = {"debezium": "jsonl", "avro": "avrowire"}
+
+
+def _file_span(path: str) -> tuple[int, int]:
+    """(lo, hi) coordinate range parsed from a dump file's name
+    (``{prefix}-{lo:016x}-{hi:016x}-{digest}.{ext}``)."""
+    stem = os.path.basename(path)
+    stem = stem[: stem.rfind(".")]
+    parts = stem.split("-")
+    if len(parts) < 4:
+        raise ValueError(f"not a rookray dump file name: {path!r}")
+    return int(parts[-3], 16), int(parts[-2], 16)
+
+
+def relay_files(relay_dir: str, fmt: str = "debezium") -> list[str]:
+    """Crash-safe enumeration of a relay directory's LIVE dump files.
+
+    Without a :data:`RELAY_MANIFEST` this is the plain ``data-*`` glob
+    (an uncompacted relay).  With one, it is the manifested snapshot
+    generation plus every ``data-*`` dump published above the
+    compaction floor — never a mix of a snapshot and the history it
+    replaced, whatever point a concurrent or crashed compaction is at.
+    """
+    import glob as _glob
+    ext = _RELAY_EXT.get(fmt)
+    if ext is None:
+        raise ValueError(
+            f"relay compaction supports formats {sorted(_RELAY_EXT)}, "
+            f"not {fmt!r} (mongo/dynamo egress rides a shifted "
+            "coordinate space that does not survive re-export)")
+    data = sorted(_glob.glob(os.path.join(relay_dir, f"data-*.{ext}")))
+    mpath = os.path.join(relay_dir, RELAY_MANIFEST)
+    if not os.path.exists(mpath):
+        return data
+    with open(mpath) as f:
+        m = json.load(f)
+    if m.get("format") != fmt:
+        raise ValueError(
+            f"relay manifest at {mpath} is for format "
+            f"{m.get('format')!r}, not {fmt!r}")
+    floor = int(m["floor"])
+    snap = [os.path.join(relay_dir, n) for n in m["files"]]
+    missing = [p for p in snap if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"relay manifest references missing snapshot files "
+            f"{missing} — the directory was tampered with (a crashed "
+            "compaction never commits a manifest before its files)")
+    return snap + [p for p in data if _file_span(p)[1] > floor]
+
+
+class _TombstoneFeed:
+    """Actor-pool stage: delete-winner candidates → changefeed-shaped
+    tombstone rows, dropping candidates whose key is LIVE in the
+    compacted state (deleted-then-reinserted keys).  The liveness probe
+    is the lake's partition-pruned point read (``lookup``), issued per
+    batch from the worker — O(partitions hit), never a state scan."""
+
+    def __init__(self, lake_root: str, value_cols: list[str],
+                 feed_schema: pa.Schema, drop_below: int | None):
+        from rookray.pipeline import LakeTable
+        self.lake = LakeTable(lake_root)
+        self.value_cols = value_cols
+        self.schema = feed_schema
+        self.drop_below = drop_below
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if self.drop_below is not None and t.num_rows:
+            t = t.filter(pc.greater_equal(t.column("gtid"),
+                                          pa.scalar(self.drop_below)))
+        if t.num_rows == 0:
+            return self.schema.empty_table()
+        keys = t.column("key").to_pylist()
+        live = set(self.lake.lookup(keys).column(
+            self.lake.payload_schema().names[0]).to_pylist())
+        if live:
+            dead = pa.array([k not in live for k in keys], pa.bool_())
+            t = t.filter(dead)
+        n = t.num_rows
+        if n == 0:
+            return self.schema.empty_table()
+        before = t.column("before").combine_chunks()
+        tx = t.column("tx_id")
+        cols: dict[str, pa.Array] = {
+            "doc_id": t.column("key").combine_chunks(),
+            "change": pa.array(["delete"] * n, pa.string()),
+            # encode re-derives tx = -(gtid_a + 2); handing back the
+            # ORIGINAL gtid_a keeps the tombstone's transaction
+            # identity byte-stable across compactions
+            "gtid_a": pc.subtract(pc.negate(tx), pa.scalar(2, pa.int64())),
+            "gtid_b": pa.array([-1] * n, pa.int64()),
+        }
+        for c in self.value_cols:
+            typ = self.schema.field(f"{c}_a").type
+            arr = before.field(c)
+            if arr.type != typ:
+                arr = arr.cast(typ)
+            cols[f"{c}_a"] = arr
+            cols[f"{c}_b"] = (pa.array([-1] * n, typ)
+                              if pa.types.is_integer(typ)
+                              else pa.nulls(n, typ))
+        cols["gtid_d"] = t.column("gtid").combine_chunks()
+        return pa.table({f.name: cols[f.name] for f in self.schema},
+                        schema=self.schema)
+
+
+def _delete_winners(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: delete events only, keeping each key's
+    max-coordinate delete within the batch.  Cross-batch duplicates are
+    HARMLESS (several tombstones for one dead key LWW-resolve to the
+    same absent state downstream; each keeps its own unique
+    transaction identity), so no global fold is needed — this stage
+    only bounds the candidate volume, it does not have to be exact."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from rookray.schema import OP_DELETE
+    sub = t.select(["key", "gtid", "tx_id", "before"])
+    sub = sub.filter(pc.equal(t.column("op"),
+                              pa.scalar(OP_DELETE, pa.int8())))
+    if sub.num_rows <= 1:
+        return sub
+    enc = pc.dictionary_encode(sub.column("key").combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    g = sub.column("gtid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((g, codes))
+    cs = codes[order]
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = cs[1:] != cs[:-1]
+    return sub.take(pa.array(order[last], pa.int64()))
+
+
+def compact_relay(relay_dir: str, fmt: str = "debezium",
+                  payload: pa.Schema | None = None,
+                  num_partitions: int = 16,
+                  keep_tombstones: bool = True,
+                  drop_tombstones_below: int | None = None,
+                  workdir: str | None = None) -> dict:
+    """Compact an accumulated relay directory in place: replace its
+    dump history with ONE snapshot generation — every live key as a
+    single insert envelope at its original winning coordinate, plus
+    (by default) a tombstone per dead key at its original delete
+    coordinate — swapped in atomically via
+    :data:`RELAY_MANIFEST`.  The Kafka log-cleaner analog: fresh
+    downstream bootstrap cost drops from O(history) to O(state), and
+    the relay keeps composing — dumps published after the compaction
+    sort above the manifest floor and ride alongside the snapshot.
+
+    Correctness contract (``tests/test_egress_compact.py``): a fresh
+    downstream ingest of the compacted directory reaches the same
+    final state as ingesting the full history, and a downstream
+    already at-or-above the floor sees every compacted coordinate
+    skipped by its own watermark (re-delivery is free).  Consumers
+    whose watermark is BELOW the floor must re-bootstrap — the same
+    horizon rule as Kafka's ``delete.retention.ms``;
+    ``drop_tombstones_below`` is the retention knob (tombstones are
+    carried forward across compactions until explicitly dropped).
+
+    The heavy lifting is the engine's own proven paths: the history
+    is decoded by the REAL consumer (``read_debezium`` /
+    ``read_avro``), LWW-folded by ``LakeTable.apply`` into a scratch
+    lake under ``workdir`` (hash-partitioned, external shuffle — the
+    10^10-event path, no driver materialization), and the folded
+    state re-emitted partition-local through the same writers that
+    produced the history.  Tombstones take a separate skinny pass:
+    a vectorized per-batch delete-winner combiner, then an actor-pool
+    liveness probe via partition-pruned point reads.
+
+    ``fmt``: ``"debezium"`` or ``"avro"`` (coordinate-preserving
+    egress dialects); mongo/dynamo are refused — their shifted
+    coordinate space does not survive re-export."""
+    import glob as _glob
+    import tempfile
+
+    import ray
+    import ray.data
+
+    from rookray.pipeline import CDCConfig, LakeTable, _changefeed_schema
+
+    ext = _RELAY_EXT.get(fmt)
+    if ext is None:
+        # same refusal (and reason) as relay_files
+        relay_files(relay_dir, fmt)
+    files = relay_files(relay_dir, fmt)
+    mpath = os.path.join(relay_dir, RELAY_MANIFEST)
+    old = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            old = json.load(f)
+    gen = int(old.get("generation", -1)) + 1
+    # GC snapshot files no manifest references — staging left behind by
+    # a crashed compaction (never readable: snaps are manifest-only)
+    referenced = set(old.get("files", ()))
+    for p in _glob.glob(os.path.join(relay_dir, f"snap-*.{ext}")):
+        if os.path.basename(p) not in referenced:
+            os.remove(p)
+    if not files:
+        return {"events": 0, "files": 0, "tombstones": 0,
+                "generation": gen - 1, "up_to_date": True}
+    floor = max(old.get("floor", 0),
+                max(_file_span(p)[1] for p in files))
+
+    if fmt == "debezium":
+        from rookray.wire import infer_payload, read_debezium
+        payload = payload or infer_payload(files)
+        ds = read_debezium(files, tx_topic=None, payload=payload)
+    else:
+        from rookray.wireavro import infer_payload_avro, read_avro
+        registry = os.path.join(relay_dir, "registry.json")
+        payload = payload or infer_payload_avro(registry)
+        ds = read_avro(files, registry, tx_topic=None, payload=payload)
+    ds = ds.materialize()  # feeds the LWW fold AND the tombstone pass
+    first = ds.take(1)[0]
+    db, table = str(first["db"]), str(first["table"])
+    key = payload.names[0]
+    value_cols = [n for n in payload.names if n != key]
+
+    work = workdir or tempfile.mkdtemp(prefix="rookray_compact_")
+    lake = LakeTable(os.path.join(work, "lake"),
+                     CDCConfig(table=table,
+                               num_partitions=num_partitions))
+    lake.apply(ds)
+    live_rows = sum(int(p["rows"])
+                    for p in lake.manifest()["partitions"].values())
+
+    types = {f.name: f.type for f in payload}
+    fschema = _changefeed_schema(value_cols, types).append(
+        pa.field("gtid_d", pa.int64()))
+
+    def state_to_feed(t: pa.Table) -> pa.Table:
+        # live state → changefeed-shaped insert rows: each key at its
+        # ORIGINAL winning coordinate (the committed `_gtid`), so the
+        # snapshot generation keeps composing with dumps published
+        # after the compaction (their coordinates all sort above)
+        n = t.num_rows
+        cols: dict[str, pa.Array] = {
+            "doc_id": t.column(key).combine_chunks(),
+            "change": pa.array(["insert"] * n, pa.string()),
+            "gtid_a": pa.array([-1] * n, pa.int64()),
+            "gtid_b": t.column("_gtid").combine_chunks().cast(
+                pa.int64()),
+        }
+        for c in value_cols:
+            typ = fschema.field(f"{c}_a").type
+            arr = t.column(c).combine_chunks()
+            if arr.type != typ:
+                arr = arr.cast(typ)
+            cols[f"{c}_b"] = arr
+            cols[f"{c}_a"] = (pa.array([-1] * n, typ)
+                              if pa.types.is_integer(typ)
+                              else pa.nulls(n, typ))
+        cols["gtid_d"] = pa.array([-1] * n, pa.int64())
+        return pa.table({f.name: cols[f.name] for f in fschema},
+                        schema=fschema)
+
+    # one partition-local pass over the folded state — NOT
+    # changes_between: the scratch lake has a single committed epoch
+    # (its first epoch is 0; there is no earlier snapshot to diff)
+    feed = lake.read(include_meta=True).map_batches(
+        state_to_feed, batch_format="pyarrow")
+    if keep_tombstones:
+        tomb = (ds.map_batches(_delete_winners, batch_format="pyarrow")
+                  .map_batches(_TombstoneFeed(
+                      lake.root, value_cols, fschema,
+                      drop_tombstones_below),
+                      batch_format="pyarrow", concurrency=2))
+        feed = feed.union(tomb)
+
+    prefix = f"snap-{gen:06d}"
+    if fmt == "debezium":
+        d = write_debezium(feed, relay_dir, key, value_cols,
+                           delete_pos=None, delete_pos_col="gtid_d",
+                           prefix=prefix, db=db, table=table)
+    else:
+        d = write_avro(feed, relay_dir, key, value_cols,
+                       delete_pos=None, delete_pos_col="gtid_d",
+                       prefix=prefix, payload=payload,
+                       db=db, table=table)
+
+    manifest = {"format": fmt, "generation": gen, "floor": int(floor),
+                "files": sorted(os.path.basename(p)
+                                for p in d["data_files"]),
+                "events": int(d["events"]),
+                "live_rows": int(live_rows),
+                "tombstones": int(d["events"]) - int(live_rows),
+                "compacted_inputs": len(files)}
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)  # the atomic generation swap
+    for p in files:  # superseded history — unreachable since the swap
+        os.remove(p)
+    out = dict(manifest)
+    out["snapshot_files"] = len(d["data_files"])
+    out["workdir"] = work
+    return out

@@ -2588,6 +2588,44 @@ def cdc_egress_dynamo(sf_dir: str) -> pd.DataFrame:
     return _state_digest(down.state_table())
 
 
+def cdc_relay_compacted(sf_dir: str) -> pd.DataFrame:
+    """Relay compaction (the Kafka log-cleaner analog,
+    rookray.egress.compact_relay): the flagship lake publishes TWO
+    incremental dumps into one relay directory, the directory is
+    compacted in place — history replaced by a single live-state
+    snapshot generation plus per-dead-key tombstones, swapped in via
+    _RELAY_MANIFEST.json — and a downstream lake bootstrapped from the
+    first snapshot ingests the COMPACTED directory.  Fresh-bootstrap
+    equivalence is the contract, so the oracle is the same flagship
+    LWW SQL: a lost insert, a mis-coordinated tombstone, or a
+    manifest-floor error is a state-digest mismatch."""
+    import tempfile
+    from rookray import egress
+    from rookray.egress import compact_relay, relay_files
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wire import read_debezium
+    lake, eps = _three_epoch_lake()
+    relay = tempfile.mkdtemp(prefix="rookray_rlc_")
+    egress.export_changefeed(lake, eps[0], eps[1], relay)
+    egress.export_changefeed(lake, eps[1], eps[2], relay)
+    compact_relay(relay)
+    payload = lake.payload_schema()
+    snap = lake.read(as_of=eps[0]).take_all()
+    snap_t = pa.Table.from_pylist(
+        [{c: r.get(c) for c in payload.names} for r in snap],
+        schema=pa.schema(list(payload)))
+    down = LakeTable(tempfile.mkdtemp(prefix="rookray_rld_"),
+                     CDCConfig(num_partitions=16))
+    down.bootstrap(snap_t, gtid_watermark=0)
+    ds = read_debezium(relay_files(relay), tx_topic=None,
+                       payload=payload)
+    down.apply(ds.materialize())
+    return _state_digest(down.state_table())
+
+
+CDC_RELAY_COMPACTED_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 CDC_EGRESS_DYNAMO_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
@@ -4634,6 +4672,9 @@ QUERIES = {
     "corpus_clean_pack": corpus_clean_pack,
     "shuffle_training_order": shuffle_training_order,
     "decontaminate_docs": decontaminate_docs,
+    # relay compaction (appended last: the driver's correctness window
+    # samples the FIRST 50 entries, which are pinned)
+    "cdc_relay_compacted": cdc_relay_compacted,
 }
 
 ORACLES = {
@@ -4721,6 +4762,7 @@ ORACLES = {
     "corpus_clean_pack": CORPUS_CLEAN_PACK_SQL,
     "shuffle_training_order": SHUFFLE_TRAINING_ORDER_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
+    "cdc_relay_compacted": CDC_RELAY_COMPACTED_SQL,
     "decontaminate_scale": DECONTAMINATE_SCALE_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
