@@ -55,7 +55,11 @@ __all__ = ["write_debezium", "write_avro", "write_mongo",
            "write_dynamo", "export_changefeed",
            "relay_files", "compact_relay", "RELAY_MANIFEST"]
 
-_OP = {"insert": "c", "update": "u", "delete": "d"}
+#: "read" is Debezium's snapshot-read op (`r`): what a compacted
+#: relay's live-state generation emits — consumers decode c and r
+#: identically (both are INSERTs), but the marker tells them the row
+#: is a snapshot restatement, not a fresh change.
+_OP = {"insert": "c", "read": "r", "update": "u", "delete": "d"}
 
 #: decode re-packs ``gtid = file_seq << 40 | pos`` (binlog positions
 #: are < 2^40); an egress coordinate can be ANY int64 (source lakes
@@ -133,7 +137,7 @@ def _write_dump(feed: "ray.data.Dataset", out_dir: str,
             binlog_file, pos = _coords(g)
             envs.append(make_envelope(
                 _OP[change],
-                (None if change == "insert"
+                (None if change in ("insert", "read")
                  else _image(r, key_column, names, "a")),
                 (None if change == "delete"
                  else _image(r, key_column, names, "b")),
@@ -727,7 +731,9 @@ def compact_relay(relay_dir: str, fmt: str = "debezium",
         n = t.num_rows
         cols: dict[str, pa.Array] = {
             "doc_id": t.column(key).combine_chunks(),
-            "change": pa.array(["insert"] * n, pa.string()),
+            # Debezium's snapshot-read op: decodes as an INSERT but
+            # marks the row as a state restatement, not a fresh change
+            "change": pa.array(["read"] * n, pa.string()),
             "gtid_a": pa.array([-1] * n, pa.int64()),
             "gtid_b": t.column("_gtid").combine_chunks().cast(
                 pa.int64()),

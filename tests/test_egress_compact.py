@@ -104,14 +104,18 @@ def test_fresh_bootstrap_equality_and_swap(tmp_path, ray_session):
     on_disk = {os.path.basename(p)
                for p in glob.glob(os.path.join(relay, "snap-*.jsonl"))}
     assert on_disk == set(m["files"])
-    # one envelope per key across the whole generation
-    keys = []
+    # one envelope per key across the whole generation; live rows are
+    # Debezium snapshot READS (op=r), dead keys are deletes — nothing
+    # else survives a compaction
+    keys, ops = [], set()
     for p in relay_files(relay):
         for line in open(p):
             env = json.loads(line)["payload"]
             img = env["after"] or env["before"]
             keys.append(img["doc_id"])
+            ops.add(env["op"])
     assert len(keys) == len(set(keys)) == res["events"]
+    assert ops == {"r", "d"}
 
 
 def test_composes_with_dumps_published_after(tmp_path, ray_session):
@@ -261,6 +265,28 @@ def test_avro_relay_compaction(tmp_path, ray_session):
     down = _ingest(lake, eps, relay, str(tmp_path / "down"),
                    fmt="avro")
     assert _state(down).equals(_state(lake))
+
+
+def test_compaction_across_schema_evolution(tmp_path, ray_session):
+    """A relay whose dumps straddle an additive schema evolution
+    compacts correctly: early-dump envelopes lack the evolved column
+    (decodes as null), the snapshot generation restates every live row
+    under the WIDE schema, and fresh ingest equals the evolved source
+    head."""
+    cfg = GenConfig(n_docs=50, n_events=400, evolve_at=150, seed=11)
+    meta = write_shards(cfg, str(tmp_path / "shards"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "src"), CDCConfig(num_partitions=8))
+    files = meta["files"]
+    eps = [lake.apply(grp)["epoch"]
+           for grp in (files[:2], files[:3], files[:4])]
+    relay = _relay(lake, eps, str(tmp_path / "relay"))
+
+    res = compact_relay(relay)
+    assert res["events"] > 0
+    down = _ingest(lake, eps, relay, str(tmp_path / "down"))
+    got, want = _state(down), _state(lake)
+    assert got.schema.names == want.schema.names  # evolved col present
+    assert got.equals(want)
 
 
 def test_shifted_dialects_refused(tmp_path, ray_session):
