@@ -246,6 +246,69 @@ def bench_wire_decode(n_events: int) -> dict:
     return out
 
 
+def bench_relay_compact(n_events: int) -> dict:
+    """Relay compaction throughput: a two-dump relay directory folded
+    in place (decode → LWW scratch-lake fold → snapshot + tombstone
+    re-emit → manifest swap).  Fixture (lake + relay) is cached and
+    untimed; each rep compacts a FRESH COPY since compaction mutates
+    the directory.  The rate is decoded-events-in per second — the
+    history volume a log-cleaner pass retires."""
+    from rookray.egress import compact_relay, export_changefeed
+    from rookray.gen import GenConfig, write_shards
+    from rookray.pipeline import CDCConfig, LakeTable
+
+    out = os.path.join("/tmp/rookray_bench", f"relay-{n_events}")
+    meta_path = os.path.join(out, "meta.json")
+    if not os.path.exists(meta_path):
+        shards = os.path.join(out, "shards")
+        m = write_shards(GenConfig(
+            n_docs=max(1000, n_events // 20), n_events=n_events,
+            noise_pct=5, zipf_a=1.1), shards, n_shards=8)
+        lake = LakeTable(os.path.join(out, "lake"),
+                         CDCConfig(num_partitions=NUM_CPUS,
+                                   ignored_tables=frozenset(
+                                       {"ignored_entity"}),
+                                   ignored_server_ids=frozenset({999})))
+        files = m["files"]
+        # eight epochs (the FIRST apply commits epoch 0, which has no
+        # predecessor to diff) → seven composing incremental dumps:
+        # the log-cleaner regime is history >> live state, so give the
+        # pass real history to retire
+        eps = [lake.apply(files[:i])["epoch"]
+               for i in range(1, len(files) + 1)]
+        relay = os.path.join(out, "relay")
+        dump_events = 0
+        for a, b in zip(eps, eps[1:]):
+            dump_events += export_changefeed(lake, a, b,
+                                             relay)["events"]
+        meta = {"relay": relay, "dump_events": int(dump_events)}
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    with open(meta_path) as f:
+        meta = json.load(f)
+
+    best, steal, res = float("inf"), 0.0, {}
+    for _ in range(2):
+        work = tempfile.mkdtemp(prefix="rookray_bench_rc_")
+        target = os.path.join(work, "relay")
+        shutil.copytree(meta["relay"], target)
+        s0 = cpu_sample()
+        t0 = time.perf_counter()
+        r = compact_relay(target, num_partitions=NUM_CPUS)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, steal, res = dt, steal_pct(s0, cpu_sample()), r
+        shutil.rmtree(work, ignore_errors=True)
+    n_in = meta["dump_events"]
+    return {"history_events": n_in, "sec": round(best, 3),
+            "events_per_sec": round(n_in / best, 1),
+            "snapshot_events": int(res["events"]),
+            "live_rows": int(res["live_rows"]),
+            "tombstones": int(res["tombstones"]),
+            "steal_pct": steal}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -368,6 +431,10 @@ def run_bench() -> dict:
     # ------------- wire-format decode throughput (per envelope) -------
     wire = None if skip_queries else bench_wire_decode(WIRE_EVENTS)
 
+    # ------------- relay compaction (log-cleaner pass) ----------------
+    relay_compact = (None if skip_queries
+                     else bench_relay_compact(WIRE_EVENTS))
+
     total = round(apply_sec + sum(qtimes.values()), 3)
     result = {
         "metric": "cdc replay + query suite wall time",
@@ -394,6 +461,7 @@ def run_bench() -> dict:
             "windows_closed": n_windows,
         },
         "wire_decode": wire,
+        "relay_compact": relay_compact,
     }
     ray.shutdown()
     return result
