@@ -326,10 +326,14 @@ def binlog_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                 basename: str = "rookray-bin",
                 rows_per_event: int = 64,
                 evolve_gtid: int | None = None,
-                pre_evolution_columns: int | None = None) -> dict:
+                pre_evolution_columns: int | None = None,
+                start_number: int = 1) -> dict:
     """Serialize a change-event table into genuine binlog v4 files
     (``<basename>.000001`` …), rotating at TRANSACTION boundaries only.
     Deterministic: same input → byte-identical files.
+    ``start_number`` offsets the file numbering — egress appends new
+    dumps to a relay directory whose coordinate space is the file
+    sequence, so numbering must continue where the directory left off.
 
     ``evolve_gtid``/``pre_evolution_columns`` reproduce an additive DDL
     mid-stream: transactions whose first gtid is below the threshold
@@ -352,7 +356,7 @@ def binlog_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     per_file = -(-len(txs) // max(1, n_files)) or 1
     paths = []
     table_ids: dict[tuple[str, str], int] = {}
-    fi = 0
+    fi = start_number - 1
     for start in range(0, len(txs), per_file):
         fi += 1
         name = f"{basename}.{fi:06d}"

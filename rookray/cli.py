@@ -836,12 +836,17 @@ def main(argv=None) -> int:
     eg.add_argument("--out", required=True,
                     help="output directory for the dump files")
     eg.add_argument("--format", default="debezium",
-                    choices=["debezium", "avro", "mongo", "dynamo"],
+                    choices=["debezium", "avro", "mongo", "dynamo",
+                             "binlog", "pgoutput"],
                     help="envelope serialization (default: debezium "
                          "JSON-lines; avro = Confluent schema-registry "
                          "framing + registry.json; mongo/dynamo = "
                          "change-stream / DynamoDB-Streams records in "
-                         "the shifted token space)")
+                         "the shifted token space; binlog = genuine "
+                         "MySQL binlog-v4 binary, forward-only "
+                         "positional coordinates; pgoutput = recorded "
+                         "PostgreSQL logical segments, coordinate-"
+                         "preserving)")
     eg.add_argument("--from-epoch", type=int, default=None,
                     help="base snapshot (default: head - 1)")
     eg.add_argument("--to-epoch", type=int, default=None,

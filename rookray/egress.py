@@ -52,7 +52,8 @@ import os
 import pyarrow as pa
 
 __all__ = ["write_debezium", "write_avro", "write_mongo",
-           "write_dynamo", "export_changefeed",
+           "write_dynamo", "write_binlog", "write_pgwal",
+           "export_changefeed",
            "relay_files", "compact_relay", "RELAY_MANIFEST"]
 
 #: "read" is Debezium's snapshot-read op (`r`): what a compacted
@@ -418,6 +419,225 @@ def write_dynamo(feed: "ray.data.Dataset", out_dir: str,
                        make_record=make_record, prefix="dynamo")
 
 
+# ---------------------------------------------------------------------------
+# Binary egress dialects: the lake relayed AS a MySQL binlog / Postgres
+# pgoutput stream, through the same tested encoders the ingest side
+# decodes (rookray.binlog.binlog_dump / rookray.pgoutput.pgwal_dump).
+# ---------------------------------------------------------------------------
+
+def _changefeed_to_events(t: pa.Table, key_column: str,
+                          value_columns: list[str], payload: pa.Schema,
+                          delete_pos: int, db: str, table: str,
+                          server_id: int) -> pa.Table:
+    """One changefeed batch → the engine's change-event schema, shaped
+    for the binary encoders.  Vectorized: op codes via index_in, the
+    before/after images as masked struct arrays.  Transaction identity
+    rides the 2g/2g+1 split (upserts ``2·gtid_b``, deletes
+    ``2·gtid_a + 1``) — positive, disjoint, and unique across every
+    dump a relay directory accumulates (same argument as the
+    ``-(gtid_a+2)`` space on the JSON side; binlog gno is int64 so no
+    truncation, and pgoutput's 32-bit xid is REASSIGNED per file at
+    encode time).  Delete coordinates ride ``delete_pos`` (snapshot
+    B's watermark), upserts their winning ``gtid_b`` — pgoutput frames
+    each row's LSN with exactly this value, so that dialect preserves
+    the lake's coordinate space on the wire."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE,
+                                change_event_schema)
+
+    schema = change_event_schema(payload)
+    n = t.num_rows
+    if n == 0:
+        return schema.empty_table()
+    change = t.column("change").combine_chunks()
+    code = pc.index_in(change, value_set=pa.array(
+        ["insert", "read", "update", "delete"]))
+    if code.null_count:
+        raise ValueError("changefeed batch with an unknown change kind")
+    ci = code.to_numpy(zero_copy_only=False).astype(np.int64)
+    op = np.where(ci <= 1, OP_INSERT,
+                  np.where(ci == 2, OP_UPDATE, OP_DELETE)).astype(np.int8)
+    is_del = op == OP_DELETE
+    is_ins = op == OP_INSERT
+    ga = t.column("gtid_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    gb = t.column("gtid_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    tx = np.where(is_del, 2 * ga + 1, 2 * gb)
+    gtid = np.where(is_del, np.int64(delete_pos), gb)
+
+    keys = t.column(key_column).combine_chunks()
+
+    def image(suffix: str, absent: "np.ndarray") -> pa.StructArray:
+        arrs = [keys.cast(payload.field(key_column).type)]
+        for c in value_columns:
+            arr = t.column(f"{c}_{suffix}").combine_chunks()
+            want = payload.field(c).type
+            if arr.type != want:
+                arr = arr.cast(want)
+            arrs.append(arr)
+        return pa.StructArray.from_arrays(
+            arrs, fields=list(payload), mask=pa.array(absent))
+
+    return pa.table({
+        "gtid": pa.array(gtid, pa.int64()),
+        "tx_id": pa.array(tx, pa.int64()),
+        "seq_in_tx": pa.array(np.zeros(n, np.int32), pa.int32()),
+        "tx_events": pa.array(np.ones(n, np.int32), pa.int32()),
+        "server_id": pa.array(np.full(n, server_id, np.int64)),
+        "db": pa.array([db] * n, pa.string()),
+        "table": pa.array([table] * n, pa.string()),
+        "op": pa.array(op, pa.int8()),
+        "key": keys.cast(pa.string()),
+        "before": image("a", is_ins),
+        "after": image("b", is_del),
+    }, schema=schema)
+
+
+#: pgoutput xids are 32-bit, so egress reassigns them per encoded file
+#: as ``file_number << 12 | chunk`` with ≤ 2^12 rows per transaction —
+#: unique across the whole relay directory for < 2^20 files.
+_PG_XID_ROW_BITS = 12
+
+
+def _encode_binary_part(block: pa.Table, out_dir: str, number: int,
+                        fmt: str) -> dict | None:
+    """Plain Ray task: one shaped event block → one binlog/pgwal file
+    in ``out_dir``, numbered ``number``.  Encodes into a hidden
+    staging directory and renames in — idempotent under task
+    re-execution, and a torn file never carries a final name."""
+    import shutil
+    import tempfile
+
+    if block.num_rows == 0:
+        return None
+    stage = tempfile.mkdtemp(prefix=".egress-enc-", dir=out_dir)
+    try:
+        if fmt == "binlog":
+            from rookray.binlog import binlog_dump
+            d = binlog_dump(block, stage, n_files=1,
+                            start_number=number)
+        else:
+            import numpy as np
+
+            from rookray.pgoutput import pgwal_dump
+            # per-file xid reassignment (see _PG_XID_ROW_BITS); rows
+            # stay in block order so same-xid rows are consecutive,
+            # which is all the encoder's tx grouping needs
+            n = block.num_rows
+            if n >= (1 << (32 - _PG_XID_ROW_BITS)):
+                raise ValueError("block too large for per-file xid space")
+            xid = ((number << _PG_XID_ROW_BITS)
+                   | (np.arange(n, dtype=np.int64)
+                      >> _PG_XID_ROW_BITS)).astype(np.int64)
+            block = block.set_column(
+                block.schema.get_field_index("tx_id"), "tx_id",
+                pa.array(xid, pa.int64()))
+            d = pgwal_dump(block, stage, n_files=1,
+                           start_number=number)
+        final = []
+        for p in d["files"]:
+            dst = os.path.join(out_dir, os.path.basename(p))
+            os.replace(p, dst)
+            final.append(dst)
+        return {"files": final, "events": block.num_rows}
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _next_file_number(out_dir: str, fmt: str) -> int:
+    import glob as _glob
+    import re
+    if fmt == "binlog":
+        pat, lo = os.path.join(out_dir, "rookray-bin.*"), 1
+    else:
+        pat, lo = os.path.join(out_dir, "pgwal-*.bin"), 0
+    nums = []
+    for p in _glob.glob(pat):
+        m = re.search(r"(\d+)(?:\.bin)?$", os.path.basename(p))
+        if m:
+            nums.append(int(m.group(1)))
+    return (max(nums) + 1) if nums else lo
+
+
+def _write_binary(feed: "ray.data.Dataset", out_dir: str,
+                  key_column: str, value_columns: list[str],
+                  payload: pa.Schema, delete_pos: int,
+                  db: str, table: str, server_id: int,
+                  fmt: str) -> dict:
+    """Shared binary-dialect egress: shape the changefeed into engine
+    events (distributed, vectorized), then encode one wire file per
+    block in parallel plain Ray tasks, file numbers assigned by the
+    driver so they continue monotonically across every dump the relay
+    directory accumulates.
+
+    Ordering contract per dialect:
+    - ``pgoutput`` preserves the lake's coordinates exactly (each
+      row's LSN = its gtid_b, deletes at the span watermark), so dumps
+      compose by COORDINATE like the JSON dialects.
+    - ``binlog`` coordinates are positional (file_seq << 44 | pos |
+      row), so cross-dump LWW order is carried by the FILE NUMBERING
+      alone: a key appears at most once per dump, and every file of
+      dump N+1 is numbered above every file of dump N.  Publishing an
+      OLDER span into a relay directory that already holds a newer one
+      would therefore invert LWW — ``export_changefeed`` refuses it
+      via the ``_BINLOG_EGRESS_STATE.json`` span floor."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return _changefeed_to_events(t, key_column, value_columns,
+                                     payload, delete_pos, db, table,
+                                     server_id)
+
+    shaped = feed.map_batches(shape, batch_format="pyarrow").materialize()
+    refs = shaped.to_arrow_refs()
+    base = _next_file_number(out_dir, fmt)
+    task = ray.remote(num_cpus=1)(_encode_binary_part)
+    outs = [o for o in ray.get(
+        [task.remote(r, out_dir, base + i, fmt)
+         for i, r in enumerate(refs)]) if o]
+    return {
+        "data_files": sorted(p for o in outs for p in o["files"]),
+        "events": int(sum(o["events"] for o in outs)),
+    }
+
+
+def write_binlog(feed: "ray.data.Dataset", out_dir: str,
+                 key_column: str, value_columns: list[str],
+                 delete_pos: int, payload: pa.Schema,
+                 db: str = "rook", table: str = "sequences",
+                 server_id: int = 1) -> dict:
+    """Egress over genuine MySQL binlog-v4 binary files — the full
+    circle of rook's own wire format (MySQLReplicationStream.java
+    consumes exactly this): any binlog-speaking consumer, including
+    ``rookray.binlog.read_binlog``, can tail the relay directory.
+    Each changed key rides its own single-event transaction (gno =
+    the 2g/2g+1 identity); coordinates are positional, so cross-dump
+    order is the file numbering — see :func:`_write_binary`."""
+    return _write_binary(feed, out_dir, key_column, value_columns,
+                         payload, delete_pos, db, table, server_id,
+                         "binlog")
+
+
+def write_pgwal(feed: "ray.data.Dataset", out_dir: str,
+                key_column: str, value_columns: list[str],
+                delete_pos: int, payload: pa.Schema,
+                db: str = "rook", table: str = "sequences",
+                server_id: int = 1) -> dict:
+    """Egress over a recorded PostgreSQL logical-replication stream
+    (pgoutput XLogData segments): every row frames its LSN with the
+    lake's own coordinate (upserts ``gtid_b``, deletes the span
+    watermark), so this dialect preserves the coordinate space on the
+    wire and dumps compose exactly like the Debezium one; per-file
+    32-bit xids are reassigned at encode time (unique across the
+    relay for < 2^20 files)."""
+    return _write_binary(feed, out_dir, key_column, value_columns,
+                         payload, delete_pos, db, table, server_id,
+                         "pgoutput")
+
+
 def export_changefeed(lake, epoch_a: int, epoch_b: int,
                       out_dir: str, server_name: str = "rookray",
                       fmt: str = "debezium") -> dict:
@@ -427,10 +647,14 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     and re-add), coordinates as documented in the module header.
     ``fmt``: ``"debezium"`` (JSON-lines), ``"avro"`` (Confluent
     schema-registry framing), ``"mongo"`` (change-stream JSON-lines),
-    or ``"dynamo"`` (DynamoDB Streams records) — the last two ride the
-    1-bit-shifted token space documented on :func:`_shifted_coord_fn`,
-    so the downstream lake must be a fresh relay target, not one
-    sharing the source's gtid space.  The dump replays
+    ``"dynamo"`` (DynamoDB Streams records), ``"binlog"`` (genuine
+    MySQL binlog-v4 binary — rook's own wire format, full circle), or
+    ``"pgoutput"`` (recorded PostgreSQL logical-replication segments,
+    coordinate-preserving).  mongo/dynamo ride the 1-bit-shifted token
+    space documented on :func:`_shifted_coord_fn` and binlog a
+    positional one, so those downstream lakes must be fresh relay
+    targets, not ones sharing the source's gtid space.  The dump
+    replays
     into anything that speaks the envelope — including a second lake
     bootstrapped from snapshot A (``tests/test_egress.py`` proves dump
     ∘ apply == snapshot B for the dialects)."""
@@ -462,6 +686,33 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
             d = write_dynamo(feed, out_dir, key, value_cols,
                              wm_a=int(wm_a), wm_b=int(wm_b),
                              table=lake.config.table)
+    elif fmt == "binlog":
+        # forward-only guard: binlog coordinates are positional
+        # (file_seq << 44 | pos), so an OLDER span re-published into a
+        # directory already holding a newer dump would be numbered —
+        # and therefore LWW-ordered — above it
+        state_path = os.path.join(out_dir, "_BINLOG_EGRESS_STATE.json")
+        prev = None
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                prev = int(json.load(f)["span_hi"])
+        if prev is not None and int(wm_b) <= prev:
+            raise ValueError(
+                f"binlog relay at {out_dir} already holds a dump up "
+                f"to coordinate {prev}; re-publishing a span ending "
+                f"at {wm_b} would sort ABOVE it in the positional "
+                "coordinate space and invert LWW — publish forward "
+                "only, or use a fresh out dir")
+        d = write_binlog(feed, out_dir, key, value_cols,
+                         delete_pos=int(wm_b), payload=payload,
+                         db="rook", table=lake.config.table)
+        with open(state_path + ".tmp", "w") as f:
+            json.dump({"span_hi": int(wm_b)}, f)
+        os.replace(state_path + ".tmp", state_path)
+    elif fmt == "pgoutput":
+        d = write_pgwal(feed, out_dir, key, value_cols,
+                        delete_pos=int(wm_b), payload=payload,
+                        db="rook", table=lake.config.table)
     elif fmt == "debezium":
         d = write_debezium(feed, out_dir, key, value_cols,
                            delete_pos=int(wm_b),

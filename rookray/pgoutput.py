@@ -198,7 +198,8 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                evolve_gtid: int | None = None,
                pre_evolution_columns: int | None = None,
                stream_txs_over: int | None = None,
-               stream_segment_rows: int = 8) -> dict:
+               stream_segment_rows: int = 8,
+               start_number: int = 0) -> dict:
     """Serialize a change-event table into a recorded pgoutput
     replication stream: ``pgwal-%05d.bin`` files of XLogData-framed
     messages, transactions bracketed by Begin/Commit and never
@@ -211,6 +212,9 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     with more rows ship as protocol-v2 streamed S..E segments of
     ``stream_segment_rows`` each, closed by a StreamCommit — how a
     real publisher ships transactions too large to buffer.
+    ``start_number`` offsets the file numbering so egress can append
+    dumps to one relay directory without name collisions (readers
+    order segments by first LSN, not by name).
     Deterministic: same input table → byte-identical dump."""
     os.makedirs(out_dir, exist_ok=True)
     rows = events.to_pylist()
@@ -243,7 +247,8 @@ def pgwal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     ident = b"f" if replident == "full" else b"i"
     for fi in range(0, len(txs), per):
         chunk = txs[fi:fi + per]
-        path = os.path.join(out_dir, f"pgwal-{fi // per:05d}.bin")
+        path = os.path.join(out_dir,
+                            f"pgwal-{fi // per + start_number:05d}.bin")
         w = _PgFileWriter(path)
         sent: dict[int, int] = {}  # relid → ncols last declared
         for tx in chunk:

@@ -2626,6 +2626,62 @@ def cdc_relay_compacted(sf_dir: str) -> pd.DataFrame:
 CDC_RELAY_COMPACTED_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
+def _egress_binary_roundtrip(fmt: str) -> pd.DataFrame:
+    """Shared body for the binary egress relay loops: the flagship
+    lake's changefeed published as genuine MySQL binlog-v4 files
+    (fmt="binlog" — rook's own wire format, full circle) or a recorded
+    PostgreSQL pgoutput stream (fmt="pgoutput", coordinate-preserving
+    LSNs), two composing dumps ingested in ONE pass by the real binary
+    decoder into a lake bootstrapped from the first snapshot.  Same
+    flagship LWW oracle as the JSON dialects."""
+    import glob as _glob
+    import os
+    import tempfile
+    from rookray import egress
+    from rookray.binlog import read_binlog
+    from rookray.pgoutput import read_pgwal
+    from rookray.pipeline import CDCConfig, LakeTable
+    lake, eps = _three_epoch_lake()
+    relay = tempfile.mkdtemp(prefix=f"rookray_eg_{fmt}_")
+    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt=fmt)
+    egress.export_changefeed(lake, eps[1], eps[2], relay, fmt=fmt)
+    payload = lake.payload_schema()
+    snap = lake.read(as_of=eps[0]).take_all()
+    snap_t = pa.Table.from_pylist(
+        [{c: r.get(c) for c in payload.names} for r in snap],
+        schema=pa.schema(list(payload)))
+    down = LakeTable(tempfile.mkdtemp(prefix="rookray_egb_"),
+                     CDCConfig(num_partitions=16))
+    down.bootstrap(snap_t, gtid_watermark=0)
+    pat = "rookray-bin.*" if fmt == "binlog" else "pgwal-*.bin"
+    files = sorted(_glob.glob(os.path.join(relay, pat)))
+    reader = read_binlog if fmt == "binlog" else read_pgwal
+    down.apply(reader(files, payload=payload).materialize())
+    return _state_digest(down.state_table())
+
+
+def cdc_egress_binlog(sf_dir: str) -> pd.DataFrame:
+    """The relay loop over rook's OWN wire format: the flagship
+    changefeed egressed as genuine binlog-v4 binary files
+    (rookray.egress fmt="binlog" — positional coordinates, file
+    numbering carries cross-dump LWW order, forward-only span guard)
+    and replayed by rookray.binlog.read_binlog."""
+    return _egress_binary_roundtrip("binlog")
+
+
+def cdc_egress_pgwal(sf_dir: str) -> pd.DataFrame:
+    """The relay loop over PostgreSQL logical replication: the
+    flagship changefeed egressed as recorded pgoutput segments
+    (rookray.egress fmt="pgoutput" — every row's LSN is the lake's own
+    coordinate, per-file 32-bit xids reassigned at encode time) and
+    replayed by rookray.pgoutput.read_pgwal."""
+    return _egress_binary_roundtrip("pgoutput")
+
+
+CDC_EGRESS_BINLOG_SQL = CDC_REPLAY_SEQUENCES_SQL
+CDC_EGRESS_PGWAL_SQL = CDC_REPLAY_SEQUENCES_SQL
+
+
 CDC_EGRESS_DYNAMO_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
@@ -4672,9 +4728,12 @@ QUERIES = {
     "corpus_clean_pack": corpus_clean_pack,
     "shuffle_training_order": shuffle_training_order,
     "decontaminate_docs": decontaminate_docs,
-    # relay compaction (appended last: the driver's correctness window
-    # samples the FIRST 50 entries, which are pinned)
+    # relay compaction + binary egress dialects (appended last: the
+    # driver's correctness window samples the FIRST 50 entries, which
+    # are pinned)
     "cdc_relay_compacted": cdc_relay_compacted,
+    "cdc_egress_binlog": cdc_egress_binlog,
+    "cdc_egress_pgwal": cdc_egress_pgwal,
 }
 
 ORACLES = {
@@ -4763,6 +4822,8 @@ ORACLES = {
     "shuffle_training_order": SHUFFLE_TRAINING_ORDER_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "cdc_relay_compacted": CDC_RELAY_COMPACTED_SQL,
+    "cdc_egress_binlog": CDC_EGRESS_BINLOG_SQL,
+    "cdc_egress_pgwal": CDC_EGRESS_PGWAL_SQL,
     "decontaminate_scale": DECONTAMINATE_SCALE_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
