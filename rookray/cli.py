@@ -837,7 +837,7 @@ def main(argv=None) -> int:
                     help="output directory for the dump files")
     eg.add_argument("--format", default="debezium",
                     choices=["debezium", "avro", "mongo", "dynamo",
-                             "binlog", "pgoutput"],
+                             "binlog", "pgoutput", "maxwell", "canal"],
                     help="envelope serialization (default: debezium "
                          "JSON-lines; avro = Confluent schema-registry "
                          "framing + registry.json; mongo/dynamo = "

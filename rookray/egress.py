@@ -53,6 +53,7 @@ import pyarrow as pa
 
 __all__ = ["write_debezium", "write_avro", "write_mongo",
            "write_dynamo", "write_binlog", "write_pgwal",
+           "write_maxwell", "write_canal",
            "export_changefeed",
            "relay_files", "compact_relay", "RELAY_MANIFEST"]
 
@@ -511,13 +512,19 @@ def _encode_binary_part(block: pa.Table, out_dir: str, number: int,
 
     if block.num_rows == 0:
         return None
+
+    def retx(values) -> pa.Table:
+        return block.set_column(
+            block.schema.get_field_index("tx_id"), "tx_id",
+            pa.array(values, pa.int64()))
+
     stage = tempfile.mkdtemp(prefix=".egress-enc-", dir=out_dir)
     try:
         if fmt == "binlog":
             from rookray.binlog import binlog_dump
             d = binlog_dump(block, stage, n_files=1,
                             start_number=number)
-        else:
+        elif fmt == "pgoutput":
             import numpy as np
 
             from rookray.pgoutput import pgwal_dump
@@ -530,11 +537,40 @@ def _encode_binary_part(block: pa.Table, out_dir: str, number: int,
             xid = ((number << _PG_XID_ROW_BITS)
                    | (np.arange(n, dtype=np.int64)
                       >> _PG_XID_ROW_BITS)).astype(np.int64)
-            block = block.set_column(
-                block.schema.get_field_index("tx_id"), "tx_id",
-                pa.array(xid, pa.int64()))
+            block = retx(xid)
             d = pgwal_dump(block, stage, n_files=1,
                            start_number=number)
+        elif fmt == "maxwell":
+            import numpy as np
+
+            from rookray.wirejson import maxwell_dump
+            # singleton per-row xids in a per-file space: unique across
+            # dumps AND re-publishes (coordinate preservation makes a
+            # re-published span idempotent, but only if its xids never
+            # collide with the first publish's)
+            n = block.num_rows
+            if n >= (1 << 32):
+                raise ValueError("block too large for per-file xid space")
+            block = retx((np.int64(number) << 32)
+                         + np.arange(n, dtype=np.int64))
+            d = maxwell_dump(block, stage, n_files=1,
+                             start_number=number, split_positions=True)
+        else:  # canal
+            from rookray.wirejson import canal_dump
+            # decoded coordinate = record id << 12 | row; the id space
+            # is partitioned per file (number << 32 | local record),
+            # so ids stay unique and monotone across the relay — the
+            # id must fit 51 bits, bounding the directory at 2^19 files
+            if number >= (1 << 19):
+                raise ValueError(
+                    "canal relay directory exceeded 2^19 files — the "
+                    "record-id coordinate space (id << 12) is full; "
+                    "start a fresh out dir")
+            # +1: record id 0 would decode to coordinate 0, which a
+            # watermark-0 bootstrap filters as already-applied
+            d = canal_dump(block, stage, n_files=1,
+                           start_number=number,
+                           id_base=(number << 32) + 1)
         final = []
         for p in d["files"]:
             dst = os.path.join(out_dir, os.path.basename(p))
@@ -545,16 +581,19 @@ def _encode_binary_part(block: pa.Table, out_dir: str, number: int,
         shutil.rmtree(stage, ignore_errors=True)
 
 
+_BINARY_GLOBS = {"binlog": ("rookray-bin.*", 1),
+                 "pgoutput": ("pgwal-*.bin", 0),
+                 "maxwell": ("maxwell-*.jsonl", 0),
+                 "canal": ("canal-*.jsonl", 0)}
+
+
 def _next_file_number(out_dir: str, fmt: str) -> int:
     import glob as _glob
     import re
-    if fmt == "binlog":
-        pat, lo = os.path.join(out_dir, "rookray-bin.*"), 1
-    else:
-        pat, lo = os.path.join(out_dir, "pgwal-*.bin"), 0
+    pat, lo = _BINARY_GLOBS[fmt]
     nums = []
-    for p in _glob.glob(pat):
-        m = re.search(r"(\d+)(?:\.bin)?$", os.path.basename(p))
+    for p in _glob.glob(os.path.join(out_dir, pat)):
+        m = re.search(r"(\d+)(?:\.bin|\.jsonl)?$", os.path.basename(p))
         if m:
             nums.append(int(m.group(1)))
     return (max(nums) + 1) if nums else lo
@@ -638,6 +677,69 @@ def write_pgwal(feed: "ray.data.Dataset", out_dir: str,
                          "pgoutput")
 
 
+def write_maxwell(feed: "ray.data.Dataset", out_dir: str,
+                  key_column: str, value_columns: list[str],
+                  delete_pos: int, payload: pa.Schema,
+                  db: str = "rook", table: str = "sequences",
+                  server_id: int = 1) -> dict:
+    """Egress over the Maxwell JSON envelope: each row's
+    ``position`` carries the lake's own coordinate (gtid bits above
+    2^40 ride in the position's binlog file name, the same split the
+    Debezium dialect uses), so this dialect is coordinate-preserving
+    and re-publish-idempotent; xids are singleton and per-file
+    (``number << 32 | row``), never colliding across dumps or
+    re-publishes."""
+    return _write_binary(feed, out_dir, key_column, value_columns,
+                         payload, delete_pos, db, table, server_id,
+                         "maxwell")
+
+
+def write_canal(feed: "ray.data.Dataset", out_dir: str,
+                key_column: str, value_columns: list[str],
+                delete_pos: int, payload: pa.Schema,
+                db: str = "rook", table: str = "sequences",
+                server_id: int = 1) -> dict:
+    """Egress over Canal's FlatMessage envelope.  The flat format has
+    no coordinate channel at all — the decoded coordinate is the
+    record id (``id << 12 | row``) — so egress partitions the id
+    space per file and cross-dump LWW order is the file numbering
+    alone, exactly the binlog dialect's contract: forward-only
+    (``export_changefeed`` guards re-publishes), fresh relay targets
+    only."""
+    return _write_binary(feed, out_dir, key_column, value_columns,
+                         payload, delete_pos, db, table, server_id,
+                         "canal")
+
+
+def _check_forward_only(out_dir: str, fmt: str, wm_b: int) -> str:
+    """Positional-coordinate dialects (binlog, canal) must publish
+    strictly forward: an older span re-published into a directory
+    already holding a newer dump would be numbered — and therefore
+    LWW-ordered — above it.  The span floor lives in the out dir;
+    it is RECORDED only after the dump fully lands (a failed export
+    must not block its own retry)."""
+    state_path = os.path.join(out_dir,
+                              f"_{fmt.upper()}_EGRESS_STATE.json")
+    prev = None
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            prev = int(json.load(f)["span_hi"])
+    if prev is not None and int(wm_b) <= prev:
+        raise ValueError(
+            f"{fmt} relay at {out_dir} already holds a dump up "
+            f"to coordinate {prev}; re-publishing a span ending "
+            f"at {wm_b} would sort ABOVE it in the positional "
+            "coordinate space and invert LWW — publish forward "
+            "only, or use a fresh out dir")
+    return state_path
+
+
+def _record_span_floor(state_path: str, wm_b: int) -> None:
+    with open(state_path + ".tmp", "w") as f:
+        json.dump({"span_hi": int(wm_b)}, f)
+    os.replace(state_path + ".tmp", state_path)
+
+
 def export_changefeed(lake, epoch_a: int, epoch_b: int,
                       out_dir: str, server_name: str = "rookray",
                       fmt: str = "debezium") -> dict:
@@ -648,13 +750,15 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     ``fmt``: ``"debezium"`` (JSON-lines), ``"avro"`` (Confluent
     schema-registry framing), ``"mongo"`` (change-stream JSON-lines),
     ``"dynamo"`` (DynamoDB Streams records), ``"binlog"`` (genuine
-    MySQL binlog-v4 binary — rook's own wire format, full circle), or
+    MySQL binlog-v4 binary — rook's own wire format, full circle),
     ``"pgoutput"`` (recorded PostgreSQL logical-replication segments,
-    coordinate-preserving).  mongo/dynamo ride the 1-bit-shifted token
-    space documented on :func:`_shifted_coord_fn` and binlog a
-    positional one, so those downstream lakes must be fresh relay
-    targets, not ones sharing the source's gtid space.  The dump
-    replays
+    coordinate-preserving), ``"maxwell"`` (coordinate-preserving
+    positions), or ``"canal"`` (FlatMessage, positional record ids) —
+    every wire dialect the ingest side decodes.  mongo/dynamo ride the
+    1-bit-shifted token space documented on :func:`_shifted_coord_fn`
+    and binlog/canal positional ones, so those downstream lakes must
+    be fresh relay targets, not ones sharing the source's gtid space.
+    The dump replays
     into anything that speaks the envelope — including a second lake
     bootstrapped from snapshot A (``tests/test_egress.py`` proves dump
     ∘ apply == snapshot B for the dialects)."""
@@ -686,33 +790,21 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
             d = write_dynamo(feed, out_dir, key, value_cols,
                              wm_a=int(wm_a), wm_b=int(wm_b),
                              table=lake.config.table)
-    elif fmt == "binlog":
-        # forward-only guard: binlog coordinates are positional
-        # (file_seq << 44 | pos), so an OLDER span re-published into a
-        # directory already holding a newer dump would be numbered —
-        # and therefore LWW-ordered — above it
-        state_path = os.path.join(out_dir, "_BINLOG_EGRESS_STATE.json")
-        prev = None
-        if os.path.exists(state_path):
-            with open(state_path) as f:
-                prev = int(json.load(f)["span_hi"])
-        if prev is not None and int(wm_b) <= prev:
-            raise ValueError(
-                f"binlog relay at {out_dir} already holds a dump up "
-                f"to coordinate {prev}; re-publishing a span ending "
-                f"at {wm_b} would sort ABOVE it in the positional "
-                "coordinate space and invert LWW — publish forward "
-                "only, or use a fresh out dir")
-        d = write_binlog(feed, out_dir, key, value_cols,
-                         delete_pos=int(wm_b), payload=payload,
-                         db="rook", table=lake.config.table)
-        with open(state_path + ".tmp", "w") as f:
-            json.dump({"span_hi": int(wm_b)}, f)
-        os.replace(state_path + ".tmp", state_path)
-    elif fmt == "pgoutput":
-        d = write_pgwal(feed, out_dir, key, value_cols,
-                        delete_pos=int(wm_b), payload=payload,
-                        db="rook", table=lake.config.table)
+    elif fmt in ("binlog", "canal"):
+        # positional coordinate spaces — forward-only (see
+        # _check_forward_only); floor recorded after the dump lands
+        state_path = _check_forward_only(out_dir, fmt, int(wm_b))
+        writer = write_binlog if fmt == "binlog" else write_canal
+        d = writer(feed, out_dir, key, value_cols,
+                   delete_pos=int(wm_b), payload=payload,
+                   db="rook", table=lake.config.table)
+        _record_span_floor(state_path, int(wm_b))
+    elif fmt in ("pgoutput", "maxwell"):
+        # coordinate-preserving dialects — re-publish idempotent
+        writer = write_pgwal if fmt == "pgoutput" else write_maxwell
+        d = writer(feed, out_dir, key, value_cols,
+                   delete_pos=int(wm_b), payload=payload,
+                   db="rook", table=lake.config.table)
     elif fmt == "debezium":
         d = write_debezium(feed, out_dir, key, value_cols,
                            delete_pos=int(wm_b),

@@ -2641,6 +2641,11 @@ def _egress_binary_roundtrip(fmt: str) -> pd.DataFrame:
     from rookray.binlog import read_binlog
     from rookray.pgoutput import read_pgwal
     from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wirejson import read_canal, read_maxwell
+    readers = {"binlog": (read_binlog, "rookray-bin.*"),
+               "pgoutput": (read_pgwal, "pgwal-*.bin"),
+               "maxwell": (read_maxwell, "maxwell-*.jsonl"),
+               "canal": (read_canal, "canal-*.jsonl")}
     lake, eps = _three_epoch_lake()
     relay = tempfile.mkdtemp(prefix=f"rookray_eg_{fmt}_")
     egress.export_changefeed(lake, eps[0], eps[1], relay, fmt=fmt)
@@ -2653,9 +2658,8 @@ def _egress_binary_roundtrip(fmt: str) -> pd.DataFrame:
     down = LakeTable(tempfile.mkdtemp(prefix="rookray_egb_"),
                      CDCConfig(num_partitions=16))
     down.bootstrap(snap_t, gtid_watermark=0)
-    pat = "rookray-bin.*" if fmt == "binlog" else "pgwal-*.bin"
+    reader, pat = readers[fmt]
     files = sorted(_glob.glob(os.path.join(relay, pat)))
-    reader = read_binlog if fmt == "binlog" else read_pgwal
     down.apply(reader(files, payload=payload).materialize())
     return _state_digest(down.state_table())
 
@@ -2678,8 +2682,27 @@ def cdc_egress_pgwal(sf_dir: str) -> pd.DataFrame:
     return _egress_binary_roundtrip("pgoutput")
 
 
+def cdc_egress_maxwell(sf_dir: str) -> pd.DataFrame:
+    """The relay loop over the Maxwell envelope (rookray.egress
+    fmt="maxwell"): coordinate-preserving positions (gtid bits above
+    2^40 ride the position's binlog file name), singleton per-file
+    xids, replayed by rookray.wirejson.read_maxwell."""
+    return _egress_binary_roundtrip("maxwell")
+
+
+def cdc_egress_canal(sf_dir: str) -> pd.DataFrame:
+    """The relay loop over Canal's FlatMessage (rookray.egress
+    fmt="canal"): the flat format has no coordinate channel, so the
+    record-id space is partitioned per output file and cross-dump LWW
+    order is the file numbering (forward-only guard), replayed by
+    rookray.wirejson.read_canal."""
+    return _egress_binary_roundtrip("canal")
+
+
 CDC_EGRESS_BINLOG_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_PGWAL_SQL = CDC_REPLAY_SEQUENCES_SQL
+CDC_EGRESS_MAXWELL_SQL = CDC_REPLAY_SEQUENCES_SQL
+CDC_EGRESS_CANAL_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
 CDC_EGRESS_DYNAMO_SQL = CDC_REPLAY_SEQUENCES_SQL
@@ -4734,6 +4757,8 @@ QUERIES = {
     "cdc_relay_compacted": cdc_relay_compacted,
     "cdc_egress_binlog": cdc_egress_binlog,
     "cdc_egress_pgwal": cdc_egress_pgwal,
+    "cdc_egress_maxwell": cdc_egress_maxwell,
+    "cdc_egress_canal": cdc_egress_canal,
 }
 
 ORACLES = {
@@ -4824,6 +4849,8 @@ ORACLES = {
     "cdc_relay_compacted": CDC_RELAY_COMPACTED_SQL,
     "cdc_egress_binlog": CDC_EGRESS_BINLOG_SQL,
     "cdc_egress_pgwal": CDC_EGRESS_PGWAL_SQL,
+    "cdc_egress_maxwell": CDC_EGRESS_MAXWELL_SQL,
+    "cdc_egress_canal": CDC_EGRESS_CANAL_SQL,
     "decontaminate_scale": DECONTAMINATE_SCALE_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,

@@ -145,7 +145,9 @@ def _image_dict(struct_val) -> dict | None:
 
 def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                  ddl_before_gtid: int | None = None,
-                 sparse_positions: bool = False) -> dict:
+                 sparse_positions: bool = False,
+                 start_number: int = 0,
+                 split_positions: bool = False) -> dict:
     """Serialize a change-event table into a Maxwell dump:
     ``maxwell-%05d.jsonl`` files, one JSON object per row mutation,
     with binlog positions (``output_binlog_position`` style) and
@@ -155,6 +157,11 @@ def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     ``sparse_positions`` emits gapped byte-offset-style positions (an
     order-preserving irregular mapping of the gtid) — what a REAL
     Maxwell daemon writes — instead of the dense gtid itself.
+    ``start_number`` offsets the output file numbering (egress appends
+    dumps to one relay directory); ``split_positions`` rides gtid bits
+    above 2^40 in the position's binlog FILE NAME (the same split the
+    Debezium egress uses), so the decoded ``fseq << 40 | pos`` equals
+    the emitted coordinate exactly for ANY int64 gtid space.
     Deterministic: same input table → byte-identical dump."""
     os.makedirs(out_dir, exist_ok=True)
 
@@ -165,12 +172,20 @@ def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
         # binlog event byte offsets
         return 4 + 97 * g + (g * 2654435761) % 89
 
+    def _position(g: int) -> str:
+        if split_positions:
+            return (f"rookray-egress.{g >> 40:06d}"
+                    f":{g & ((1 << 40) - 1)}")
+        return f"{_BINLOG_FILE}:{_pos_of(g)}"
+
     rows = events.to_pylist()
     per = -(-len(rows) // max(1, n_files)) or 1
     paths, n_written = [], 0
     for fi in range(0, len(rows), per):
         chunk = rows[fi:fi + per]
-        path = os.path.join(out_dir, f"maxwell-{fi // per:05d}.jsonl")
+        path = os.path.join(out_dir,
+                            f"maxwell-{fi // per + start_number:05d}"
+                            ".jsonl")
         with open(path, "w") as f:
             for r in chunk:
                 if (ddl_before_gtid is not None
@@ -187,7 +202,7 @@ def maxwell_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                     "xid": r["tx_id"],
                     "commit": r["seq_in_tx"] == r["tx_events"] - 1,
                     "server_id": r["server_id"], "thread_id": 1,
-                    "position": f"{_BINLOG_FILE}:{_pos_of(r['gtid'])}",
+                    "position": _position(r["gtid"]),
                     "data": _image_dict(r["before"] if r["op"] == OP_DELETE
                                         else r["after"]),
                 }
@@ -474,11 +489,17 @@ def _mysql_type_of(t: pa.DataType) -> tuple[str, int]:
 
 def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
                max_rows_per_record: int = 16,
-               ddl_before_gtid: int | None = None) -> dict:
+               ddl_before_gtid: int | None = None,
+               start_number: int = 0,
+               id_base: int = 0) -> dict:
     """Serialize a change-event table into a Canal flat-message dump:
     ``canal-%05d.jsonl`` files, consecutive events of one (tx, op,
     table) run batched into one record (one statement's row batch, as
-    canal emits them), record ids assigned in stream order.
+    canal emits them), record ids assigned in stream order starting at
+    ``id_base`` (the decoded coordinate is ``id << 12 | row``, so
+    egress partitions the id space per output file to stay unique and
+    monotone across every dump a relay directory accumulates);
+    ``start_number`` offsets the file numbering the same way.
     Deterministic: same input table → byte-identical dump."""
     os.makedirs(out_dir, exist_ok=True)
     rows = events.to_pylist()
@@ -498,7 +519,8 @@ def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
             return
         r0 = cur[0]
         rec = {
-            "id": len(records), "database": r0["db"], "table": r0["table"],
+            "id": id_base + len(records), "database": r0["db"],
+            "table": r0["table"],
             "pkNames": pk, "isDdl": False,
             "type": _OP_TO_CANAL[r0["op"]], "es": 0, "ts": 0, "sql": "",
             "sqlType": sql_types,
@@ -520,7 +542,7 @@ def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
         if ddl_before_gtid is not None and r["gtid"] == ddl_before_gtid:
             flush()
             records.append({
-                "id": len(records), "database": r["db"],
+                "id": id_base + len(records), "database": r["db"],
                 "table": r["table"], "pkNames": None, "isDdl": True,
                 "type": "ALTER", "es": 0, "ts": 0,
                 "sql": f"ALTER TABLE {r['table']} ADD COLUMN lang "
@@ -536,7 +558,8 @@ def canal_dump(events: pa.Table, out_dir: str, n_files: int = 4,
     per = -(-len(records) // max(1, n_files)) or 1
     paths = []
     for fi in range(0, len(records), per):
-        path = os.path.join(out_dir, f"canal-{fi // per:05d}.jsonl")
+        path = os.path.join(
+            out_dir, f"canal-{fi // per + start_number:05d}.jsonl")
         with open(path, "w") as f:
             for rec in records[fi:fi + per]:
                 f.write(json.dumps(rec, separators=(",", ":")) + "\n")

@@ -23,6 +23,12 @@ from rookray.binlog import read_binlog
 from rookray.gen import GenConfig, write_shards
 from rookray.pgoutput import read_pgwal
 from rookray.pipeline import CDCConfig, LakeTable
+from rookray.wirejson import read_canal, read_maxwell
+
+READERS = {"binlog": read_binlog, "pgoutput": read_pgwal,
+           "maxwell": read_maxwell, "canal": read_canal}
+GLOBS = {"binlog": "rookray-bin.*", "pgoutput": "pgwal-*.bin",
+         "maxwell": "maxwell-*.jsonl", "canal": "canal-*.jsonl"}
 
 CFG = GenConfig(n_docs=60, n_events=400, seed=7)
 
@@ -45,16 +51,14 @@ def _snap(lake, epoch):
 
 
 def _glob(relay, fmt):
-    pat = "rookray-bin.*" if fmt == "binlog" else "pgwal-*.bin"
-    return sorted(glob.glob(os.path.join(relay, pat)))
+    return sorted(glob.glob(os.path.join(relay, GLOBS[fmt])))
 
 
 def _ingest(lake, eps, relay, fmt, down_root):
     payload = lake.payload_schema()
     down = LakeTable(down_root, CDCConfig(num_partitions=4))
     down.bootstrap(_snap(lake, eps[0]), gtid_watermark=0)
-    reader = read_binlog if fmt == "binlog" else read_pgwal
-    ds = reader(_glob(relay, fmt), payload=payload)
+    ds = READERS[fmt](_glob(relay, fmt), payload=payload)
     res = down.apply(ds.materialize())
     return down, res
 
@@ -63,7 +67,7 @@ def _state(lake):
     return lake.state_table().sort_by("doc_id")
 
 
-@pytest.mark.parametrize("fmt", ["binlog", "pgoutput"])
+@pytest.mark.parametrize("fmt", ["binlog", "pgoutput", "maxwell", "canal"])
 def test_relay_roundtrip_single_pass(tmp_path, ray_session, fmt):
     """Two composing dumps ingested in ONE pass through the real
     binary decoder reproduce the source head onto a snapshot-A
@@ -84,17 +88,19 @@ def test_relay_roundtrip_single_pass(tmp_path, ray_session, fmt):
     assert _state(down).equals(_state(lake))
 
 
-def test_pgoutput_preserves_lake_coordinates(tmp_path, ray_session):
-    """The pgoutput dialect frames each row's LSN with the lake's own
-    coordinate: decoded upsert gtids are exactly the winning _gtid of
-    the corresponding state rows, deletes ride the span watermark."""
+@pytest.mark.parametrize("fmt", ["pgoutput", "maxwell"])
+def test_coordinate_preserving_dialects(tmp_path, ray_session, fmt):
+    """pgoutput frames each row's LSN — and maxwell each record's
+    position (gtid bits above 2^40 split into the position's file
+    name) — with the lake's own coordinate: decoded upsert gtids are
+    exactly the winning _gtid of the corresponding state rows, deletes
+    ride the span watermark."""
     lake, eps = _source(tmp_path)
     relay = str(tmp_path / "relay")
-    egress.export_changefeed(lake, eps[1], eps[2], relay,
-                             fmt="pgoutput")
+    egress.export_changefeed(lake, eps[1], eps[2], relay, fmt=fmt)
     payload = lake.payload_schema()
-    events = read_pgwal(_glob(relay, "pgoutput"),
-                        payload=payload).take_all()
+    events = READERS[fmt](_glob(relay, fmt),
+                          payload=payload).take_all()
     state = {r["doc_id"]: r["_gtid"]
              for r in lake.read(include_meta=True).take_all()}
     from rookray.schema import OP_DELETE
@@ -106,34 +112,39 @@ def test_pgoutput_preserves_lake_coordinates(tmp_path, ray_session):
             assert e["gtid"] == state[e["key"]]
 
 
-def test_binlog_refuses_backward_republish(tmp_path, ray_session):
-    """Binlog coordinates are positional, so re-publishing an older
-    span into a directory holding a newer dump would invert LWW —
-    export refuses via the span floor in _BINLOG_EGRESS_STATE.json."""
+@pytest.mark.parametrize("fmt", ["binlog", "canal"])
+def test_positional_dialects_refuse_backward_republish(
+        tmp_path, ray_session, fmt):
+    """Binlog and canal coordinates are positional, so re-publishing
+    an older span into a directory holding a newer dump would invert
+    LWW — export refuses via the span floor recorded in the out dir
+    AFTER each successful dump."""
     lake, eps = _source(tmp_path)
     relay = str(tmp_path / "relay")
-    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt="binlog")
-    egress.export_changefeed(lake, eps[1], eps[2], relay, fmt="binlog")
+    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt=fmt)
+    egress.export_changefeed(lake, eps[1], eps[2], relay, fmt=fmt)
     with pytest.raises(ValueError, match="forward"):
-        egress.export_changefeed(lake, eps[0], eps[1], relay,
-                                 fmt="binlog")
-    with open(os.path.join(relay, "_BINLOG_EGRESS_STATE.json")) as f:
+        egress.export_changefeed(lake, eps[0], eps[1], relay, fmt=fmt)
+    state = f"_{fmt.upper()}_EGRESS_STATE.json"
+    with open(os.path.join(relay, state)) as f:
         floor = json.load(f)["span_hi"]
     assert floor == lake._snapshot_manifest(eps[2])["closed_watermark"]
 
 
-def test_pgoutput_republished_span_is_idempotent(tmp_path, ray_session):
-    """Coordinate preservation makes a pgoutput re-publish harmless:
-    the old span's rows re-arrive at their ORIGINAL coordinates, sort
-    below the newer dump's, and LWW-resolve identically even when the
-    whole directory is gulped in one pass."""
+@pytest.mark.parametrize("fmt", ["pgoutput", "maxwell"])
+def test_republished_span_is_idempotent(tmp_path, ray_session, fmt):
+    """Coordinate preservation makes a re-publish harmless: the old
+    span's rows re-arrive at their ORIGINAL coordinates, sort below
+    the newer dump's, and LWW-resolve identically even when the whole
+    directory is gulped in one pass (xids are per-file, so the
+    re-publish never collides with the first)."""
     lake, eps = _source(tmp_path)
     relay = str(tmp_path / "relay")
-    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt="pgoutput")
-    egress.export_changefeed(lake, eps[1], eps[2], relay, fmt="pgoutput")
-    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt="pgoutput")
+    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt=fmt)
+    egress.export_changefeed(lake, eps[1], eps[2], relay, fmt=fmt)
+    egress.export_changefeed(lake, eps[0], eps[1], relay, fmt=fmt)
 
-    down, res = _ingest(lake, eps, relay, "pgoutput",
+    down, res = _ingest(lake, eps, relay, fmt,
                         str(tmp_path / "down"))
     assert res["closed_watermark"] is not None
     assert _state(down).equals(_state(lake))
@@ -217,6 +228,31 @@ def test_cli_binary_egress_then_decode(tmp_path, ray_session, capsys):
         down = LakeTable(down_root, CDCConfig(num_partitions=4))
         down.bootstrap(_snap(lake, eps[0]), gtid_watermark=0)
         assert main([sub, "--dump", relay, "--table", down_root]) == 0
+        wired = json.loads(capsys.readouterr().out)
+        assert wired["events_applied"] == out["events"]
+        assert _state(LakeTable(down_root)).equals(_state(lake))
+
+
+def test_cli_json_egress_then_wire(tmp_path, ray_session, capsys):
+    """The JSON dialects close the same operational loop through the
+    generic decode subcommand: `rookray egress --format maxwell|canal`
+    then `rookray wire --format maxwell|canal`."""
+    from rookray.cli import main
+
+    lake, eps = _source(tmp_path)
+    for fmt in ("maxwell", "canal"):
+        relay = str(tmp_path / f"relay_{fmt}")
+        assert main(["egress", "--table", lake.root, "--out", relay,
+                     "--format", fmt, "--from-epoch", str(eps[0]),
+                     "--to-epoch", str(eps[2])]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["events"] > 0
+
+        down_root = str(tmp_path / f"down_{fmt}")
+        down = LakeTable(down_root, CDCConfig(num_partitions=4))
+        down.bootstrap(_snap(lake, eps[0]), gtid_watermark=0)
+        assert main(["wire", "--dump", relay, "--table", down_root,
+                     "--format", fmt]) == 0
         wired = json.loads(capsys.readouterr().out)
         assert wired["events_applied"] == out["events"]
         assert _state(LakeTable(down_root)).equals(_state(lake))
