@@ -502,11 +502,36 @@ def cmd_egress(args) -> int:
         return 1
     res["from_epoch"], res["to_epoch"] = from_epoch, to_epoch
     res["data_files"] = len(res["data_files"])
+    dirty = int(res.get("events", 0))
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            dirty += int(json.load(f).get("dirty_events", 0))
     if not explicit:
-        # advance the cursor only after the dump fully landed
+        # advance the cursor only after the dump fully landed; the
+        # dirty counter (history events published since the last
+        # compaction) drives the --compact-over trigger below
         with open(state_path + ".tmp", "w") as f:
-            json.dump({"last_epoch": to_epoch}, f)
+            json.dump({"last_epoch": to_epoch,
+                       "dirty_events": dirty}, f)
         os.replace(state_path + ".tmp", state_path)
+    if (args.compact_over is not None
+            and args.format in ("debezium", "avro")
+            and dirty >= args.compact_over):
+        # the Kafka log-cleaner trigger (min dirty volume): fold the
+        # accumulated history into one snapshot generation so a fresh
+        # downstream bootstrap stays O(state) however long the relay
+        # loop runs
+        from rookray.egress import compact_relay
+        c = compact_relay(args.out, fmt=args.format,
+                          num_partitions=args.partitions)
+        c.pop("workdir", None)
+        c.pop("files", None)
+        res["compacted"] = c
+        if not explicit:
+            with open(state_path + ".tmp", "w") as f:
+                json.dump({"last_epoch": to_epoch,
+                           "dirty_events": 0}, f)
+            os.replace(state_path + ".tmp", state_path)
     print(json.dumps(res))
     return 0
 
@@ -851,6 +876,14 @@ def main(argv=None) -> int:
                     help="base snapshot (default: head - 1)")
     eg.add_argument("--to-epoch", type=int, default=None,
                     help="target snapshot (default: head)")
+    eg.add_argument("--compact-over", type=int, default=None,
+                    help="auto-compact the relay directory once this "
+                         "many history events accumulate since the "
+                         "last compaction (Kafka's log-cleaner dirty "
+                         "trigger; debezium/avro only)")
+    eg.add_argument("--partitions", type=int, default=16,
+                    help="scratch-lake partition count for the "
+                         "auto-compaction LWW fold")
     eg.add_argument("--num-cpus", type=int, default=None)
     eg.set_defaults(fn=cmd_egress)
 

@@ -328,3 +328,51 @@ def test_cli_relay_compact_then_wire(tmp_path, ray_session, capsys):
     wired = json.loads(capsys.readouterr().out)
     assert wired["events_applied"] == out["events"]
     assert _state(LakeTable(down_root)).equals(_state(lake))
+
+
+def test_cli_relay_loop_auto_compacts(tmp_path, ray_session, capsys):
+    """The cron-style relay loop self-compacts: `rookray egress
+    --compact-over N` folds the directory once N history events
+    accumulate since the last compaction (Kafka's dirty-volume
+    trigger), resets the dirty counter, and the loop keeps relaying —
+    a fresh downstream ingest of the directory at any point equals
+    the source head."""
+    from rookray.cli import main
+
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "src"), CDCConfig(num_partitions=8))
+    files = meta["files"]
+    relay = str(tmp_path / "relay")
+    eps = [lake.apply(files[:2])["epoch"]]
+
+    def egress_once():
+        assert main(["egress", "--table", lake.root, "--out", relay,
+                     "--compact-over", "10"]) == 0
+        return json.loads(capsys.readouterr().out)
+
+    # first run: cursorless → publishes head-1 → head (0→0 = no-op)
+    r0 = egress_once()
+    assert r0.get("up_to_date") or r0["events"] >= 0
+
+    eps.append(lake.apply(files[:3])["epoch"])
+    r1 = egress_once()                    # publishes 0→1
+    eps.append(lake.apply(files[:4])["epoch"])
+    r2 = egress_once()                    # publishes 1→2, trips trigger
+    assert "compacted" in (r1 | r2), (r1, r2)
+    trip = r2 if "compacted" in r2 else r1
+    assert trip["compacted"]["events"] \
+        == trip["compacted"]["live_rows"] + trip["compacted"]["tombstones"]
+    assert os.path.exists(os.path.join(relay, RELAY_MANIFEST))
+    with open(os.path.join(relay, "_EGRESS_STATE.json")) as f:
+        st = json.load(f)
+    assert st["dirty_events"] == 0        # trigger reset
+    assert st["last_epoch"] == eps[-1]    # cursor still advances
+
+    # the loop keeps composing after the compaction
+    e3 = lake.apply(files)["epoch"]
+    r3 = egress_once()
+    assert "compacted" not in r3          # below the dirty threshold?
+    # (r3 may re-trip on a busy stream — only the invariant matters)
+
+    down = _ingest(lake, eps, relay, str(tmp_path / "down"))
+    assert _state(down).equals(_state(lake))
