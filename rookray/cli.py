@@ -561,6 +561,53 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """Lake→lake mirror, no wire dialect: first run against an empty
+    destination CLONES the source head (distributed bootstrap at the
+    matching watermark); subsequent runs replicate the changefeed
+    incrementally, with the cursor (last replicated source epoch) kept
+    in the destination's ``_REPLICATE_STATE.json``.  Re-running an
+    overlapping span is free — the destination watermark skips it."""
+    from rookray.egress import clone, replicate
+    from rookray.pipeline import LakeTable
+
+    _ensure_ray(args.num_cpus)
+    src = LakeTable(args.src)
+    m = src.manifest()
+    if not m:
+        print(json.dumps({"error": "empty source — nothing to replicate"}))
+        return 1
+    head = int(m["epoch"])
+    dst = LakeTable(args.dst)
+    state_path = os.path.join(args.dst, "_REPLICATE_STATE.json")
+    if not dst.manifest():
+        res = clone(src, dst)
+        res["cloned"] = True
+        cursor = head
+    else:
+        if args.from_epoch is not None:
+            cursor = args.from_epoch
+        elif os.path.exists(state_path):
+            with open(state_path) as f:
+                cursor = int(json.load(f)["last_epoch"])
+        else:
+            print(json.dumps({"error": "destination has no replicate "
+                              "cursor — pass --from-epoch to anchor"}))
+            return 1
+        to_epoch = head if args.to_epoch is None else args.to_epoch
+        if cursor >= to_epoch:
+            print(json.dumps({"from_epoch": cursor, "to_epoch": to_epoch,
+                              "up_to_date": True}))
+            return 0
+        res = replicate(src, dst, cursor, to_epoch)
+        cursor = to_epoch
+    with open(state_path + ".tmp", "w") as f:
+        json.dump({"last_epoch": cursor}, f)
+    os.replace(state_path + ".tmp", state_path)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_relay_compact(args) -> int:
     """Compact a relay out directory in place (the Kafka log-cleaner
     analog): the accumulated dump history is replaced by one snapshot
@@ -910,6 +957,21 @@ def main(argv=None) -> int:
                          "(Kafka's delete.retention analog)")
     rc.add_argument("--num-cpus", type=int, default=None)
     rc.set_defaults(fn=cmd_relay_compact)
+
+    rp = sub.add_parser("replicate", help="lake→lake mirror without a "
+                        "wire dialect: clone on first run, then "
+                        "incremental changefeed replication with a "
+                        "cursor in the destination")
+    rp.add_argument("--src", required=True, help="source lake root")
+    rp.add_argument("--dst", required=True, help="destination lake root")
+    rp.add_argument("--from-epoch", type=int, default=None,
+                    help="override the cursor (does not advance it "
+                         "past --to-epoch)")
+    rp.add_argument("--to-epoch", type=int, default=None,
+                    help="replicate up to this source epoch "
+                         "(default: head)")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_replicate)
 
     rep = sub.add_parser("repartition",
                          help="re-shard committed state to a new partition count")

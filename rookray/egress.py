@@ -54,7 +54,7 @@ import pyarrow as pa
 __all__ = ["write_debezium", "write_avro", "write_mongo",
            "write_dynamo", "write_binlog", "write_pgwal",
            "write_maxwell", "write_canal",
-           "export_changefeed",
+           "export_changefeed", "replicate", "clone",
            "relay_files", "compact_relay", "RELAY_MANIFEST"]
 
 #: "read" is Debezium's snapshot-read op (`r`): what a compacted
@@ -709,6 +709,66 @@ def write_canal(feed: "ray.data.Dataset", out_dir: str,
     return _write_binary(feed, out_dir, key_column, value_columns,
                          payload, delete_pos, db, table, server_id,
                          "canal")
+
+
+def replicate(src, dst, epoch_a: int, epoch_b: int) -> dict:
+    """In-cluster lake→lake mirror: the changefeed between two source
+    snapshots shaped into engine change events and applied DIRECTLY to
+    the downstream lake — Arrow end to end, no wire dialect, no
+    serialization.  The fast path when both lakes live in one cluster
+    (the wire dialects exist for crossing a process/network boundary).
+
+    Coordinate-preserving: upserts ride their winning ``gtid_b``,
+    deletes the span watermark, so consecutive replications compose
+    exactly like the source's own epochs, re-replicating an
+    overlapping span is free (the downstream watermark skips it), and
+    the downstream may share the source's gtid space.  Transaction
+    identity rides the same 2g/2g+1 split as the binary egress
+    dialects — unique across every span ever replicated.
+
+    The downstream must already hold a state consistent as of
+    ``epoch_a`` (a :func:`clone` bootstrap, or prior replications up
+    to that epoch)."""
+    payload = src.payload_schema()
+    key = payload.names[0]
+    value_cols = [n for n in payload.names if n != key]
+    mb = src._snapshot_manifest(epoch_b)
+    wm_b = mb["closed_watermark"]
+    if wm_b is None:
+        wm_b = mb["max_gtid_seen"]
+    table = dst.config.table
+
+    def shape(t: pa.Table) -> pa.Table:
+        return _changefeed_to_events(t, key, value_cols, payload,
+                                     int(wm_b), "rook", table, 0)
+
+    feed = src.changes_between(epoch_a, epoch_b, columns=value_cols) \
+              .map_batches(shape, batch_format="pyarrow").materialize()
+    if feed.count() == 0:
+        # a legitimate empty diff (e.g. an epoch that applied no
+        # events) — nothing to mirror
+        res = {"events_applied": 0, "closed_watermark": None,
+               "up_to_date": True}
+    else:
+        res = dst.apply(feed)
+    res["from_epoch"], res["to_epoch"] = int(epoch_a), int(epoch_b)
+    return res
+
+
+def clone(src, dst, epoch: int | None = None) -> dict:
+    """Bootstrap ``dst`` from ``src``'s committed state as of
+    ``epoch`` (default: head) at the matching watermark — the
+    initial-load half of lake→lake replication.  Subsequent
+    :func:`replicate` calls (or wire-dialect ingest sharing the gtid
+    space) continue from exactly that point."""
+    m = src._snapshot_manifest(epoch)
+    wm = m["closed_watermark"]
+    if wm is None:
+        wm = m["max_gtid_seen"]
+    snapshot = src.read(as_of=epoch)
+    res = dst.bootstrap(snapshot, gtid_watermark=int(wm))
+    res["cloned_epoch"] = int(m["epoch"])
+    return res
 
 
 def _check_forward_only(out_dir: str, fmt: str, wm_b: int) -> str:

@@ -2699,10 +2699,29 @@ def cdc_egress_canal(sf_dir: str) -> pd.DataFrame:
     return _egress_binary_roundtrip("canal")
 
 
+def cdc_replicate(sf_dir: str) -> pd.DataFrame:
+    """Lake→lake replication without a wire dialect
+    (rookray.egress.clone + replicate): the flagship lake cloned at
+    its FIRST committed snapshot (distributed bootstrap at the
+    matching watermark), then the changefeed to head shaped into
+    engine events and applied directly — Arrow end to end.  Same
+    flagship LWW oracle: the mirror must equal the source state."""
+    import tempfile
+    from rookray.egress import clone, replicate
+    from rookray.pipeline import CDCConfig, LakeTable
+    lake, eps = _three_epoch_lake()
+    dst = LakeTable(tempfile.mkdtemp(prefix="rookray_repl_"),
+                    CDCConfig(num_partitions=16))
+    clone(lake, dst, epoch=eps[0])
+    replicate(lake, dst, eps[0], eps[-1])
+    return _state_digest(dst.state_table())
+
+
 CDC_EGRESS_BINLOG_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_PGWAL_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_MAXWELL_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_CANAL_SQL = CDC_REPLAY_SEQUENCES_SQL
+CDC_REPLICATE_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
 CDC_EGRESS_DYNAMO_SQL = CDC_REPLAY_SEQUENCES_SQL
@@ -4759,6 +4778,7 @@ QUERIES = {
     "cdc_egress_pgwal": cdc_egress_pgwal,
     "cdc_egress_maxwell": cdc_egress_maxwell,
     "cdc_egress_canal": cdc_egress_canal,
+    "cdc_replicate": cdc_replicate,
 }
 
 ORACLES = {
@@ -4851,6 +4871,7 @@ ORACLES = {
     "cdc_egress_pgwal": CDC_EGRESS_PGWAL_SQL,
     "cdc_egress_maxwell": CDC_EGRESS_MAXWELL_SQL,
     "cdc_egress_canal": CDC_EGRESS_CANAL_SQL,
+    "cdc_replicate": CDC_REPLICATE_SQL,
     "decontaminate_scale": DECONTAMINATE_SCALE_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
