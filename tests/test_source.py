@@ -336,11 +336,18 @@ def test_tumbling_stream_incremental_emission(tmp_path):
     live = tmp_path / "live"
     live.mkdir()
     writer_done = threading.Event()
+    first_emit = threading.Event()
 
     def writer():
-        for f in meta["files"]:
+        for f in meta["files"][:-1]:
             shutil.copy(f, live / os.path.basename(f))
             time.sleep(0.5)
+        # hold the FINAL shard until the consumer proves incremental
+        # emission (bounded wait: a broken stream still ends the test
+        # and fails the `early` assert) — on a loaded box the executor
+        # can be starved past the writer's whole lifetime otherwise
+        first_emit.wait(60.0)
+        shutil.copy(meta["files"][-1], live / os.path.basename(meta["files"][-1]))
         (live / "_STREAM_EOF").touch()
         writer_done.set()
 
@@ -358,6 +365,7 @@ def test_tumbling_stream_incremental_emission(tmp_path):
         early = False
         for tbl in tumbling_stream(ds, window=100, ts_col="gtid",
                                    key_col="table", n_sources=2):
+            first_emit.set()
             if not writer_done.is_set():
                 early = True
             emitted.append(tbl)
@@ -403,11 +411,18 @@ def test_hopping_stream_incremental_emission(tmp_path):
     live = tmp_path / "live"
     live.mkdir()
     writer_done = threading.Event()
+    first_emit = threading.Event()
 
     def writer():
-        for f in meta["files"]:
+        for f in meta["files"][:-1]:
             shutil.copy(f, live / os.path.basename(f))
             time.sleep(0.5)
+        # hold the FINAL shard until the consumer proves incremental
+        # emission (bounded wait: a broken stream still ends the test
+        # and fails the `early` assert) — on a loaded box the executor
+        # can be starved past the writer's whole lifetime otherwise
+        first_emit.wait(60.0)
+        shutil.copy(meta["files"][-1], live / os.path.basename(meta["files"][-1]))
         (live / "_STREAM_EOF").touch()
         writer_done.set()
 
@@ -421,6 +436,7 @@ def test_hopping_stream_incremental_emission(tmp_path):
         early = False
         for tbl in hopping_stream(ds, window=100, hop=50, ts_col="gtid",
                                   key_col="table", n_sources=2):
+            first_emit.set()
             if not writer_done.is_set():
                 early = True
             emitted.append(tbl)
@@ -465,11 +481,18 @@ def test_session_stream_incremental_emission(tmp_path):
     live = tmp_path / "live"
     live.mkdir()
     writer_done = threading.Event()
+    first_emit = threading.Event()
 
     def writer():
-        for f in meta["files"]:
+        for f in meta["files"][:-1]:
             shutil.copy(f, live / os.path.basename(f))
             time.sleep(0.5)
+        # hold the FINAL shard until the consumer proves incremental
+        # emission (bounded wait: a broken stream still ends the test
+        # and fails the `early` assert) — on a loaded box the executor
+        # can be starved past the writer's whole lifetime otherwise
+        first_emit.wait(60.0)
+        shutil.copy(meta["files"][-1], live / os.path.basename(meta["files"][-1]))
         (live / "_STREAM_EOF").touch()
         writer_done.set()
 
@@ -484,6 +507,7 @@ def test_session_stream_incremental_emission(tmp_path):
         early = False
         for tbl in session_stream(ds, gap=GAP, ts_col="gtid",
                                   key_col="key", n_sources=2):
+            first_emit.set()
             if not writer_done.is_set():
                 early = True
             emitted.append(tbl)
@@ -531,11 +555,18 @@ def test_socket_stream_windows_and_exactly_once(tmp_path):
     # --- live windowed consumption overlapping production
     srv = ChangeStreamServer()
     done = threading.Event()
+    first_emit = threading.Event()
 
     def producer():
-        for f in meta["files"]:
+        for f in meta["files"][:-1]:
             srv.push(pq.read_table(f))
             time.sleep(0.5)
+        # hold the FINAL batch until the consumer proves incremental
+        # emission (bounded: a broken stream still ends the test and
+        # fails the `early` assert) — load-proofing, see the tumbling
+        # file-tail test
+        first_emit.wait(60.0)
+        srv.push(pq.read_table(meta["files"][-1]))
         srv.close()
         done.set()
 
@@ -548,6 +579,7 @@ def test_socket_stream_windows_and_exactly_once(tmp_path):
         emitted, early = [], False
         for tbl in tumbling_stream(ds, window=100, ts_col="gtid",
                                    key_col="table", n_sources=1):
+            first_emit.set()
             if not done.is_set():
                 early = True
             emitted.append(tbl)
