@@ -105,3 +105,51 @@ def test_all_dialects_relay_fuzz(tmp_path_factory, ray_session):
                 == want.column(c).to_pylist(), (fmt, c)
 
     run()
+
+
+def test_compaction_interleaved_with_publishing_fuzz(tmp_path_factory,
+                                                     ray_session):
+    """Log-cleaner property: for ANY stream shape, compaction run at
+    ANY point between publishes — including twice, or never — leaves a
+    directory whose fresh ingest equals the source head."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rookray.egress import compact_relay, relay_files
+    from rookray.wire import read_debezium
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 2**31 - 1),
+           n_docs=st.integers(3, 40),
+           n_events=st.integers(60, 300),
+           compact_after=st.sets(st.integers(0, 3)))
+    def run(seed, n_docs, n_events, compact_after):
+        tmp = tmp_path_factory.mktemp("cmp_fuzz")
+        cfg = GenConfig(seed=seed, n_docs=n_docs, n_events=n_events)
+        meta = write_shards(cfg, str(tmp / "s"), n_shards=6)
+        lake = LakeTable(str(tmp / "lake"), CDCConfig(num_partitions=4))
+        files = meta["files"]
+        eps = [lake.apply(files[:k])["epoch"] for k in (2, 3, 4, 5, 6)]
+
+        relay = str(tmp / "relay")
+        for i, (a, b) in enumerate(zip(eps, eps[1:])):
+            egress.export_changefeed(lake, a, b, relay)
+            if i in compact_after:
+                compact_relay(relay)
+
+        payload = lake.payload_schema()
+        down = LakeTable(str(tmp / "down"), CDCConfig(num_partitions=4))
+        down.bootstrap(_payload_state(lake, eps[0]), gtid_watermark=0)
+        live = relay_files(relay)
+        if live:
+            down.apply(read_debezium(live, tx_topic=None,
+                                     payload=payload).materialize())
+        got = _payload_state(down, None)
+        want = _payload_state(lake, eps[-1])
+        assert got.num_rows == want.num_rows
+        for c in payload.names:
+            assert got.column(c).to_pylist() \
+                == want.column(c).to_pylist(), c
+
+    run()
