@@ -743,8 +743,12 @@ def replicate(src, dst, epoch_a: int, epoch_b: int) -> dict:
                                      int(wm_b), "rook", table, 0)
 
     feed = src.changes_between(epoch_a, epoch_b, columns=value_cols) \
-              .map_batches(shape, batch_format="pyarrow").materialize()
-    if feed.count() == 0:
+              .map_batches(shape, batch_format="pyarrow")
+    # emptiness probe via limit pushdown — the diff itself stays lazy
+    # (changes_between is partition-local parquet reads, cheap to
+    # re-execute; materializing it would pin an O(diff) span in the
+    # object store for nothing)
+    if not feed.limit(1).take(1):
         # a legitimate empty diff (e.g. an epoch that applied no
         # events) — nothing to mirror
         res = {"events_applied": 0, "closed_watermark": None,
@@ -1108,17 +1112,38 @@ def compact_relay(relay_dir: str, fmt: str = "debezium",
         registry = os.path.join(relay_dir, "registry.json")
         payload = payload or infer_payload_avro(registry)
         ds = read_avro(files, registry, tx_topic=None, payload=payload)
-    ds = ds.materialize()  # feeds the LWW fold AND the tombstone pass
-    first = ds.take(1)[0]
-    db, table = str(first["db"]), str(first["table"])
     key = payload.names[0]
     value_cols = [n for n in payload.names if n != key]
 
     work = workdir or tempfile.mkdtemp(prefix="rookray_compact_")
+    # ONE streaming decode pass spills the history as columnar parquet
+    # shards under the workdir instead of pinning the whole decoded
+    # history in the object store (compressed parquet is a fraction of
+    # the in-memory Arrow size, and a 100 TB history must not live in
+    # /dev/shm): the LWW fold then rides apply()'s shard fast path
+    # (footer-statistics watermark, pruned column reads) and the
+    # tombstone pass re-reads only its five columns — no stage holds
+    # O(history) in memory.
+    import pyarrow.parquet as _pq
+
+    hist_dir = os.path.join(work, "history")
+    ds.write_parquet(hist_dir)
+    shards = sorted(_glob.glob(os.path.join(hist_dir, "*.parquet")))
+    head = None
+    for p in shards:
+        t = _pq.read_table(p, columns=["db", "table"])
+        if t.num_rows:
+            head = t
+            break
+    if head is None:
+        return {"events": 0, "files": len(files), "tombstones": 0,
+                "generation": gen - 1, "up_to_date": True}
+    db, table = str(head["db"][0]), str(head["table"][0])
+
     lake = LakeTable(os.path.join(work, "lake"),
                      CDCConfig(table=table,
                                num_partitions=num_partitions))
-    lake.apply(ds)
+    lake.apply(shards)
     live_rows = sum(int(p["rows"])
                     for p in lake.manifest()["partitions"].values())
 
@@ -1160,11 +1185,13 @@ def compact_relay(relay_dir: str, fmt: str = "debezium",
     feed = lake.read(include_meta=True).map_batches(
         state_to_feed, batch_format="pyarrow")
     if keep_tombstones:
-        tomb = (ds.map_batches(_delete_winners, batch_format="pyarrow")
-                  .map_batches(_TombstoneFeed(
-                      lake.root, value_cols, fschema,
-                      drop_tombstones_below),
-                      batch_format="pyarrow", concurrency=2))
+        hist = ray.data.read_parquet(
+            shards, columns=["op", "key", "gtid", "tx_id", "before"])
+        tomb = (hist.map_batches(_delete_winners, batch_format="pyarrow")
+                    .map_batches(_TombstoneFeed(
+                        lake.root, value_cols, fschema,
+                        drop_tombstones_below),
+                        batch_format="pyarrow", concurrency=2))
         feed = feed.union(tomb)
 
     prefix = f"snap-{gen:06d}"
