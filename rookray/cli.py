@@ -444,6 +444,36 @@ def cmd_pgwal(args) -> int:
                                    n_all, len(paths), {})
 
 
+def cmd_snapshot(args) -> int:
+    """Debezium's *initial snapshot* analog, outbound: publish the
+    lake's committed state (default: head) as a dump of snapshot-read
+    envelopes (op ``r``), one per live key at its original winning
+    coordinate — the bootstrap half of wire-based replication.  When
+    the out directory carries no egress cursor yet, one is seeded at
+    the snapshot epoch so a following ``egress`` run relays
+    incrementally from exactly this point."""
+    from rookray.egress import export_snapshot
+    from rookray.pipeline import LakeTable
+
+    _ensure_ray(args.num_cpus)
+    lake = LakeTable(args.table)
+    if not lake.manifest():
+        print(json.dumps({"error": "empty table — nothing to snapshot"}))
+        return 1
+    res = export_snapshot(lake, args.out, fmt=args.format,
+                          epoch=args.epoch)
+    res["data_files"] = len(res["data_files"])
+    state_path = os.path.join(args.out, "_EGRESS_STATE.json")
+    if not os.path.exists(state_path):
+        with open(state_path + ".tmp", "w") as f:
+            json.dump({"last_epoch": int(res["snapshot_epoch"]),
+                       "dirty_events": 0}, f)
+        os.replace(state_path + ".tmp", state_path)
+        res["cursor_seeded"] = True
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_egress(args) -> int:
     """CDC egress (the relay direction): publish the changefeed
     between two committed snapshots as a Debezium-JSON dump any
@@ -900,6 +930,21 @@ def main(argv=None) -> int:
                          "(default: <table>/_fanout)")
     pg.add_argument("--num-cpus", type=int, default=None)
     pg.set_defaults(fn=cmd_pgwal)
+
+    sn = sub.add_parser("snapshot", help="publish the lake's committed "
+                        "state as a wire-format snapshot dump (op=r "
+                        "envelopes — the initial-snapshot bootstrap "
+                        "half of wire replication)")
+    sn.add_argument("--table", required=True)
+    sn.add_argument("--out", required=True,
+                    help="output directory for the dump files")
+    sn.add_argument("--format", default="debezium",
+                    choices=["debezium", "avro", "mongo", "dynamo",
+                             "binlog", "pgoutput", "maxwell", "canal"])
+    sn.add_argument("--epoch", type=int, default=None,
+                    help="snapshot epoch (default: head)")
+    sn.add_argument("--num-cpus", type=int, default=None)
+    sn.set_defaults(fn=cmd_snapshot)
 
     eg = sub.add_parser("egress", help="publish the changefeed between "
                         "two committed snapshots as a Debezium dump "

@@ -54,7 +54,7 @@ import pyarrow as pa
 __all__ = ["write_debezium", "write_avro", "write_mongo",
            "write_dynamo", "write_binlog", "write_pgwal",
            "write_maxwell", "write_canal",
-           "export_changefeed", "replicate", "clone",
+           "export_changefeed", "export_snapshot", "replicate", "clone",
            "relay_files", "compact_relay", "RELAY_MANIFEST"]
 
 #: "read" is Debezium's snapshot-read op (`r`): what a compacted
@@ -253,7 +253,10 @@ def write_avro(feed: "ray.data.Dataset", out_dir: str,
     return d
 
 
-_MONGO_OP = {"insert": "insert", "update": "update", "delete": "delete"}
+#: a change stream has no snapshot-read op — a snapshot restatement
+#: (export_snapshot) simply rides as an insert, which decodes the same
+_MONGO_OP = {"insert": "insert", "read": "insert",
+             "update": "update", "delete": "delete"}
 
 
 def _shifted_coord_fn(feed: "ray.data.Dataset", key_column: str,
@@ -351,7 +354,8 @@ def write_mongo(feed: "ray.data.Dataset", out_dir: str,
         }
         if change != "delete":
             rec["fullDocument"] = _image(r, key_column, names, "b")
-        if change != "insert":  # pre-images enabled: full before image
+        if change not in ("insert", "read"):
+            # pre-images enabled: full before image (reads have none)
             rec["fullDocumentBeforeChange"] = _image(r, key_column,
                                                      names, "a")
         return g, rec
@@ -365,7 +369,9 @@ def write_mongo(feed: "ray.data.Dataset", out_dir: str,
                        make_record=make_record, prefix="mongo")
 
 
-_DDB_OP = {"insert": "INSERT", "update": "MODIFY", "delete": "REMOVE"}
+#: streams have no snapshot-read event either — see _MONGO_OP
+_DDB_OP = {"insert": "INSERT", "read": "INSERT",
+           "update": "MODIFY", "delete": "REMOVE"}
 
 
 def write_dynamo(feed: "ray.data.Dataset", out_dir: str,
@@ -403,7 +409,7 @@ def write_dynamo(feed: "ray.data.Dataset", out_dir: str,
         }
         if change != "delete":
             dyn["NewImage"] = ddb_image(_image(r, key_column, names, "b"))
-        if change != "insert":
+        if change not in ("insert", "read"):   # reads have no before
             dyn["OldImage"] = ddb_image(_image(r, key_column, names, "a"))
         rec = {"eventID": f"{g:032x}", "eventName": _DDB_OP[change],
                "eventVersion": "1.1", "eventSource": "aws:dynamodb",
@@ -881,6 +887,124 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     return d
 
 
+def _state_to_feed_fn(key: str, value_cols: list[str],
+                      fschema: pa.Schema):
+    """Batch fn: committed lake state (read with ``include_meta=True``
+    so ``_gtid`` rides along) → changefeed-shaped snapshot-read rows —
+    ``change = "read"`` (Debezium's snapshot op ``r``: decodes as an
+    INSERT but marks the row as a state restatement), each key at its
+    ORIGINAL winning coordinate, ``gtid_d = -1`` (no delete side).
+    The shared kernel of relay compaction's snapshot generation and
+    :func:`export_snapshot`."""
+
+    def state_to_feed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict[str, pa.Array] = {
+            "doc_id": t.column(key).combine_chunks(),
+            "change": pa.array(["read"] * n, pa.string()),
+            "gtid_a": pa.array([-1] * n, pa.int64()),
+            "gtid_b": t.column("_gtid").combine_chunks().cast(
+                pa.int64()),
+        }
+        for c in value_cols:
+            typ = fschema.field(f"{c}_a").type
+            if c in t.schema.names:
+                arr = t.column(c).combine_chunks()
+                if arr.type != typ:
+                    arr = arr.cast(typ)
+            else:
+                # additive evolution: a historical (as_of) snapshot can
+                # predate this column entirely — its value then is
+                # genuinely null (the present side's nulls are real
+                # nulls; -1 sentinels mark ABSENT sides only)
+                arr = pa.nulls(n, typ)
+            cols[f"{c}_b"] = arr
+            cols[f"{c}_a"] = (pa.array([-1] * n, typ)
+                              if pa.types.is_integer(typ)
+                              else pa.nulls(n, typ))
+        cols["gtid_d"] = pa.array([-1] * n, pa.int64())
+        return pa.table({f.name: cols[f.name] for f in fschema},
+                        schema=fschema)
+
+    return state_to_feed
+
+
+def export_snapshot(lake, out_dir: str, fmt: str = "debezium",
+                    epoch: int | None = None,
+                    server_name: str = "rookray") -> dict:
+    """Debezium's *initial snapshot* analog, outbound: publish the
+    lake's committed state as of ``epoch`` (default head) as a
+    wire-format dump of snapshot-read envelopes (op ``r``) — one per
+    live key, each at its ORIGINAL winning coordinate (the committed
+    ``_gtid``), produced in ONE partition-local pass over the state
+    (no shuffle, no history decode, nothing on the driver).
+
+    The bootstrap half of wire-based replication: a fresh downstream
+    ingests the dump with the ordinary reader and reaches exactly the
+    source state, and ``export_changefeed`` dumps published afterwards
+    from the same source compose on top — their coordinates all lie
+    above the snapshot watermark this call records in its result (and,
+    for a shared out dir, a single wholesale-glob ingest pass stays
+    correct: snapshot rows carry ``tx = gtid_b`` and later deletes
+    ``-(gtid_a + 2)``, disjoint as always).  Unlike :func:`clone` this
+    crosses a process/network boundary; unlike replaying a relay kept
+    since epoch 0 it costs O(state), not O(history).
+
+    All eight dialects are supported.  binlog/canal out dirs stay
+    forward-only (the snapshot records the span floor, so an older
+    incremental span cannot be published above it); mongo/dynamo
+    snapshot tokens ride the same 1-bit-shifted space as their
+    incremental dumps (``wm_a = 0`` — a snapshot carries no deletes,
+    so the delete-budget guard is vacuous) and compose identically."""
+    from rookray.pipeline import _changefeed_schema
+
+    payload = lake.payload_schema()
+    key = payload.names[0]
+    value_cols = [n for n in payload.names if n != key]
+    types = {f.name: f.type for f in payload}
+    fschema = _changefeed_schema(value_cols, types).append(
+        pa.field("gtid_d", pa.int64()))
+    m = lake._snapshot_manifest(epoch)
+    wm = m["closed_watermark"]
+    if wm is None:
+        wm = m["max_gtid_seen"]
+    wm = int(wm)
+    feed = lake.read(include_meta=True, as_of=epoch).map_batches(
+        _state_to_feed_fn(key, value_cols, fschema),
+        batch_format="pyarrow")
+    table = lake.config.table
+    if fmt == "debezium":
+        d = write_debezium(feed, out_dir, key, value_cols,
+                           delete_pos=wm, db="rook", table=table,
+                           server_id=0, server_name=server_name)
+    elif fmt == "avro":
+        d = write_avro(feed, out_dir, key, value_cols, delete_pos=wm,
+                       payload=payload, db="rook", table=table,
+                       server_id=0, server_name=server_name)
+    elif fmt == "mongo":
+        d = write_mongo(feed, out_dir, key, value_cols,
+                        wm_a=0, wm_b=wm, db="rook", table=table)
+    elif fmt == "dynamo":
+        d = write_dynamo(feed, out_dir, key, value_cols,
+                         wm_a=0, wm_b=wm, table=table)
+    elif fmt in ("binlog", "canal"):
+        state_path = _check_forward_only(out_dir, fmt, wm)
+        writer = write_binlog if fmt == "binlog" else write_canal
+        d = writer(feed, out_dir, key, value_cols, delete_pos=wm,
+                   payload=payload, db="rook", table=table)
+        _record_span_floor(state_path, wm)
+    elif fmt in ("pgoutput", "maxwell"):
+        writer = write_pgwal if fmt == "pgoutput" else write_maxwell
+        d = writer(feed, out_dir, key, value_cols, delete_pos=wm,
+                   payload=payload, db="rook", table=table)
+    else:
+        raise ValueError(f"unknown egress format {fmt!r}")
+    d["payload"] = payload.names
+    d["snapshot_epoch"] = int(m["epoch"])
+    d["watermark"] = wm
+    return d
+
+
 # ---------------------------------------------------------------------------
 # Relay compaction — the Kafka log-cleaner analog for a relay directory.
 # ---------------------------------------------------------------------------
@@ -1151,39 +1275,15 @@ def compact_relay(relay_dir: str, fmt: str = "debezium",
     fschema = _changefeed_schema(value_cols, types).append(
         pa.field("gtid_d", pa.int64()))
 
-    def state_to_feed(t: pa.Table) -> pa.Table:
-        # live state → changefeed-shaped insert rows: each key at its
-        # ORIGINAL winning coordinate (the committed `_gtid`), so the
-        # snapshot generation keeps composing with dumps published
-        # after the compaction (their coordinates all sort above)
-        n = t.num_rows
-        cols: dict[str, pa.Array] = {
-            "doc_id": t.column(key).combine_chunks(),
-            # Debezium's snapshot-read op: decodes as an INSERT but
-            # marks the row as a state restatement, not a fresh change
-            "change": pa.array(["read"] * n, pa.string()),
-            "gtid_a": pa.array([-1] * n, pa.int64()),
-            "gtid_b": t.column("_gtid").combine_chunks().cast(
-                pa.int64()),
-        }
-        for c in value_cols:
-            typ = fschema.field(f"{c}_a").type
-            arr = t.column(c).combine_chunks()
-            if arr.type != typ:
-                arr = arr.cast(typ)
-            cols[f"{c}_b"] = arr
-            cols[f"{c}_a"] = (pa.array([-1] * n, typ)
-                              if pa.types.is_integer(typ)
-                              else pa.nulls(n, typ))
-        cols["gtid_d"] = pa.array([-1] * n, pa.int64())
-        return pa.table({f.name: cols[f.name] for f in fschema},
-                        schema=fschema)
-
     # one partition-local pass over the folded state — NOT
     # changes_between: the scratch lake has a single committed epoch
-    # (its first epoch is 0; there is no earlier snapshot to diff)
+    # (its first epoch is 0; there is no earlier snapshot to diff).
+    # Each live key re-emits at its ORIGINAL winning coordinate, so
+    # the snapshot generation keeps composing with dumps published
+    # after the compaction (their coordinates all sort above).
     feed = lake.read(include_meta=True).map_batches(
-        state_to_feed, batch_format="pyarrow")
+        _state_to_feed_fn(key, value_cols, fschema),
+        batch_format="pyarrow")
     if keep_tombstones:
         hist = ray.data.read_parquet(
             shards, columns=["op", "key", "gtid", "tx_id", "before"])

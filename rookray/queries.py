@@ -2717,11 +2717,42 @@ def cdc_replicate(sf_dir: str) -> pd.DataFrame:
     return _state_digest(dst.state_table())
 
 
+def cdc_snapshot_bootstrap(sf_dir: str) -> pd.DataFrame:
+    """Debezium's *initial snapshot* analog, outbound
+    (rookray.egress.export_snapshot): the flagship lake's FIRST
+    committed snapshot published as a dump of snapshot-read envelopes
+    (op=r, each live key at its ORIGINAL winning coordinate, one
+    partition-local pass — no history decode), the remaining epochs
+    published as an ordinary incremental changefeed dump into the SAME
+    directory, and a COMPLETELY FRESH downstream — no lake-side clone,
+    no bootstrap() — ingesting the whole directory in one
+    read_debezium pass.  Same flagship LWW oracle: wire-only bootstrap
+    + relay must reach the source state exactly."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    from rookray import egress
+    from rookray.pipeline import CDCConfig, LakeTable
+    from rookray.wire import read_debezium
+    lake, eps = _three_epoch_lake()
+    out = tempfile.mkdtemp(prefix="rookray_snap_")
+    egress.export_snapshot(lake, out, epoch=eps[0])
+    egress.export_changefeed(lake, eps[0], eps[-1], out)
+    payload = lake.payload_schema()
+    files = sorted(_glob.glob(_os.path.join(out, "data-*.jsonl")))
+    down = LakeTable(tempfile.mkdtemp(prefix="rookray_snpl_"),
+                     CDCConfig(num_partitions=16))
+    down.apply(read_debezium(files, tx_topic=None,
+                             payload=payload).materialize())
+    return _state_digest(down.state_table())
+
+
 CDC_EGRESS_BINLOG_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_PGWAL_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_MAXWELL_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_EGRESS_CANAL_SQL = CDC_REPLAY_SEQUENCES_SQL
 CDC_REPLICATE_SQL = CDC_REPLAY_SEQUENCES_SQL
+CDC_SNAPSHOT_BOOTSTRAP_SQL = CDC_REPLAY_SEQUENCES_SQL
 
 
 CDC_EGRESS_DYNAMO_SQL = CDC_REPLAY_SEQUENCES_SQL
@@ -4779,6 +4810,7 @@ QUERIES = {
     "cdc_egress_maxwell": cdc_egress_maxwell,
     "cdc_egress_canal": cdc_egress_canal,
     "cdc_replicate": cdc_replicate,
+    "cdc_snapshot_bootstrap": cdc_snapshot_bootstrap,
 }
 
 ORACLES = {
@@ -4872,6 +4904,7 @@ ORACLES = {
     "cdc_egress_maxwell": CDC_EGRESS_MAXWELL_SQL,
     "cdc_egress_canal": CDC_EGRESS_CANAL_SQL,
     "cdc_replicate": CDC_REPLICATE_SQL,
+    "cdc_snapshot_bootstrap": CDC_SNAPSHOT_BOOTSTRAP_SQL,
     "decontaminate_scale": DECONTAMINATE_SCALE_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
