@@ -1099,11 +1099,11 @@ class _TombstoneFeed:
         if t.num_rows == 0:
             return self.schema.empty_table()
         keys = t.column("key").to_pylist()
-        live = set(self.lake.lookup(keys).column(
-            self.lake.payload_schema().names[0]).to_pylist())
-        if live:
-            dead = pa.array([k not in live for k in keys], pa.bool_())
-            t = t.filter(dead)
+        live = self.lake.lookup(keys).column(
+            self.lake.payload_schema().names[0])
+        if len(live):
+            t = t.filter(pc.invert(pc.is_in(
+                t.column("key"), value_set=live.combine_chunks())))
         n = t.num_rows
         if n == 0:
             return self.schema.empty_table()
