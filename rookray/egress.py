@@ -1264,8 +1264,14 @@ def compact_relay(relay_dir: str, fmt: str = "debezium",
                 "generation": gen - 1, "up_to_date": True}
     db, table = str(head["db"][0]), str(head["table"][0])
 
+    # tx_atomic=False: every relay envelope is a singleton transaction
+    # by dialect construction (a snapshot diff has no tx structure to
+    # restate), so the tx-completeness watermark is vacuous here — and
+    # the spilled history's coordinates are SPARSE (only changed keys),
+    # which the footer-stats watermark would punt to a scanning pass
+    # for nothing
     lake = LakeTable(os.path.join(work, "lake"),
-                     CDCConfig(table=table,
+                     CDCConfig(table=table, tx_atomic=False,
                                num_partitions=num_partitions))
     lake.apply(shards)
     live_rows = sum(int(p["rows"])

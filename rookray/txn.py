@@ -225,7 +225,17 @@ def closed_watermark_from_stats(paths: list[str], floor: int = -1):
     cur = start - 1
     for a, b in sorted(spans):
         if a > cur + 1:
-            break
+            # cross-shard coordinate gap.  Footer statistics cannot
+            # tell a coordinate that NEVER EXISTED (a sparse stream —
+            # e.g. a relay diff or recorded binlog offsets spilled to
+            # parquet) from a not-yet-presented shard carrying a
+            # transaction's tail; treating the gap as "unreached"
+            # under-closes a sparse stream FOREVER (events above the
+            # gap held back on every replay).  Only the scanning
+            # path's per-tx sequence arithmetic can decide — fall
+            # back.  Dense epochs (the common case this fast path
+            # exists for) have no cross-shard gaps and never pay this.
+            return None
         cur = max(cur, b)
     if cur < start:
         return max(floor, cur), max_gtid  # nothing newly covered

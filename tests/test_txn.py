@@ -54,15 +54,43 @@ def test_fast_path_fresh_midstream_holds_back(stream):
 
 
 def test_fast_path_gap_detected(stream, tmp_path):
-    """A coverage gap stops the watermark at the gap."""
+    """A cross-shard coverage gap makes the fast path PUNT (None →
+    scanning fallback): footer stats cannot distinguish a coordinate
+    that never existed (sparse stream) from a missing shard carrying a
+    transaction's tail, and treating the gap as unreached under-closes
+    a sparse stream forever."""
     _, meta = stream
     paths = [meta["files"][0], meta["files"][2]]  # shard 1 missing
-    fast = txn.closed_watermark_from_stats(paths, -1)
+    assert txn.closed_watermark_from_stats(paths, -1) is None
+    # the scanning path decides per-tx: a tx-aligned cut closes past
+    # the gap, a mid-tx cut holds back just that tx
     slow = scan_wm(paths, -1)
-    # scanning path only checks tx completeness, so it can jump the gap
-    # if the cut is tx-aligned; the fast path never advances over a gap
-    end_of_first = txn.closed_watermark_from_stats(paths[:1], -1)[0]
-    assert fast[0] <= end_of_first
+    assert slow[0] >= -1
+
+
+def test_fast_path_sparse_singletons_fall_back_and_scan_closes(tmp_path):
+    """Regression (found by the relay-compaction fuzz): a SPARSE
+    singleton-tx stream spilled across several individually-dense
+    shards — e.g. coordinates [34], [36, 37] — must not wedge at the
+    phantom gap.  The fast path punts; the scanning path closes at the
+    max coordinate."""
+    import ray.data
+
+    def shard(path, gtids):
+        n = len(gtids)
+        pq.write_table(pa.table({
+            "gtid": pa.array(gtids, pa.int64()),
+            "tx_id": pa.array(gtids, pa.int64()),
+            "seq_in_tx": pa.array([0] * n, pa.int32()),
+            "tx_events": pa.array([1] * n, pa.int32()),
+        }), path)
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    shard(p1, [34])
+    shard(p2, [36, 37])
+    assert txn.closed_watermark_from_stats([p1, p2], -1) is None
+    wm, mx = scan_wm([p1, p2], -1)
+    assert (wm, mx) == (37, 37)
 
 
 def test_fast_path_falls_back_on_non_dense(tmp_path):
