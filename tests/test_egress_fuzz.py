@@ -153,3 +153,48 @@ def test_compaction_interleaved_with_publishing_fuzz(tmp_path_factory,
                 == want.column(c).to_pylist(), c
 
     run()
+
+
+def test_snapshot_bootstrap_fuzz(tmp_path_factory, ray_session):
+    """Initial-snapshot property: for ANY stream shape, ANY snapshot
+    epoch, and EVERY dialect, a COMPLETELY FRESH downstream (no
+    lake-side clone or bootstrap) ingesting the snapshot dump plus the
+    remaining incremental dumps in one pass equals the source head.
+    The positional dialects (binlog/canal) publish snapshot-then-
+    incremental in file-number order, the coordinate-preserving and
+    shifted-token dialects compose by coordinate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 2**31 - 1),
+           n_docs=st.integers(3, 40),
+           n_events=st.integers(40, 300),
+           fmt=st.sampled_from(DIALECTS),
+           snap_at=st.integers(0, 2))
+    def run(seed, n_docs, n_events, fmt, snap_at):
+        tmp = tmp_path_factory.mktemp("snap_fuzz")
+        cfg = GenConfig(seed=seed, n_docs=n_docs, n_events=n_events)
+        meta = write_shards(cfg, str(tmp / "s"), n_shards=6)
+        lake = LakeTable(str(tmp / "lake"), CDCConfig(num_partitions=4))
+        files = meta["files"]
+        eps = [lake.apply(files[:k])["epoch"] for k in (2, 4, 6)]
+
+        relay = str(tmp / "relay")
+        egress.export_snapshot(lake, relay, fmt=fmt,
+                               epoch=eps[snap_at])
+        for a, b in zip(eps[snap_at:], eps[snap_at + 1:]):
+            egress.export_changefeed(lake, a, b, relay, fmt=fmt)
+
+        payload = lake.payload_schema()
+        down = LakeTable(str(tmp / "down"), CDCConfig(num_partitions=4))
+        down.apply(_reader(fmt, relay, payload).materialize())
+        got = _payload_state(down, None)
+        want = _payload_state(lake, eps[-1])
+        assert got.num_rows == want.num_rows, fmt
+        for c in payload.names:
+            assert got.column(c).to_pylist() \
+                == want.column(c).to_pylist(), (fmt, c)
+
+    run()
