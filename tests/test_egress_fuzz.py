@@ -198,3 +198,53 @@ def test_snapshot_bootstrap_fuzz(tmp_path_factory, ray_session):
                 == want.column(c).to_pylist(), (fmt, c)
 
     run()
+
+
+def test_replicate_chain_fuzz(tmp_path_factory, ray_session):
+    """Lake→lake replication property: for ANY stream shape, clone at
+    ANY epoch, then replicate the remaining spans in ANY chaining
+    (one hop per epoch, or one big span), with a random OVERLAP
+    re-replication thrown in — the mirror equals the source head.
+    Exercises the 2g/2g+1 transaction-identity split, delete
+    coordinates at span watermarks, and watermark-skipped overlaps."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rookray.egress import clone, replicate
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 2**31 - 1),
+           n_docs=st.integers(3, 40),
+           n_events=st.integers(40, 300),
+           clone_at=st.integers(0, 2),
+           hop=st.booleans(),
+           re_span=st.booleans())
+    def run(seed, n_docs, n_events, clone_at, hop, re_span):
+        tmp = tmp_path_factory.mktemp("repl_fuzz")
+        cfg = GenConfig(seed=seed, n_docs=n_docs, n_events=n_events)
+        meta = write_shards(cfg, str(tmp / "s"), n_shards=6)
+        lake = LakeTable(str(tmp / "lake"), CDCConfig(num_partitions=4))
+        files = meta["files"]
+        eps = [lake.apply(files[:k])["epoch"] for k in (2, 4, 6)]
+
+        dst = LakeTable(str(tmp / "mirror"), CDCConfig(num_partitions=4))
+        clone(lake, dst, epoch=eps[clone_at])
+        spans = list(zip(eps[clone_at:], eps[clone_at + 1:]))
+        if not hop and spans:
+            spans = [(spans[0][0], spans[-1][1])]
+        for a, b in spans:
+            replicate(lake, dst, a, b)
+        if re_span and spans:
+            # overlap re-replication: watermark-skipped, state unchanged
+            replicate(lake, dst, *spans[-1])
+
+        got = _payload_state(dst, None)
+        want = _payload_state(lake, eps[-1])
+        payload = lake.payload_schema()
+        assert got.num_rows == want.num_rows
+        for c in payload.names:
+            assert got.column(c).to_pylist() \
+                == want.column(c).to_pylist(), c
+
+    run()
