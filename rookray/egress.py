@@ -969,6 +969,18 @@ def export_snapshot(lake, out_dir: str, fmt: str = "debezium",
     if wm is None:
         wm = m["max_gtid_seen"]
     wm = int(wm)
+    mpath = os.path.join(out_dir, RELAY_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            mfloor = int(json.load(f).get("floor", 0))
+        if wm <= mfloor:
+            raise ValueError(
+                f"relay at {out_dir} is compacted with floor {mfloor} "
+                f">= the snapshot watermark {wm}: the snapshot's files "
+                "would sort below the manifest floor and be invisible "
+                "to relay_files — the compacted generation already "
+                "restates this state; bootstrap downstreams from the "
+                "relay itself, or publish into a fresh out dir")
     feed = lake.read(include_meta=True, as_of=epoch).map_batches(
         _state_to_feed_fn(key, value_cols, fschema),
         batch_format="pyarrow")

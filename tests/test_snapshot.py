@@ -159,6 +159,21 @@ def test_snapshot_binlog_forward_only(tmp_path, ray_session):
         egress.export_snapshot(lake, out, fmt="binlog", epoch=e0)
 
 
+def test_snapshot_into_compacted_relay_refused(tmp_path, ray_session):
+    """A snapshot published into an already-compacted relay whose floor
+    is at or above the snapshot watermark would write files INVISIBLE
+    to relay_files (below-floor exclusion) — refused loudly; the
+    compacted generation already restates that state."""
+    from rookray.egress import compact_relay
+
+    lake, e0, e1 = _two_epoch_lake(tmp_path)
+    out = str(tmp_path / "relay")
+    egress.export_changefeed(lake, e0, e1, out)
+    compact_relay(out)
+    with pytest.raises(ValueError, match="floor"):
+        egress.export_snapshot(lake, out, epoch=e0)
+
+
 def test_cli_snapshot_seeds_egress_cursor(tmp_path, ray_session,
                                           capsys):
     """`rookray snapshot` seeds the out dir's egress cursor at the
