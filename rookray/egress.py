@@ -1063,10 +1063,17 @@ def relay_files(relay_dir: str, fmt: str = "debezium") -> list[str]:
     import glob as _glob
     ext = _RELAY_EXT.get(fmt)
     if ext is None:
+        why = ("its egress rides a 1-bit-shifted token space that "
+               "does not survive re-export"
+               if fmt in ("mongo", "dynamo") else
+               "its file names carry no coordinate range, so the "
+               "manifest's floor exclusion cannot distinguish old "
+               "from new dumps"
+               if fmt in ("binlog", "pgoutput", "maxwell", "canal")
+               else "it is not an egress dialect")
         raise ValueError(
             f"relay compaction supports formats {sorted(_RELAY_EXT)}, "
-            f"not {fmt!r} (mongo/dynamo egress rides a shifted "
-            "coordinate space that does not survive re-export)")
+            f"not {fmt!r} ({why})")
     data = sorted(_glob.glob(os.path.join(relay_dir, f"data-*.{ext}")))
     mpath = os.path.join(relay_dir, RELAY_MANIFEST)
     if not os.path.exists(mpath):
