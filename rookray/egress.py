@@ -781,27 +781,36 @@ def clone(src, dst, epoch: int | None = None) -> dict:
     return res
 
 
-def _check_forward_only(out_dir: str, fmt: str, wm_b: int) -> str:
+def _check_forward_only(out_dir: str, fmt: str,
+                        wm_b: int) -> tuple[str, bool]:
     """Positional-coordinate dialects (binlog, canal) must publish
     strictly forward: an older span re-published into a directory
     already holding a newer dump would be numbered — and therefore
     LWW-ordered — above it.  The span floor lives in the out dir;
     it is RECORDED only after the dump fully lands (a failed export
-    must not block its own retry)."""
+    must not block its own retry).
+
+    Returns ``(state_path, at_floor)``: ``at_floor`` means the span
+    ends EXACTLY at the recorded floor — a zero-progress span (an
+    epoch that applied nothing has an identical state, so its diff is
+    empty; the relay is up to date) or a same-watermark snapshot
+    restatement.  The caller decides: changefeed exports no-op,
+    snapshot exports may publish (restating the identical state above
+    the floor is LWW-neutral)."""
     state_path = os.path.join(out_dir,
                               f"_{fmt.upper()}_EGRESS_STATE.json")
     prev = None
     if os.path.exists(state_path):
         with open(state_path) as f:
             prev = int(json.load(f)["span_hi"])
-    if prev is not None and int(wm_b) <= prev:
+    if prev is not None and int(wm_b) < prev:
         raise ValueError(
             f"{fmt} relay at {out_dir} already holds a dump up "
             f"to coordinate {prev}; re-publishing a span ending "
             f"at {wm_b} would sort ABOVE it in the positional "
             "coordinate space and invert LWW — publish forward "
             "only, or use a fresh out dir")
-    return state_path
+    return state_path, (prev is not None and int(wm_b) == prev)
 
 
 def _record_span_floor(state_path: str, wm_b: int) -> None:
@@ -863,12 +872,19 @@ def export_changefeed(lake, epoch_a: int, epoch_b: int,
     elif fmt in ("binlog", "canal"):
         # positional coordinate spaces — forward-only (see
         # _check_forward_only); floor recorded after the dump lands
-        state_path = _check_forward_only(out_dir, fmt, int(wm_b))
-        writer = write_binlog if fmt == "binlog" else write_canal
-        d = writer(feed, out_dir, key, value_cols,
-                   delete_pos=int(wm_b), payload=payload,
-                   db="rook", table=lake.config.table)
-        _record_span_floor(state_path, int(wm_b))
+        state_path, at_floor = _check_forward_only(out_dir, fmt,
+                                                   int(wm_b))
+        if at_floor:
+            # zero-progress span: an epoch that applied nothing has an
+            # identical state, so the diff is provably empty — the
+            # relay is already up to date, nothing to publish
+            d = {"data_files": [], "events": 0, "up_to_date": True}
+        else:
+            writer = write_binlog if fmt == "binlog" else write_canal
+            d = writer(feed, out_dir, key, value_cols,
+                       delete_pos=int(wm_b), payload=payload,
+                       db="rook", table=lake.config.table)
+            _record_span_floor(state_path, int(wm_b))
     elif fmt in ("pgoutput", "maxwell"):
         # coordinate-preserving dialects — re-publish idempotent
         writer = write_pgwal if fmt == "pgoutput" else write_maxwell
@@ -1000,7 +1016,10 @@ def export_snapshot(lake, out_dir: str, fmt: str = "debezium",
         d = write_dynamo(feed, out_dir, key, value_cols,
                          wm_a=0, wm_b=wm, table=table)
     elif fmt in ("binlog", "canal"):
-        state_path = _check_forward_only(out_dir, fmt, wm)
+        # a same-watermark snapshot RE-publish is allowed (at_floor):
+        # it restates the identical state above the floor, which is
+        # LWW-neutral; only an OLDER-epoch snapshot is refused
+        state_path, _ = _check_forward_only(out_dir, fmt, wm)
         writer = write_binlog if fmt == "binlog" else write_canal
         d = writer(feed, out_dir, key, value_cols, delete_pos=wm,
                    payload=payload, db="rook", table=table)

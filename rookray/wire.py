@@ -573,11 +573,12 @@ def read_debezium(paths: list[str], tx_topic: list[str] | None = None,
     import ray
     import ray.data
 
-    raw = ray.data.read_json(paths)
+    raw = ray.data.read_json(paths, override_num_blocks=max(1, len(paths)))
     if tx_topic is not None:
         tx_index = parse_tx_topic(tx_topic)
     else:
-        tx_index = tx_count_index(ray.data.read_json(paths))
+        tx_index = tx_count_index(ray.data.read_json(
+            paths, override_num_blocks=max(1, len(paths))))
 
     ref = ray.put(tx_index)
 

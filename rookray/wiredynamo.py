@@ -495,7 +495,8 @@ def read_dynamo(paths: list[str], payload: pa.Schema = SEQ_SCHEMA,
     def decode(t: pa.Table) -> pa.Table:
         return decode_dynamo(t, payload=payload, base_high=base_high)
 
-    return ray.data.read_json(paths).map_batches(
+    return ray.data.read_json(
+        paths, override_num_blocks=max(1, len(paths))).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True)
 
 

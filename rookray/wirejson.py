@@ -401,7 +401,8 @@ def read_maxwell(paths: list[str],
     # pairs come back as Arrow block refs (no Python rows) and the
     # rank index is built in one numpy lexsort on the driver.
     if single_parse:
-        raw = ray.data.read_json(paths).materialize()
+        raw = ray.data.read_json(
+            paths, override_num_blocks=max(1, len(paths))).materialize()
         # the parsed blocks are already in the object store: extract
         # the (xid, coord) pairs with plain Ray tasks over the block
         # refs — a second streaming-executor launch (plus its schema
@@ -417,11 +418,13 @@ def read_maxwell(paths: list[str],
                                        ("xid", pa.int64()),
                                        ("position", pa.string())]),
             unexpected_field_behavior="ignore")
-        raw = ray.data.read_json(paths)
+        raw = ray.data.read_json(
+            paths, override_num_blocks=max(1, len(paths)))
         # materialize the TINY pairs output (16 B/event) so
         # to_arrow_refs doesn't re-execute the pass for schema probes
         pair_tables = ray.get(
-            ray.data.read_json(paths, parse_options=slim)
+            ray.data.read_json(paths, parse_options=slim,
+                               override_num_blocks=max(1, len(paths)))
             .map_batches(tx_pairs, batch_format="pyarrow")
             .materialize().to_arrow_refs())
     pairs = pa.concat_tables([t for t in pair_tables if t.num_rows]) \
@@ -722,7 +725,8 @@ def read_canal(paths: list[str],
     def decode(t: pa.Table) -> pa.Table:
         return decode_canal(t, payload=payload)
 
-    return ray.data.read_json(paths).map_batches(
+    return ray.data.read_json(
+        paths, override_num_blocks=max(1, len(paths))).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True)
 
 

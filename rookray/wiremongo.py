@@ -359,7 +359,8 @@ def read_mongo(paths: list[str],
     def decode(t: pa.Table) -> pa.Table:
         return decode_mongo(t, payload=payload)
 
-    return ray.data.read_json(paths).map_batches(
+    return ray.data.read_json(
+        paths, override_num_blocks=max(1, len(paths))).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -256,3 +256,30 @@ def test_cli_json_egress_then_wire(tmp_path, ray_session, capsys):
         wired = json.loads(capsys.readouterr().out)
         assert wired["events_applied"] == out["events"]
         assert _state(LakeTable(down_root)).equals(_state(lake))
+
+
+@pytest.mark.parametrize("fmt", ["binlog", "canal"])
+def test_positional_zero_progress_span_is_noop(tmp_path, ray_session,
+                                               fmt):
+    """Regression (found by the relay fuzz): an epoch that applied
+    nothing shares its predecessor's watermark, so the span's diff is
+    provably empty — publishing it must be an up-to-date no-op, not a
+    forward-only refusal (a cron relay loop with explicit epochs hits
+    this on every idle tick)."""
+    meta = write_shards(CFG, str(tmp_path / "shards"), n_shards=4)
+    lake = LakeTable(str(tmp_path / "src"), CDCConfig(num_partitions=8))
+    files = meta["files"]
+    e0 = lake.apply(files[:2])["epoch"]
+    e1 = lake.apply(files[:3])["epoch"]
+    e2 = lake.apply(files)["epoch"]
+    e3 = lake.apply(files)["epoch"]       # zero applied, same watermark
+
+    relay = str(tmp_path / "relay")
+    d1 = egress.export_changefeed(lake, e0, e1, relay, fmt=fmt)
+    assert d1["events"] > 0
+    egress.export_changefeed(lake, e1, e2, relay, fmt=fmt)
+    d3 = egress.export_changefeed(lake, e2, e3, relay, fmt=fmt)
+    assert d3.get("up_to_date") and d3["events"] == 0
+    # an actually-older span (ending BELOW the floor) still refuses
+    with pytest.raises(ValueError, match="forward"):
+        egress.export_changefeed(lake, e0, e1, relay, fmt=fmt)

@@ -473,3 +473,38 @@ def test_maxwell_tx_buffer_interleaved_frames():
     s = np.asarray(t2.column("seq_in_tx"))
     assert np.array_equal(np.argsort(g), np.argsort(s))
     assert buf.pending() == 1              # tx 12 stays open, unemitted
+
+
+def test_maxwell_mixed_file_schemas_single_task(tmp_path, ray_session):
+    """Regression (found by the snapshot fuzz): a dump where one FILE
+    carries no `old` column at all (insert-only — a snapshot dump, or
+    any real Maxwell capture without updates in that segment) must
+    decode alongside files that do.  Ray's JSON reader KeyErrors when
+    it coalesces files with differing inferred schemas into one read
+    task — the dialect readers now pin one file per read task."""
+    import json as _json
+
+    a = tmp_path / "maxwell-00000.jsonl"
+    b = tmp_path / "maxwell-00001.jsonl"
+    a.write_text(_json.dumps({
+        "type": "insert", "database": "rook", "table": "sequences",
+        "ts": 1, "xid": 10, "commit": True,
+        "position": "rookray-bin.000001:100",
+        "data": {"doc_id": "d1", "tokens": [1, 2], "n_tok": 2,
+                 "source": "s0"}}) + "\n")
+    b.write_text(_json.dumps({
+        "type": "update", "database": "rook", "table": "sequences",
+        "ts": 2, "xid": 11, "commit": True,
+        "position": "rookray-bin.000001:200",
+        "data": {"doc_id": "d1", "tokens": [3], "n_tok": 1,
+                 "source": "s0"},
+        "old": {"n_tok": 2, "tokens": [1, 2]}}) + "\n")
+    import ray
+
+    ds = WJ.read_maxwell([str(a), str(b)])
+    t = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()],
+                         promote_options="default")
+    rows = sorted(t.to_pylist(), key=lambda r: r["gtid"])
+    assert [r["op"] for r in rows] == [OP_INSERT, OP_UPDATE]
+    assert rows[1]["after"]["tokens"] == [3]
+    assert rows[1]["before"]["tokens"] == [1, 2]
