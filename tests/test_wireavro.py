@@ -429,3 +429,45 @@ def test_ragged_gather_and_varint_edges():
         np.array([2, 0, 3], dtype=np.int64))
     assert bytes(data) == b"abdef"
     assert offs.tolist() == [0, 2, 2, 5]
+
+
+def test_codec_decodes_hand_crafted_spec_binary():
+    """Independent spec-fidelity pin: Avro binary constructed BY HAND
+    from the public spec (zigzag varint longs, long-prefixed strings,
+    array blocks including the negative-count byte-size form and
+    multi-block arrays) — NOT by the repo's own encoder, so a mirrored
+    encode/decode misreading cannot hide."""
+    from rookray.wireavro import _Codec
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "vals", "type": {"type": "array", "items": "long"}},
+    ]}
+
+    def zz(n):
+        u = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    items1 = zz(1) + zz(-2)
+    body = (zz(-3)                               # id = -3
+            + zz(1) + zz(2) + b"ab"              # union branch 1, "ab"
+            + zz(-2) + zz(len(items1)) + items1  # block: -2 + byteSize
+            + zz(1) + zz(300)                    # block: 1 item
+            + zz(0))                             # array end
+    val, p = _Codec(schema).decode(body)
+    assert p == len(body)
+    assert val == {"id": -3, "name": "ab", "vals": [1, -2, 300]}
+
+    body2 = zz(7) + zz(0) + zz(0)                # null branch, [] array
+    val2, p2 = _Codec(schema).decode(body2)
+    assert p2 == len(body2)
+    assert val2 == {"id": 7, "name": None, "vals": []}
