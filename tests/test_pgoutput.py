@@ -444,3 +444,67 @@ def test_unknown_column_carries_rename_hint():
                              allow_partial_tail=True)
     assert ei.value.kind == "unknown-column"
     assert "column_renames" in str(ei.value)
+
+
+def test_parser_decodes_hand_crafted_spec_stream():
+    """Independent spec-fidelity pin: an XLogData-framed pgoutput
+    stream constructed BY HAND from the public protocol docs (Begin /
+    Relation / Insert / Update with 'O' old tuple / Delete / Commit,
+    text-format tuples, int4[] array literals) — NOT by pgwal_dump, so
+    a mirrored encode/decode misreading cannot hide."""
+    import struct
+
+    from rookray.pgoutput import PgOutputParser
+    from rookray.schema import OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_SCHEMA
+
+    def cstr(s):
+        return s.encode() + b"\0"
+
+    def frame(start_lsn, payload):
+        return b"w" + struct.pack(">QQQ", start_lsn, start_lsn + 1, 0) \
+            + payload
+
+    def tup(vals):
+        out = struct.pack(">H", len(vals))
+        for v in vals:
+            if v is None:
+                out += b"n"
+            else:
+                b = v.encode()
+                out += b"t" + struct.pack(">I", len(b)) + b
+        return out
+
+    rel = (b"R" + struct.pack(">I", 55) + cstr("public")
+           + cstr("sequences") + b"f" + struct.pack(">H", 4)
+           + bytes([1]) + cstr("doc_id") + struct.pack(">Ii", 25, -1)
+           + bytes([0]) + cstr("tokens") + struct.pack(">Ii", 1007, -1)
+           + bytes([0]) + cstr("n_tok") + struct.pack(">Ii", 23, -1)
+           + bytes([0]) + cstr("source") + struct.pack(">Ii", 25, -1))
+    begin = b"B" + struct.pack(">QQI", 900, 0, 42)
+    ins = (b"I" + struct.pack(">I", 55) + b"N"
+           + tup(["d1", "{1,2}", "2", "s0"]))
+    upd = (b"U" + struct.pack(">I", 55)
+           + b"O" + tup(["d1", "{1,2}", "2", "s0"])
+           + b"N" + tup(["d1", "{3}", "1", "s0"]))
+    dele = (b"D" + struct.pack(">I", 55)
+            + b"O" + tup(["d1", "{3}", "1", "s0"]))
+    commit = b"C" + bytes([0]) + struct.pack(">QQQ", 900, 901, 0)
+
+    stream = (frame(100, begin) + frame(150, rel) + frame(300, ins)
+              + frame(400, upd) + frame(500, dele)
+              + frame(900, commit))
+    parser = PgOutputParser(payload=SEQ_SCHEMA)
+    mid = parser.feed(stream)
+    tail = parser.finish()
+    parts = [x for x in (mid, tail) if x is not None and x.num_rows]
+    assert parts, "no rows emitted"
+    t = pa.concat_tables(parts)
+    assert t.num_rows == 3
+    rows = sorted(t.to_pylist(), key=lambda r: r["gtid"])
+    assert [r["gtid"] for r in rows] == [300, 400, 500]
+    assert [r["op"] for r in rows] == [OP_INSERT, OP_UPDATE, OP_DELETE]
+    assert all(r["tx_id"] == 42 and r["tx_events"] == 3 for r in rows)
+    assert rows[0]["after"]["tokens"] == [1, 2]
+    assert rows[1]["before"]["tokens"] == [1, 2]
+    assert rows[1]["after"]["tokens"] == [3]
+    assert rows[2]["before"]["n_tok"] == 1 and rows[2]["after"] is None
