@@ -426,3 +426,83 @@ def test_mixed_gtid_modes_refused(tmp_path):
     with pytest.raises(B.BinlogFormatError, match="mixes"):
         B.decode_binlog_file(open(path2, "rb").read(), path2,
                              payload=SEQ_SCHEMA)
+
+
+def test_parser_decodes_hand_crafted_spec_file():
+    """Independent spec-fidelity pin: a binlog-v4 file constructed BY
+    HAND from the public MySQL Internals layout (magic, FDE with
+    post-header-length table and checksum-alg byte, GTID, QUERY BEGIN,
+    TABLE_MAP with metadata block, WRITE/UPDATE/DELETE_ROWS v2, XID) —
+    NOT by binlog_dump, so a mirrored encode/decode misreading cannot
+    hide.  Covers both checksum regimes: alg OFF and CRC32 (each
+    event's CRC computed by hand over header+body)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rookray.binlog import decode_binlog_file
+    from rookray.schema import (OP_DELETE, OP_INSERT, OP_UPDATE,
+                                SEQ_SCHEMA)
+
+    def varchar(s):
+        b = s.encode()
+        return struct.pack("<H", len(b)) + b
+
+    def blob_i32(vals):
+        raw = np.asarray(vals, dtype="<i4").tobytes()
+        return struct.pack("<I", len(raw)) + raw
+
+    def image(doc, toks, src):
+        return (bytes([0]) + varchar(doc) + blob_i32(toks)
+                + struct.pack("<i", len(toks)) + varchar(src))
+
+    def build(crc_on):
+        out = bytearray(b"\xfebin")
+        pos = [4]
+
+        def event(etype, body):
+            tail = 4 if (crc_on and etype != 15) else 0
+            size = 19 + len(body) + tail
+            ev = struct.pack("<IBIIIH", 0, etype, 7, size,
+                             pos[0] + size, 0) + body
+            if tail:
+                ev += struct.pack("<I", zlib.crc32(ev) & 0xFFFFFFFF)
+            out.extend(ev)
+            pos[0] += len(ev)
+
+        alg = 1 if crc_on else 0
+        event(15, struct.pack("<H", 4) + b"5.7.30-hand".ljust(50, b"\0")
+              + struct.pack("<I", 0) + bytes([19]) + bytes(39)
+              + bytes([alg]) + b"\0\0\0\0")
+        event(33, bytes([1]) + bytes(range(16)) + struct.pack("<q", 5))
+        event(2, struct.pack("<IIBHH", 1, 0, 4, 0, 0) + b"rook\0BEGIN")
+        event(19, b"\x4d\0\0\0\0\0" + b"\0\0"
+              + bytes([4]) + b"rook\0" + bytes([9]) + b"sequences\0"
+              + bytes([4]) + bytes([15, 252, 3, 15])
+              + bytes([6]) + struct.pack("<H", 1024) + bytes([4])
+              + struct.pack("<H", 1024) + bytes([0x0F]))
+        head = (b"\x4d\0\0\0\0\0" + b"\0\0" + struct.pack("<H", 2)
+                + bytes([4]) + bytes([0x0F]))
+        event(30, head + image("d1", [10, 20, 30], "s0"))
+        event(31, head + bytes([0x0F])           # update: 2nd bitmap
+              + image("d1", [10, 20, 30], "s0")
+              + image("d1", [40], "s0"))
+        event(32, head + image("d1", [40], "s0"))
+        event(16, struct.pack("<Q", 5))
+        return bytes(out)
+
+    for crc_on in (False, True):
+        t = decode_binlog_file(build(crc_on), "rookray-bin.000001",
+                               payload=SEQ_SCHEMA)
+        assert t.num_rows == 3, crc_on
+        rows = sorted(t.to_pylist(), key=lambda r: r["seq_in_tx"])
+        assert [r["op"] for r in rows] == [OP_INSERT, OP_UPDATE,
+                                           OP_DELETE]
+        assert all(r["tx_id"] == 4 and r["server_id"] == 7
+                   and r["tx_events"] == 3 for r in rows)
+        assert rows[0]["after"]["tokens"] == [10, 20, 30]
+        assert rows[1]["before"]["tokens"] == [10, 20, 30]
+        assert rows[1]["after"]["tokens"] == [40]
+        assert rows[2]["before"]["n_tok"] == 1
+        assert rows[2]["after"] is None
